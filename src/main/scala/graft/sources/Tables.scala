@@ -1,0 +1,28 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed table provider over the driver testdata layout
+  * (`/root/testdata/sf{N}/{name}.parquet`, see TESTDATA.md).
+  *
+  * Reference analogue: the DuckDB catalog the copilot queries
+  * (reference `src/database/db_connector.py:54-112`); here every table is
+  * a columnar parquet scan, so Catalyst gets predicate pushdown, column
+  * pruning and partition-parallel reads for free — at 100 TB the same
+  * code reads a partitioned parquet lake, only `dir` changes.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimensions that should always be broadcast in joins. */
+  val smallDims: Set[String] = Set("region", "nation")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every testdata table as a temp view (idempotent). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}

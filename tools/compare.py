@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the
+parquet tables in <sfDir>, and compares: schema (sorted column names),
+row count, and cell values (exact for non-floats; floats must match to
+1e-9 relative — flagged loudly if not bitwise, since the driver may
+hash raw values).
+
+Dev tool only — the Scala library has no Python dependency.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    n_pass = n_fail = 0
+    names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    for name in names:
+        spark_rel = con.sql(
+            f"SELECT * FROM '{Path(out_dir)}/{name}/*.parquet'")
+        scols = sorted(spark_rel.columns)
+        spark_rows = con.sql(
+            "SELECT " + ", ".join(f'"{c}"' for c in scols) +
+            f" FROM spark_rel").fetchall()
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(spark_rows)} rows "
+                  f"(no oracle declared)")
+            continue
+        ora_rel = con.sql(oracle[name])
+        ocols = sorted(ora_rel.columns)
+        status, notes = "PASS", []
+        if scols != ocols:
+            status = "FAIL"
+            notes.append(f"schema: spark={scols} oracle={ocols}")
+            ora_rows = None
+        else:
+            ora_rows = con.sql(
+                "SELECT " + ", ".join(f'"{c}"' for c in ocols) +
+                f" FROM ora_rel").fetchall()
+            if len(spark_rows) != len(ora_rows):
+                status = "FAIL"
+                notes.append(f"rows: spark={len(spark_rows)} "
+                             f"oracle={len(ora_rows)}")
+            else:
+                for i, (sr, orow) in enumerate(zip(spark_rows, ora_rows)):
+                    for c, sv, ov in zip(ocols, sr, orow):
+                        if sv == ov or (sv is None and ov is None):
+                            continue
+                        if isinstance(sv, float) and isinstance(ov, float):
+                            if math.isnan(sv) and math.isnan(ov):
+                                continue
+                            # driver may hash raw values: near-miss is a bug
+                            status = "FAIL"
+                            notes.append(
+                                f"row {i} col {c}: float mismatch "
+                                f"spark={sv!r} oracle={ov!r} "
+                                f"(diff={abs(sv - ov):.3e})")
+                        else:
+                            status = "FAIL"
+                            notes.append(f"row {i} col {c}: "
+                                         f"spark={sv!r} oracle={ov!r}")
+                        if len(notes) > 5:
+                            break
+                    if len(notes) > 5:
+                        break
+        if status == "PASS":
+            n_pass += 1
+            print(f"[PASS] {name} ({len(spark_rows)} rows)")
+        else:
+            n_fail += 1
+            print(f"[FAIL] {name}: " + "; ".join(notes))
+    missing = sorted(set(oracle) - set(names))
+    for m in missing:
+        n_fail += 1
+        print(f"[FAIL] {m}: oracle declared but no spark output")
+    print(f"\n{n_pass} pass / {n_fail} fail / {len(names)} outputs")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
