@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Parquet-backed table provider over the driver testdata layout
   * (`/root/testdata/sf{N}/{name}.parquet`, see TESTDATA.md).
@@ -19,8 +20,20 @@ object Tables {
   /** Small dimensions that should always be broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+    // ([PARQUET_TYPE_ILLEGAL]) unless read as a raw long. Read nanos as
+    // long and convert to a microsecond TimestampType with integer
+    // division (a double-path division would lose precision: epoch
+    // nanos ~1.7e18 exceed 2^53).
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
 
   /** Register every testdata table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =
