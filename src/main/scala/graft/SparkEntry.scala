@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.Relational.flagship(spark, "/root/testdata/sf0.001")
 
   private def registry: Seq[Registry] = Seq(
-    graft.queries.Relational
+    graft.queries.Relational,
+    graft.queries.DqQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,109 @@
+package graft.dq
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profiler (reference `src/dq.py:39-79`), batched for scale:
+  *
+  *  - ONE wide aggregation computes count/nulls/distinct + all
+  *    type-specific stats for every column in a single job (the
+  *    reference does pandas passes per column over a local sample).
+  *  - ONE melt → groupBy → window pass computes top-k value counts for
+  *    ALL profiled columns together, instead of one job per column.
+  *
+  * On a cluster this is two shuffles total regardless of column count.
+  *
+  * Pandas-parity semantics: nulls are excluded from distinct, stats
+  * and top-k (`dropna()` throughout the reference); std is population
+  * std (`ddof=0`, `src/dq.py:56`); percentiles are exact with linear
+  * interpolation (pandas default = DuckDB `quantile_cont` = Spark
+  * `percentile`).
+  */
+object Profiler {
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  def profile(df: DataFrame, topK: Int = 5): Seq[ColumnProfile] = {
+    val fields = df.schema.fields.toSeq
+
+    // Pass 1: one wide agg — 3 base metrics + type stats per column.
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        sum(c.isNull.cast("long")).as(s"nulls__${f.name}"),
+        count_distinct(c).as(s"distinct__${f.name}"))
+      val typed = f.dataType match {
+        case dt if isNumeric(dt) => Seq(
+          min(c).cast("double").as(s"min__${f.name}"),
+          max(c).cast("double").as(s"max__${f.name}"),
+          avg(c).as(s"mean__${f.name}"),
+          stddev_pop(c).as(s"std__${f.name}"),
+          percentile(c, lit(0.5)).as(s"p50__${f.name}"),
+          percentile(c, lit(0.95)).as(s"p95__${f.name}"))
+        case _: TimestampType => Seq(
+          date_format(min(c), "yyyy-MM-dd HH:mm:ss").as(s"tsmin__${f.name}"),
+          date_format(max(c), "yyyy-MM-dd HH:mm:ss").as(s"tsmax__${f.name}"))
+        case _: StringType => Seq(
+          min(length(c)).cast("long").as(s"lmin__${f.name}"),
+          max(length(c)).cast("long").as(s"lmax__${f.name}"),
+          percentile(length(c), lit(0.95)).as(s"lp95__${f.name}"))
+        case _ => Nil
+      }
+      base ++ typed
+    }
+    val row = df.agg(count(lit(1)).as("n"), aggs: _*).collect()(0)
+    val total = row.getAs[Long]("n")
+    def opt[T](name: String): Option[T] =
+      if (row.schema.fieldNames.contains(name) && !row.isNullAt(row.fieldIndex(name)))
+        Some(row.getAs[T](name))
+      else None
+
+    // Pass 2: top-k for all columns at once via melt (null-excluded).
+    val stackExpr = fields.map(f =>
+      s"'${f.name}', CAST(`${f.name}` AS STRING)").mkString(", ")
+    val w = Window.partitionBy("column")
+      .orderBy(desc("cnt"), col("value"))
+    val topRows = df
+      .selectExpr(s"stack(${fields.size}, $stackExpr) AS (column, value)")
+      .where(col("value").isNotNull)
+      .groupBy("column", "value").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+      .collect()
+      .groupBy(_.getAs[String]("column"))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getAs[Int]("rn"))
+          .map(r => TopValue(r.getAs[String]("value"), r.getAs[Long]("cnt"))).toSeq
+      }
+
+    fields.map { f =>
+      ColumnProfile(
+        column = f.name,
+        count = total,
+        nulls = opt[Long](s"nulls__${f.name}").getOrElse(0L),
+        distinct = opt[Long](s"distinct__${f.name}").getOrElse(0L),
+        numeric =
+          if (isNumeric(f.dataType))
+            Some(NumericStats(
+              opt[Double](s"min__${f.name}").getOrElse(Double.NaN),
+              opt[Double](s"max__${f.name}").getOrElse(Double.NaN),
+              opt[Double](s"mean__${f.name}").getOrElse(Double.NaN),
+              opt[Double](s"std__${f.name}").getOrElse(Double.NaN),
+              opt[Double](s"p50__${f.name}").getOrElse(Double.NaN),
+              opt[Double](s"p95__${f.name}").getOrElse(Double.NaN)))
+          else None,
+        timestamp = opt[String](s"tsmin__${f.name}").map(mn =>
+          TimestampStats(mn, opt[String](s"tsmax__${f.name}").getOrElse(mn))),
+        stringLength = opt[Long](s"lmin__${f.name}").map(mn =>
+          StringLengthStats(mn,
+            opt[Long](s"lmax__${f.name}").getOrElse(mn),
+            opt[Double](s"lp95__${f.name}").getOrElse(mn.toDouble))),
+        topValues = topRows.getOrElse(f.name, Nil))
+    }
+  }
+}

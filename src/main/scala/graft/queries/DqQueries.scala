@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Declared oracle queries for the DQ engine operators (SURVEY.md §2.2
+  * P1–P5, R1–R3, R5; reference `src/dq.py`). These mirror what
+  * [[graft.dq.Profiler]] / [[graft.dq.DqEngine]] compute, expressed as
+  * single deterministic DataFrames the driver can hash against DuckDB.
+  *
+  * Float determinism: mean and population std are derived from EXACT
+  * decimal sums (events.value is 2-decimal money) with the SAME
+  * expression tree on both sides — `mean = sm/n`,
+  * `std = sqrt((smsq - sm*sm/n)/n)` — so both engines do identical
+  * IEEE double arithmetic on identical inputs. Percentiles are exact
+  * linear-interpolation on sorted doubles in both engines.
+  */
+object DqQueries extends graft.Registry {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "events")
+
+  private val decV: Column = col("value").cast("decimal(18,2)")
+
+  /** Shared stats row: n, exact-decimal sum and sum-of-squares of
+    * events.value, cast to double. */
+  private def valueStats(e: DataFrame): DataFrame =
+    e.agg(
+      count(lit(1)).as("n"),
+      sum(decV).cast("double").as("sm"),
+      sum(decV * decV).cast("double").as("smsq"))
+
+  private val statsSqlCte: String =
+    """a AS (
+      |  SELECT COUNT(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))
+      |                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS smsq
+      |  FROM events)""".stripMargin
+
+  /** P1: count / nulls / distinct per column, one wide agg melted to
+    * one row per column (`src/dq.py:45-50`). */
+  def p1Counts(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"nulls__$c"),
+          count_distinct(col(c)).as(s"distinct__$c"))
+    }
+    val stacked = cols
+      .map(c => s"'$c', nulls__$c, distinct__$c").mkString(", ")
+    events(s, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stacked) AS (column_name, n_nulls, n_distinct)")
+      .select("column_name", "n_rows", "n_nulls", "n_distinct")
+      .orderBy("column_name")
+  }
+
+  /** P2: numeric profile of events.value (`src/dq.py:51-59`). */
+  def p2Numeric(s: SparkSession, dir: String): DataFrame =
+    valueStats(events(s, dir).select("value"))
+      .join(events(s, dir).agg(
+        min("value").as("min_val"), max("value").as("max_val"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95")))
+      .select(col("n"), col("min_val"), col("max_val"),
+        (col("sm") / col("n")).as("mean"),
+        sqrt((col("smsq") - col("sm") * col("sm") / col("n")) / col("n"))
+          .as("std_pop"),
+        col("p50"), col("p95"))
+
+  /** P3: timestamp profile, second-truncated ISO (`src/dq.py:60-64`). */
+  def p3Timestamp(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).agg(
+      date_format(min(date_trunc("second", col("ts"))),
+        "yyyy-MM-dd HH:mm:ss").as("ts_min"),
+      date_format(max(date_trunc("second", col("ts"))),
+        "yyyy-MM-dd HH:mm:ss").as("ts_max"))
+
+  /** P4: string-length profile of documents.text (`src/dq.py:65-73`). */
+  def p4StringLength(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents").agg(
+      min(length(col("text"))).cast("long").as("min_len"),
+      max(length(col("text"))).cast("long").as("max_len"),
+      percentile(length(col("text")), lit(0.95)).as("p95_len"))
+
+  /** P5: top-k value counts, count-desc / value-asc (`src/dq.py:75-77`). */
+  def p5TopK(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("value"))
+      .limit(5)
+
+  /** R1: not_null check on events.user_id (`src/dq.py:94-98`). */
+  def r1NotNull(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .agg(sum(col("user_id").isNull.cast("long")).as("nulls"),
+           count(lit(1)).as("total"))
+      .select(col("nulls"), col("total"),
+        round(lit(100.0) * col("nulls") / col("total"), 4)
+          .as("null_rate_pct"),
+        (col("nulls") === 0).as("passed"))
+
+  /** R2: unique check on events.event_id — nulls count as duplicates
+    * (`src/dq.py:101-107`). */
+  def r2Unique(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .agg(count(lit(1)).as("total"),
+           count_distinct(col("event_id")).as("n_distinct"))
+      .select(col("total"), col("n_distinct"),
+        (col("total") - col("n_distinct")).as("duplicates"),
+        (col("total") - col("n_distinct") === 0).as("passed"))
+
+  /** R3: range check on events.value ∈ [0, 400] (`src/dq.py:110-119`). */
+  def r3Range(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .agg(sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("below_min"),
+           sum(when(col("value") > 400.0, 1L).otherwise(0L)).as("above_max"))
+      .select(col("below_min"), col("above_max"),
+        (col("below_min") + col("above_max") === 0).as("passed"))
+
+  /** R5: z-score anomaly on events.value, sigma = 3.0
+    * (`src/dq.py:136-149`): pass 1 exact-decimal stats, pass 2 outlier
+    * count; stats row broadcast to the scan. */
+  def r5Anomaly(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select("value")
+    val stats = valueStats(e).select(
+      col("n").as("n_checked"),
+      (col("sm") / col("n")).as("mean"),
+      sqrt((col("smsq") - col("sm") * col("sm") / col("n")) / col("n"))
+        .as("std_pop"))
+    e.crossJoin(broadcast(stats))
+      .groupBy("n_checked", "mean", "std_pop")
+      .agg(sum(when(abs(col("value") - col("mean")) / col("std_pop") > 3.0,
+        1L).otherwise(0L)).as("n_outliers"))
+      .select(col("n_checked"), col("mean"), col("std_pop"),
+        col("n_outliers"), (col("n_outliers") === 0).as("passed"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_p1_counts" -> p1Counts,
+    "dq_p2_numeric_profile" -> p2Numeric,
+    "dq_p3_ts_profile" -> p3Timestamp,
+    "dq_p4_strlen_profile" -> p4StringLength,
+    "dq_p5_topk_values" -> p5TopK,
+    "dq_r1_not_null" -> r1NotNull,
+    "dq_r2_unique" -> r2Unique,
+    "dq_r3_range" -> r3Range,
+    "dq_r5_anomaly" -> r5Anomaly
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dq_p1_counts" ->
+      """SELECT column_name, n_rows, n_nulls, n_distinct FROM (
+        |  SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
+        |         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |         COUNT(DISTINCT event_id) AS n_distinct FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', COUNT(*),
+        |         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT user_id) FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', COUNT(*),
+        |         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT event_type) FROM events
+        |  UNION ALL
+        |  SELECT 'value', COUNT(*),
+        |         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT value) FROM events
+        |  UNION ALL
+        |  SELECT 'props', COUNT(*),
+        |         CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(DISTINCT props) FROM events)
+        |ORDER BY column_name""".stripMargin,
+    "dq_p2_numeric_profile" ->
+      s"""WITH $statsSqlCte,
+        |q AS (SELECT MIN(value) AS min_val, MAX(value) AS max_val,
+        |             quantile_cont(value, 0.5) AS p50,
+        |             quantile_cont(value, 0.95) AS p95
+        |      FROM events)
+        |SELECT a.n, q.min_val, q.max_val, a.sm / a.n AS mean,
+        |       SQRT((a.smsq - a.sm * a.sm / a.n) / a.n) AS std_pop,
+        |       q.p50, q.p95
+        |FROM a CROSS JOIN q""".stripMargin,
+    "dq_p3_ts_profile" ->
+      """SELECT strftime(MIN(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS ts_min,
+        |       strftime(MAX(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS ts_max
+        |FROM events""".stripMargin,
+    "dq_p4_strlen_profile" ->
+      """SELECT CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
+        |       CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len,
+        |       quantile_cont(CAST(LENGTH(text) AS DOUBLE), 0.95) AS p95_len
+        |FROM documents""".stripMargin,
+    "dq_p5_topk_values" ->
+      """SELECT event_type AS value, COUNT(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, value LIMIT 5""".stripMargin,
+    "dq_r1_not_null" ->
+      """SELECT CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |       COUNT(*) AS total,
+        |       ROUND(CAST(100 AS DOUBLE)
+        |             * SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |             / COUNT(*), 4) AS null_rate_pct,
+        |       SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+        |FROM events""".stripMargin,
+    "dq_r2_unique" ->
+      """SELECT COUNT(*) AS total,
+        |       COUNT(DISTINCT event_id) AS n_distinct,
+        |       COUNT(*) - COUNT(DISTINCT event_id) AS duplicates,
+        |       COUNT(*) - COUNT(DISTINCT event_id) = 0 AS passed
+        |FROM events""".stripMargin,
+    "dq_r3_range" ->
+      """SELECT CAST(SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS below_min,
+        |       CAST(SUM(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) AS BIGINT) AS above_max,
+        |       SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END)
+        |       + SUM(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) = 0 AS passed
+        |FROM events""".stripMargin,
+    "dq_r5_anomaly" ->
+      s"""WITH $statsSqlCte,
+        |s AS (SELECT n AS n_checked, sm / n AS mean,
+        |             SQRT((smsq - sm * sm / n) / n) AS std_pop
+        |      FROM a)
+        |SELECT s.n_checked, s.mean, s.std_pop,
+        |       CAST(SUM(CASE WHEN ABS(e.value - s.mean) / s.std_pop > 3.0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       SUM(CASE WHEN ABS(e.value - s.mean) / s.std_pop > 3.0
+        |                THEN 1 ELSE 0 END) = 0 AS passed
+        |FROM events e CROSS JOIN s
+        |GROUP BY s.n_checked, s.mean, s.std_pop""".stripMargin
+  )
+}
