@@ -17,7 +17,9 @@ object SparkEntry {
 
   private def registry: Seq[Registry] = Seq(
     graft.queries.Relational,
-    graft.queries.DqQueries
+    graft.queries.DqQueries,
+    graft.queries.TextPipeline,
+    graft.queries.VectorPipeline
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

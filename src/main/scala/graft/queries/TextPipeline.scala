@@ -1,0 +1,439 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pipeline.TextPrep
+import graft.sources.Tables
+
+/** Training-data text pipeline over the `documents` table: analysis
+  * (token stats, quality scoring, language-ID, fingerprinting) and
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH banding, SimHash).
+  * Beyond the reference's own operator surface (the reference has no
+  * corpus tooling), these are the operations a large-scale
+  * training-data pipeline needs; built Spark-first.
+  *
+  * Determinism contract: every query is pure integer/exact arithmetic
+  * except explicitly-mirrored IEEE double expressions (ratios,
+  * divisions) whose operand order is textually identical on both
+  * sides, so Spark and DuckDB produce bit-identical doubles.
+  *
+  * Scale notes (the point of each design):
+  *   - Everything keys on doc_id or shingle: hash-partitioned
+  *     aggregations and joins, no driver-side state, no collect.
+  *   - Candidate generation is always index-based (inverted shingle
+  *     index, LSH bands, SimHash bands) — never an O(n²) cross join —
+  *     so the same plans hold on a 1000-executor cluster.
+  *   - The per-(lang, token) document-frequency table used by
+  *     language-ID is vocabulary-sized, hence broadcast.
+  */
+object TextPipeline extends graft.Registry {
+  import TextPrep._
+
+  private val NumHashes = 16 // minhash signature length
+  private val Bands = 4 // LSH bands (4 rows each): ~0.7 similarity knee
+  private val Rows = NumHashes / Bands
+  // SimHash calibration: on ~50-90-shingle docs, bit-vote margins are
+  // O(√shingles), so a 1-3-shingle diff flips several borderline bits;
+  // measured on testdata: planted (jaccard ≥ 0.8) pairs land at
+  // hamming ≤ 7 of 32 while the background pair mean is ~16. 8 nibble
+  // bands give a pigeonhole recall guarantee for d ≤ 7 (at web scale:
+  // 64-bit simhash, 16-bit bands, same plan shape).
+  private val SimBits = 32
+  private val MaxHamming = 7
+  private val JaccardThreshold = 0.8
+  private val EstSimThreshold = 0.5
+
+  /** Stopword list for quality scoring (generic English function
+    * words; 'the'/'in'/'on' overlap the testdata vocabulary). */
+  private val Stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** Quality-score formula, shared verbatim by Spark and the oracle. */
+  private val scoreExpr: String =
+    "CAST(0.4 AS DOUBLE) * least(n_tokens, 100) / CAST(100.0 AS DOUBLE)" +
+      " + CAST(0.4 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio)" +
+      " + CAST(0.2 AS DOUBLE) * least(avg_word_len, CAST(8.0 AS DOUBLE)) / CAST(8.0 AS DOUBLE)"
+
+  // ---------------------------------------------------------------- analysis
+
+  /** Token-count distribution per language: docs, totals, exact
+    * interpolated median. One pass, one shuffle on lang (5 groups). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        min("n_tok").as("min_tokens"),
+        max("n_tok").as("max_tokens"),
+        (sum("n_tok").cast("double") / count(lit(1))).as("avg_tokens"),
+        percentile(col("n_tok").cast("double"), lit(0.5)).as("p50_tokens"))
+      .orderBy("lang")
+
+  /** Per-document quality score: length, stopword ratio, mean word
+    * length — codegen'd scalar expressions on a single scan. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        col("n_chars_calc"),
+        size(col("t")).as("n_tokens"),
+        expr(s"size(filter(t, x -> x IN ($inList)))").as("n_stopwords"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_chars_calc"),
+        expr("CAST(n_stopwords AS DOUBLE) / n_tokens").as("stop_ratio"),
+        expr("CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens")
+          .as("avg_word_len"))
+      .withColumn(
+        "quality_score",
+        // Literals cast to DOUBLE on BOTH sides: bare 0.4 parses as
+        // DECIMAL in each engine with different precision rules → ulp
+        // drift; forcing doubles makes the IEEE op sequence identical.
+        expr(scoreExpr))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** Language-ID by corpus-trained token document frequency: score of
+    * doc d for language L = sum over d's distinct tokens of the number
+    * of L-labeled docs containing that token; prediction = argmax
+    * (ties → alphabetical). Output is the lang × predicted confusion
+    * matrix. All-integer scoring → deterministic. The df table is
+    * vocab×langs-sized and broadcast; the only wide shuffle keys on
+    * doc_id.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val df = toks
+      .groupBy(col("tok"), col("lang").as("df_lang"))
+      .agg(count(lit(1)).as("df"))
+    val scored = toks
+      .join(broadcast(df), "tok")
+      .groupBy("doc_id", "lang", "df_lang")
+      .agg(sum("df").as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("df_lang"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("lang"), col("df_lang").as("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  /** Document fingerprint: bottom-3 sketch of the shingle-hash set
+    * (winnowing-style content signature; equal fingerprints ⇒ likely
+    * near-dup). One shuffle on doc_id. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("h"), col("shingle"))
+    shingleHashes(docs(s, dir))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("rn") === 1, col("h"))).as("fp1"),
+        max(when(col("rn") === 2, col("h"))).as("fp2"),
+        max(when(col("rn") === 3, col("h"))).as("fp3"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
+  // ------------------------------------------------------------------- dedup
+
+  /** Exact dedup summary: corpus size, distinct text-hash count, and
+    * how many docs are byte-identical copies. md5-keyed groupBy — the
+    * canonical exact-dedup shuffle. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(md5(col("text"))).as("n_distinct_texts"))
+      .select(
+        col("n_docs"), col("n_distinct_texts"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_dup_docs"))
+
+  /** N-gram Jaccard near-dup pairs via inverted shingle index: explode
+    * distinct shingles, self-join on shingle (candidate pairs share at
+    * least one), count intersections, Jaccard = |∩| / (|A|+|B|−|∩|).
+    * Never O(n²): work is Σ df(shingle)² over the index, and the join
+    * keys on shingle so it hash-distributes. */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(docs(s, dir)).cache()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"), col("n_common"),
+        expr("CAST(n_common AS DOUBLE) / (na + nb - n_common)").as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH near-dup pairs: 16-hash signature (min over
+    * shingle-hash permutations), banded 4×4; candidates collide on a
+    * whole band; est_sim = matching-signature fraction ≥ 0.5.
+    * The band self-join keys on (band, band-key) — the standard
+    * shuffle-friendly LSH bucket join that replaces all-pairs search.
+    */
+  def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
+    val mhAggs = (0 until NumHashes).map(i => min(perm(i, col("h"))).as(s"mh$i"))
+    val sig = shingleHashes(docs(s, dir))
+      .groupBy("doc_id")
+      .agg(mhAggs.head, mhAggs.tail: _*)
+      .cache()
+    val bands = (0 until Bands)
+      .map { j =>
+        sig.select(
+          col("doc_id"), lit(j).as("band"),
+          concat_ws(":",
+            (0 until Rows).map(k => col(s"mh${j * Rows + k}")): _*).as("bkey"))
+      }
+      .reduce(_ unionAll _)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val matchCount = (0 until NumHashes)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        matchCount.cast("long").as("n_matching"))
+      .withColumn("est_sim", expr(s"CAST(n_matching AS DOUBLE) / $NumHashes"))
+      .where(col("est_sim") >= EstSimThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs: 32-bit signature (sign of per-bit vote
+    * sums over distinct shingle hashes), banded into 8 nibbles —
+    * pigeonhole guarantees any pair within Hamming distance 7 shares a
+    * clean nibble — then exact Hamming ≤ 7 via bit_count(xor). */
+  def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
+    val votes = (0 until SimBits).map(b =>
+      sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1")).as(s"s$b"))
+    val sig = shingleHashes(docs(s, dir))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until SimBits)
+          .map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+      .cache()
+    val bands = (0 until SimBits / 4)
+      .map { j =>
+        sig.select(
+          col("doc_id"), lit(j).as("band"),
+          expr(s"shiftright(simhash, ${4 * j}) & 15").as("nib"))
+      }
+      .reduce(_ unionAll _)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .where(col("hamming") <= MaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td01_token_stats" -> tokenStats,
+    "td02_quality_score" -> qualityScore,
+    "td03_lang_id" -> langId,
+    "td04_fingerprint" -> fingerprint,
+    "td05_dedup_exact" -> dedupExact,
+    "td06_dedup_jaccard" -> dedupJaccard,
+    "td07_dedup_minhash" -> dedupMinHash,
+    "td08_dedup_simhash" -> dedupSimHash
+  )
+
+  // DuckDB oracles — generated from the SAME constants as the Spark
+  // queries (TextPrep.MinHashAB etc.), so both sides stay in lockstep.
+
+  private def minhashSigSql: String = {
+    val mh = (0 until NumHashes)
+      .map(i => s"MIN(${permSql(i, "h")}) AS mh$i").mkString(",\n         ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |         $mh
+       |  FROM shh GROUP BY doc_id)""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "td01_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       SUM(n_tok) AS total_tokens,
+        |       MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
+        |       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |       quantile_cont(CAST(n_tok AS DOUBLE), 0.5) AS p50_tokens
+        |FROM (SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "td02_quality_score" -> {
+      val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, length(text) AS n_chars_calc,
+         |         string_split(text, ' ') AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_chars_calc, len(t) AS n_tokens,
+         |         len(list_filter(t, x -> x IN ($inList))) AS n_stopwords
+         |  FROM base),
+         |r AS (
+         |  SELECT doc_id, n_tokens, n_chars_calc,
+         |         CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+         |         CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len
+         |  FROM m)
+         |SELECT doc_id, n_tokens, n_chars_calc, stop_ratio, avg_word_len,
+         |       $scoreExpr AS quality_score
+         |FROM r ORDER BY doc_id LIMIT 200""".stripMargin
+    },
+    "td03_lang_id" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |df AS (
+        |  SELECT tok, lang AS df_lang, COUNT(*) AS df
+        |  FROM toks GROUP BY tok, lang),
+        |scored AS (
+        |  SELECT t.doc_id, t.lang, d.df_lang, SUM(d.df) AS score
+        |  FROM toks t JOIN df d ON t.tok = d.tok
+        |  GROUP BY t.doc_id, t.lang, d.df_lang),
+        |best AS (
+        |  SELECT doc_id, lang, df_lang,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, df_lang) AS rn
+        |  FROM scored)
+        |SELECT lang, df_lang AS predicted_lang, COUNT(*) AS n_docs
+        |FROM best WHERE rn = 1
+        |GROUP BY lang, df_lang
+        |ORDER BY lang, predicted_lang""".stripMargin,
+    "td04_fingerprint" ->
+      s"""WITH $shingleHashesSqlCte,
+         |ranked AS (
+         |  SELECT doc_id, h,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                            ORDER BY h, shingle) AS rn
+         |  FROM shh)
+         |SELECT doc_id,
+         |       MAX(CASE WHEN rn = 1 THEN h END) AS fp1,
+         |       MAX(CASE WHEN rn = 2 THEN h END) AS fp2,
+         |       MAX(CASE WHEN rn = 3 THEN h END) AS fp3
+         |FROM ranked WHERE rn <= 3
+         |GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin,
+    "td05_dedup_exact" ->
+      """SELECT COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+        |       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+        |FROM documents""".stripMargin,
+    "td06_dedup_jaccard" ->
+      s"""WITH $shinglesSqlCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, n_common,
+         |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "td07_dedup_minhash" -> {
+      val bandSelects = (0 until Bands).map { j =>
+        val key = (0 until Rows).map(k => s"mh${j * Rows + k}")
+          .mkString(" || ':' || ")
+        s"SELECT doc_id, $j AS band, $key AS bkey FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      val matches = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shingleHashesSqlCte,
+         |$minhashSigSql,
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b, CAST($matches AS BIGINT) AS n_matching
+         |  FROM cand
+         |  JOIN sig sa ON doc_a = sa.doc_id
+         |  JOIN sig sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, n_matching,
+         |       CAST(n_matching AS DOUBLE) / $NumHashes AS est_sim
+         |FROM scored
+         |WHERE CAST(n_matching AS DOUBLE) / $NumHashes >= $EstSimThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "td08_dedup_simhash" -> {
+      val votes = (0 until SimBits)
+        .map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b")
+        .mkString(",\n         ")
+      val combine = (0 until SimBits)
+        .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      val bandSelects = (0 until SimBits / 4).map { j =>
+        s"SELECT doc_id, $j AS band, (simhash >> ${4 * j}) & 15 AS nib FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $shingleHashesSqlCte,
+         |v AS (
+         |  SELECT doc_id,
+         |         $votes
+         |  FROM shh GROUP BY doc_id),
+         |sig AS (
+         |  SELECT doc_id, $combine AS simhash FROM v),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         |FROM cand
+         |JOIN sig sa ON doc_a = sa.doc_id
+         |JOIN sig sb ON doc_b = sb.doc_id
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $MaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`embedding` is a
+  * 64-dim float vector): brute-force cosine top-k as the exactness
+  * baseline, a random-hyperplane LSH-bucketed variant as the scale
+  * path, and cosine near-duplicate pair detection.
+  *
+  * Float determinism across Spark/DuckDB: every dot product is an
+  * ORDERED left fold — Spark `aggregate(zip_with(...), 0.0D, +)` ≡
+  * DuckDB `list_reduce(list_prepend(0.0, list_transform(...)), +)` —
+  * over element-wise double products (float→double widening is exact).
+  * Same operands, same operation order ⇒ bit-identical IEEE doubles;
+  * sqrt and division are correctly-rounded IEEE on both engines. The
+  * LSH hyperplanes are fixed integer weight vectors (generated from
+  * one frozen formula on both sides), so bucket assignment is exact.
+  *
+  * Scale notes: fold-based dot products run inside whole-stage codegen
+  * on the row's own arrays — no position-explode, no 64× row blowup,
+  * no extra shuffle. Brute-force top-k broadcasts the (small) query
+  * set and makes one pass over the corpus; at 100 TB the LSH variant
+  * replaces the full pass with a bucket-equijoin (shuffle keyed on
+  * bucket id), which is the standard distribute-and-prune ANN layout.
+  * The near-dup all-pairs baseline is quadratic by definition and kept
+  * for correctness; its documented scale path is the same bucket join.
+  */
+object VectorPipeline extends graft.Registry {
+
+  private val TopK = 3
+  private val NumQueries = 10 // vec_id < 10 are the query vectors
+  private val NumPlanes = 8
+  private val Dim = 64
+  private val NearDupCos = 0.4
+
+  /** Fixed pseudo-random integer hyperplanes w(p,i) ∈ [-5,5]. */
+  private def plane(p: Int): IndexedSeq[Int] =
+    (0 until Dim).map(i => ((p * 7 + i * 13) % 11) - 5)
+
+  /** Ordered-fold dot product of two array<float> columns (Spark). */
+  private def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** Same fold in DuckDB (list_prepend(0.0) mirrors Spark's zero). */
+  private def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  /** Weighted fold against a constant integer plane (Spark). */
+  private def projSql(p: Int): String = {
+    val w = plane(p).mkString(", ")
+    s"aggregate(zip_with(embedding, array($w), (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  }
+
+  private def projDuck(p: Int): String = {
+    val w = plane(p).mkString(", ")
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(embedding, [$w]), p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, v) -> acc + v)"
+  }
+
+  private def bucketSql: String =
+    (0 until NumPlanes)
+      .map(p => s"(CASE WHEN ${projSql(p)} > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  private def bucketDuck: String =
+    (0 until NumPlanes)
+      .map(p => s"(CASE WHEN ${projDuck(p)} > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** embeddings + precomputed L2 norm (one codegen'd pass). */
+  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(
+        col("vec_id"), col("embedding"),
+        expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"))
+
+  private val normDuckCte: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  /** Brute-force exact cosine top-k: broadcast the query set, one scan
+    * of the corpus, per-query window top-k. */
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("neighbor_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TopK)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** LSH-bucketed cosine top-k: same queries, but candidates are only
+    * vectors whose 8-bit hyperplane signature matches — an equijoin on
+    * bucket instead of a full scan per query. Recall is approximate by
+    * design; ranking within candidates is exact. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir).withColumn("bucket", expr(bucketSql))
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("neighbor_id"))
+    e.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TopK)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Cosine near-duplicate pairs (cos > 0.4), brute-force all-pairs
+    * baseline with exact fold arithmetic. */
+  def nearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"), col("vec_b"),
+        (expr(dotSql("ea", "eb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") > NearDupCos)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_ann_cosine_topk" -> annBrute,
+    "v02_ann_lsh_topk" -> annLsh,
+    "v03_embedding_neardup" -> nearDup
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "v01_ann_cosine_topk" ->
+      s"""WITH $normDuckCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+         |      FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${dotDuck("q.qe", "e.embedding")} / (q.qn * e.nrm) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cos
+         |FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin,
+    "v02_ann_lsh_topk" ->
+      s"""WITH $normDuckCte,
+         |eb AS (SELECT vec_id, embedding, nrm, $bucketDuck AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+         |             bucket AS qbucket
+         |      FROM eb WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.query_id, eb.vec_id AS neighbor_id,
+         |         ${dotDuck("q.qe", "eb.embedding")} / (q.qn * eb.nrm) AS cos
+         |  FROM q JOIN eb
+         |    ON eb.bucket = q.qbucket AND eb.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cos
+         |FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin,
+    "v03_embedding_neardup" ->
+      s"""WITH $normDuckCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > $NearDupCos
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Semantic checks for the training-data pipeline operators on the
+  * sf0.001 testdata (500 docs with planted ~0.99-Jaccard near-dup
+  * pairs; 500 64-dim embeddings). The t2 oracle hash-checks exact
+  * values; these assert the ALGORITHMS behave (dedup recall, ANN
+  * shape, signature agreement across methods).
+  */
+class PipelineSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val jaccardPairs =
+    TextPipeline.dedupJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("jaccard dedup finds the planted near-dup pairs") {
+    assert(jaccardPairs.nonEmpty)
+  }
+
+  test("minhash LSH recalls the true high-jaccard pairs") {
+    val mh = TextPipeline.dedupMinHash(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // At jaccard ~0.99, P(missing all 4 bands) ≈ (1-0.99^4)^4 ≈ 2e-6:
+    // every planted pair must surface as an LSH candidate.
+    assert(jaccardPairs.subsetOf(mh), s"missed: ${jaccardPairs -- mh}")
+  }
+
+  test("simhash finds the planted pairs within hamming 7") {
+    val sh = TextPipeline.dedupSimHash(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jaccardPairs.subsetOf(sh), s"missed: ${jaccardPairs -- sh}")
+  }
+
+  test("exact dedup reports a full-corpus summary") {
+    val r = TextPipeline.dedupExact(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 500L)
+    assert(r.getAs[Long]("n_distinct_texts") <= 500L)
+  }
+
+  test("brute-force ANN returns exactly top-k per query, cos in [-1,1]") {
+    val rows = VectorPipeline.annBrute(spark, dir).collect()
+    assert(rows.length === 30) // 10 queries × k=3
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0))
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.forall { case (_, rs) =>
+      rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 3)
+    })
+  }
+
+  test("LSH ANN results are a subset-ranking consistent with brute force") {
+    val brute = VectorPipeline.annBrute(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos"))).toSet
+    val lsh = VectorPipeline.annLsh(spark, dir).collect()
+    // Every LSH hit shares the query's bucket; its cosine must equal
+    // the exact cosine (same fold), so any (q,n) pair present in both
+    // must carry an identical score.
+    val bruteMap = brute.map { case (q, n, c) => (q, n) -> c }.toMap
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bruteMap.get(key).foreach(c => assert(c === r.getAs[Double]("cos")))
+    }
+  }
+
+  test("language-ID confusion matrix covers every document") {
+    val total = TextPipeline.langId(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()(0).getLong(0)
+    assert(total === 500L)
+  }
+
+  test("fingerprints are stable across invocations") {
+    val a = TextPipeline.fingerprint(spark, dir).collect().toSeq
+    val b = TextPipeline.fingerprint(spark, dir).collect().toSeq
+    assert(a === b)
+  }
+}
