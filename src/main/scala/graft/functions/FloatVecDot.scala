@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product of two `array<float>` columns, as a native
+  * Catalyst expression (`vec_dot` in SQL).
+  *
+  * Why not `aggregate(zip_with(...))`: the higher-order-function pair
+  * materializes a 64-element intermediate array and evaluates two
+  * lambdas per element for every row — ~µs/row. This kernel is a tight
+  * primitive loop over the underlying columnar `ArrayData` with zero
+  * allocation, inside whole-stage codegen, which is what makes the
+  * brute-force all-pairs similarity queries tractable (and is the
+  * right shape for a 1000-executor scan at 100 TB).
+  *
+  * Determinism contract: the result is the ORDERED left fold
+  * `0.0 + x₀·y₀ + x₁·y₁ + …` with each float widened to double before
+  * the IEEE multiply — bit-identical to DuckDB's
+  * `list_reduce(list_prepend(0.0, list_transform(list_zip(a,b), …)))`
+  * used by the oracles. Element nulls are not expected (embeddings are
+  * dense); null ARRAYS propagate null via BinaryExpression.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's native SQL functions. */
+object Functions {
+  /** Idempotently register `vec_dot` in the session's function
+    * registry so `expr("vec_dot(a, b)")` resolves. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
+}

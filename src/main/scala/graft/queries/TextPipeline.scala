@@ -181,8 +181,8 @@ object TextPipeline extends graft.Registry {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
-      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .join(broadcast(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"), col("n_common"),
         expr("CAST(n_common AS DOUBLE) / (na + nb - n_common)").as("jaccard"))
@@ -202,31 +202,31 @@ object TextPipeline extends graft.Registry {
       .groupBy("doc_id")
       .agg(mhAggs.head, mhAggs.tail: _*)
       .cache()
+    // Single bucket join: every (doc, band) row keys on the band's
+    // 4-hash string and carries the whole signature as an array, so
+    // the match count and est_sim filter run inside the join —
+    // candidates shrink BEFORE the cross-band distinct, with ONE
+    // shuffle keyed on (band, bkey).
     val bands = (0 until Bands)
       .map { j =>
         sig.select(
           col("doc_id"), lit(j).as("band"),
           concat_ws(":",
-            (0 until Rows).map(k => col(s"mh${j * Rows + k}")): _*).as("bkey"))
+            (0 until Rows).map(k => col(s"mh${j * Rows + k}")): _*).as("bkey"),
+          array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sigarr"))
       }
       .reduce(_ unionAll _)
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val matchCount = (0 until NumHashes)
-      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(
-        col("doc_a"), col("doc_b"),
-        matchCount.cast("long").as("n_matching"))
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("size(filter(zip_with(a.sigarr, b.sigarr, (x, y) -> x = y), m -> m))")
+          .cast("long").as("n_matching"))
+      .where(col("n_matching") >= (EstSimThreshold * NumHashes).toInt)
+      .distinct()
       .withColumn("est_sim", expr(s"CAST(n_matching AS DOUBLE) / $NumHashes"))
-      .where(col("est_sim") >= EstSimThreshold)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -246,26 +246,27 @@ object TextPipeline extends graft.Registry {
           .map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
           .reduce(_ + _).as("simhash"))
       .cache()
+    // Single bucket join keyed on (band, nibble) with the signature
+    // riding along: Hamming is computed and filtered inside the join,
+    // so the cross-band distinct sees only true near-dups, with ONE
+    // shuffle over the banded rows.
     val bands = (0 until SimBits / 4)
       .map { j =>
         sig.select(
           col("doc_id"), lit(j).as("band"),
-          expr(s"shiftright(simhash, ${4 * j}) & 15").as("nib"))
+          expr(s"shiftright(simhash, ${4 * j}) & 15").as("nib"),
+          col("simhash"))
       }
       .reduce(_ unionAll _)
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(
-        col("doc_a"), col("doc_b"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .where(col("hamming") <= MaxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
