@@ -1,0 +1,206 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+
+/** Namespace metadata row (reference `src/database/models.py:20-26`). */
+final case class Namespace(
+    id: Long,
+    name: String,
+    schemaName: String,
+    description: String,
+    createdAt: Timestamp,
+    updatedAt: Timestamp)
+
+/** Table metadata row (reference `src/database/models.py:82-91`). */
+final case class TableEntry(
+    id: Long,
+    namespaceId: Long,
+    name: String,
+    tableName: String,
+    fileName: String,
+    fileSize: Long,
+    isLoaded: Boolean,
+    createdAt: Timestamp,
+    updatedAt: Timestamp)
+
+/** Catalog / metadata layer (SURVEY.md §2.4 C1–C10): namespaces map
+  * 1:1 to Spark SQL databases; user tables are parquet-backed catalog
+  * tables ingested from CSV with inferred schemas (S1); metadata rows
+  * live in two parquet datasets under `metaDir` managed by this
+  * single-writer service — mirroring the reference's one-connection
+  * DuckDB model where sequences, RETURNING and cascades are engine
+  * features (here: synchronized max+1 ids, write-then-return rows,
+  * explicit child-first deletes).
+  *
+  * The injected `now` clock keeps created/updated stamps testable
+  * (never `current_timestamp()` inside declared queries).
+  */
+class Catalog(
+    spark: SparkSession,
+    metaDir: String,
+    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+  import spark.implicits._
+
+  val MaxCsvBytes: Long = 50L * 1024 * 1024
+
+  private val nsPath = s"$metaDir/namespaces.parquet"
+  private val tblPath = s"$metaDir/tables.parquet"
+
+  private var namespaces: Vector[Namespace] = loadMeta[Namespace](nsPath)
+  private var tables: Vector[TableEntry] = loadMeta[TableEntry](tblPath)
+
+  private def loadMeta[T: org.apache.spark.sql.Encoder](path: String): Vector[T] =
+    if (Files.exists(Paths.get(path)))
+      spark.read.parquet(path).as[T].collect().toVector
+    else Vector.empty
+
+  private def persist(): Unit = {
+    def write[T: org.apache.spark.sql.Encoder](rows: Seq[T], path: String): Unit = {
+      val tmp = path + ".tmp"
+      rows.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      // atomic-ish swap (reference src/io_utils.py:6-24 temp+move)
+      val dir = Paths.get(path)
+      if (Files.exists(dir)) {
+        val old = Paths.get(path + ".old")
+        deleteRecursively(old)
+        Files.move(dir, old)
+        Files.move(Paths.get(tmp), dir)
+        deleteRecursively(old)
+      } else Files.move(Paths.get(tmp), dir)
+    }
+    write(namespaces, nsPath)
+    write(tables, tblPath)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+
+  private def nextId(ids: Seq[Long]): Long =
+    if (ids.isEmpty) 1L else ids.max + 1L
+
+  // ------------------------------------------------------------- namespaces
+
+  /** C1: create namespace — normalize display name, `CREATE DATABASE
+    * IF NOT EXISTS`, insert + return the metadata row. */
+  def createNamespace(displayName: String, description: String = ""): Namespace =
+    synchronized {
+      val schema = Names.normalizeSchemaName(displayName)
+      require(!namespaces.exists(_.schemaName == schema),
+        s"namespace '$schema' already exists")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$schema`")
+      val t = now()
+      val ns = Namespace(nextId(namespaces.map(_.id)), displayName, schema,
+        description, t, t)
+      namespaces :+= ns
+      persist()
+      ns
+    }
+
+  /** C2: list (ORDER BY id) / get / update (stamps updatedAt, returns
+    * the full row — RETURNING semantics). */
+  def listNamespaces(): Seq[Namespace] = synchronized(namespaces.sortBy(_.id))
+
+  def getNamespace(id: Long): Option[Namespace] =
+    synchronized(namespaces.find(_.id == id))
+
+  def updateNamespace(id: Long, name: Option[String] = None,
+      description: Option[String] = None): Option[Namespace] = synchronized {
+    namespaces.find(_.id == id).map { ns =>
+      val updated = ns.copy(
+        name = name.getOrElse(ns.name),
+        description = description.getOrElse(ns.description),
+        updatedAt = now())
+      namespaces = namespaces.map(n => if (n.id == id) updated else n)
+      persist()
+      updated
+    }
+  }
+
+  /** C3: drop the database CASCADE + delete metadata (children first). */
+  def deleteNamespace(id: Long): Boolean = synchronized {
+    namespaces.find(_.id == id) match {
+      case None => false
+      case Some(ns) =>
+        spark.sql(s"DROP DATABASE IF EXISTS `${ns.schemaName}` CASCADE")
+        tables = tables.filterNot(_.namespaceId == id)
+        namespaces = namespaces.filterNot(_.id == id)
+        persist()
+        true
+    }
+  }
+
+  // ----------------------------------------------------------------- tables
+
+  /** C4: register a table entry (data loaded later via [[loadCsv]]). */
+  def createTable(namespaceId: Long, displayName: String): TableEntry =
+    synchronized {
+      require(namespaces.exists(_.id == namespaceId),
+        s"namespace $namespaceId does not exist")
+      val tableName = Names.normalizeSchemaName(displayName)
+      require(
+        !tables.exists(t => t.namespaceId == namespaceId && t.tableName == tableName),
+        s"table '$tableName' already exists in namespace $namespaceId")
+      val t = now()
+      val entry = TableEntry(nextId(tables.map(_.id)), namespaceId, displayName,
+        tableName, "", 0L, isLoaded = false, t, t)
+      tables :+= entry
+      persist()
+      entry
+    }
+
+  def listTables(namespaceId: Long): Seq[TableEntry] =
+    synchronized(tables.filter(_.namespaceId == namespaceId).sortBy(_.id))
+
+  def getTable(id: Long): Option[TableEntry] =
+    synchronized(tables.find(_.id == id))
+
+  /** C5 + S1: validate the CSV (`.csv`, ≤50 MB, non-empty, not already
+    * loaded), ingest with header + schema inference, save as a
+    * parquet-backed catalog table, stamp file metadata. */
+  def loadCsv(tableId: Long, csvPath: String): TableEntry = synchronized {
+    val entry = tables.find(_.id == tableId)
+      .getOrElse(throw new IllegalArgumentException(s"table $tableId not found"))
+    require(!entry.isLoaded, s"table ${entry.tableName} already loaded")
+    require(csvPath.endsWith(".csv"), "Only CSV files are allowed")
+    val p = Paths.get(csvPath)
+    require(Files.exists(p), s"no such file: $csvPath")
+    val size = Files.size(p)
+    require(size > 0, "File is empty")
+    require(size <= MaxCsvBytes,
+      f"File too large: ${size / 1048576.0}%.1f MB. Maximum allowed: 50.0 MB")
+    val ns = namespaces.find(_.id == entry.namespaceId).get
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(csvPath)
+      .write.mode(SaveMode.Overwrite)
+      .saveAsTable(s"`${ns.schemaName}`.`${entry.tableName}`")
+    val updated = entry.copy(
+      fileName = p.getFileName.toString, fileSize = size,
+      isLoaded = true, updatedAt = now())
+    tables = tables.map(t => if (t.id == tableId) updated else t)
+    persist()
+    updated
+  }
+
+  /** C6 (documented intent; the reference's implementation has latent
+    * NameErrors): bulk-load every CSV in a directory into a
+    * `demo_dataset` namespace, one table per file. */
+  def loadDemoDataset(dir: String,
+      namespaceName: String = "Demo Dataset"): Seq[TableEntry] = {
+    val ns = createNamespace(namespaceName, "bulk-loaded demo data")
+    val csvs = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv")).sorted
+    csvs.map { path =>
+      val base = Paths.get(path).getFileName.toString.stripSuffix(".csv")
+      val entry = createTable(ns.id, base)
+      loadCsv(entry.id, path)
+    }.toSeq
+  }
+}

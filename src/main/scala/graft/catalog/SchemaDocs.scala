@@ -1,0 +1,63 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructField
+
+/** Schema introspection → markdown docs (SURVEY.md §2.1 S7; reference
+  * `src/schema_docs.py:26-66`, golden format `db/schema_docs.md`).
+  * Used as retrieval context by the chat planner. Table listing comes
+  * from `spark.catalog`; pk/not_null render from field nullability
+  * (Spark has no PK) and per-column descriptions are caller-supplied.
+  */
+object SchemaDocs {
+
+  /** Spark type → the DuckDB-style names the reference emits. */
+  private def typeName(f: StructField): String = f.dataType.sql match {
+    case "STRING" => "VARCHAR"
+    case "LONG" => "BIGINT"
+    case other => other
+  }
+
+  /** Build the markdown for all tables in `db` (default database:
+    * temp views included, mirroring the reference's schema `main`). */
+  def buildMarkdown(
+      spark: SparkSession,
+      db: String = "default",
+      descriptions: Map[String, Map[String, String]] = Map.empty): String = {
+    val sb = new StringBuilder
+    sb.append("# Data Warehouse Schema (auto-generated)\n\n")
+    val tables = spark.catalog.listTables(db).collect()
+      .map(_.name).sorted
+    for (t <- tables) {
+      sb.append(s"## $t\n\n")
+      sb.append("| column | type | pk | not_null | description |\n")
+      sb.append("|---|---|---:|---:|---|\n")
+      val schema = spark.table(t).schema
+      for (f <- schema.fields) {
+        val nn = if (!f.nullable) "1" else ""
+        val descr = descriptions.getOrElse(t, Map.empty).getOrElse(f.name, "")
+        sb.append(s"| ${f.name} | ${typeName(f)} |  | $nn | $descr |\n")
+      }
+      sb.append("\n")
+    }
+    sb.toString.stripTrailing() + "\n"
+  }
+
+  /** S8: write atomically (temp file + move). */
+  def writeSchemaDocs(spark: SparkSession, path: String,
+      db: String = "default",
+      descriptions: Map[String, Map[String, String]] = Map.empty): String = {
+    val md = buildMarkdown(spark, db, descriptions)
+    val target = Paths.get(path)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(
+      if (target.getParent != null) target.getParent else Paths.get("."),
+      ".schema_docs", ".tmp")
+    Files.writeString(tmp, md)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    target.toString
+  }
+}

@@ -1,0 +1,180 @@
+package graft.chat
+
+import org.apache.spark.sql.SparkSession
+import graft.metrics.Metrics
+import graft.sql.{QueryRunner, SqlGuard}
+import graft.sql.SqlGuard.IncorrectQuestionError
+
+/** NL→SQL provider contract (reference `src/provider.py:103-110`).
+  * Implementations return MARKDOWN (usually a ```sql fenced block).
+  * The LLM-backed providers are out of parity scope (network); the
+  * deterministic stub serves known question shapes for tests/demos.
+  */
+trait NlToSql {
+  def complete(question: String, rowLimit: Int): String
+}
+
+/** Deterministic no-network provider: answers the reference's
+  * canonical demo questions over the testdata schema; anything else
+  * falls back to a probe query. Enough to drive the §3.1/§3.2 control
+  * flow end-to-end without an LLM. */
+class StubNlToSql extends NlToSql {
+  override def complete(question: String, rowLimit: Int): String = {
+    val q = question.toLowerCase
+    val sql =
+      if (q.contains("top") && q.contains("revenue"))
+        """SELECT n_name AS nation, round(SUM(o_totalprice), 2) AS revenue
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+          |GROUP BY 1
+          |ORDER BY revenue DESC
+          |LIMIT 5""".stripMargin
+      else if (q.contains("how many") || q.contains("count"))
+        "SELECT COUNT(*) AS n FROM orders"
+      else if (q.contains("drop") || q.contains("delete"))
+        // adversarial-question stand-in: emits what a naive model might
+        "DROP TABLE orders"
+      else s"SELECT 1 AS x LIMIT $rowLimit"
+    s"```sql\n$sql\n```"
+  }
+}
+
+final case class CandidateSql(sql: String, reason: String)
+
+final case class AgentResult(
+    plan: String,
+    candidates: Seq[CandidateSql],
+    chosenSql: String,
+    rows: Seq[String],
+    explain: String,
+    telemetry: Map[String, Long],
+    lastError: Option[String])
+
+/** Bounded generate → safety-check → execute → refine loop
+  * (SURVEY.md §3.2; reference `src/route/chat.py:75-184`). The
+  * "execute" leg is the Spark path via [[QueryRunner]]; control flow
+  * is plain driver-side Scala.
+  */
+class Agent(
+    spark: SparkSession,
+    provider: NlToSql,
+    schemaDocs: String,
+    rowLimit: Int = 200) {
+
+  private val runner = new QueryRunner(spark, rowLimit)
+
+  private def refine(question: String, feedback: String): String = {
+    val hint =
+      s"\nConstraints: Fix issue -> $feedback. Keep it a single safe " +
+        "SELECT. Prefer simpler joins, ensure reasonable LIMIT."
+    provider.complete(question + hint, rowLimit = 100)
+  }
+
+  /** §3.1 single-shot chat: generate → guard → run. Throws
+    * [[IncorrectQuestionError]] for unsafe SQL (HTTP 400 analogue). */
+  def chat(question: String): graft.sql.QueryResult = {
+    Metrics.inc("ai_requests_total", Map("route" -> "chat"))
+    runner.run(provider.complete(question, rowLimit))
+  }
+
+  /** §3.2 agent loop with bounded refine steps. */
+  def run(question: String, maxSteps: Int = 2): AgentResult = {
+    Metrics.inc("ai_requests_total", Map("route" -> "agent"))
+    val plan = Planner.makePlan(question, schemaDocs)
+    var candidates = Vector.empty[CandidateSql]
+    var chosenSql = ""
+    var rows = Seq.empty[String]
+    var explain = ""
+    var genMs = 0L
+    var execMs = 0L
+    var retries = 0
+    var lastError: Option[String] = None
+
+    def generate(q: String, rl: Int): String = {
+      val t0 = System.nanoTime()
+      val md = provider.complete(q, rl)
+      genMs += (System.nanoTime() - t0) / 1000000
+      md
+    }
+
+    var draftMd = generate(question, rowLimit)
+    var sql = SqlGuard.extractSqlFromMarkdown(draftMd)
+    val (ok0, reason0) = SqlGuard.isSafe(sql)
+    if (!ok0) {
+      candidates :+= CandidateSql(sql, s"blocked: $reason0")
+      retries += 1
+      draftMd = refine(question, s"unsafe: $reason0")
+      sql = SqlGuard.extractSqlFromMarkdown(draftMd)
+    }
+
+    var step = 0
+    var done = false
+    while (step < maxSteps && !done) {
+      step += 1
+      val (ok, reason) = SqlGuard.isSafe(sql)
+      if (!ok) {
+        candidates :+= CandidateSql(sql, s"blocked: $reason")
+        retries += 1
+        draftMd = refine(question, s"unsafe: $reason")
+        sql = SqlGuard.extractSqlFromMarkdown(draftMd)
+      } else {
+        try {
+          val res = runner.run(sql)
+          execMs += res.execMs
+          candidates :+= CandidateSql(sql, s"ok:${res.rows.length}rows, ${res.execMs}ms")
+          if (res.rows.nonEmpty && chosenSql.isEmpty) {
+            chosenSql = sql
+            rows = res.rows
+            explain = s"Query follows the plan: $plan. " +
+              "Tables and filters match the description. "
+            done = true
+          } else if (res.rows.isEmpty) {
+            lastError = Some("empty")
+            retries += 1
+            draftMd = refine(question,
+              "empty result, add broader filters or remove overly strict predicates")
+            sql = SqlGuard.extractSqlFromMarkdown(draftMd)
+          }
+        } catch {
+          case err: IncorrectQuestionError =>
+            lastError = Some(err.message)
+            candidates :+= CandidateSql(sql, s"error:${err.message}")
+            Metrics.inc("ai_errors_total", Map("stage" -> "execute"))
+            retries += 1
+            draftMd = refine(question, s"execution error: ${err.message}")
+            sql = SqlGuard.extractSqlFromMarkdown(draftMd)
+        }
+      }
+    }
+
+    // Fallback: last ok candidate re-executed, else last candidate.
+    if (chosenSql.isEmpty) {
+      candidates.reverse.find(_.reason.startsWith("ok")).foreach { c =>
+        chosenSql = c.sql
+        rows = try runner.run(c.sql).rows catch { case _: Exception => Seq.empty }
+      }
+      if (chosenSql.isEmpty && candidates.nonEmpty)
+        chosenSql = candidates.last.sql
+    }
+
+    Metrics.observeMs("ai_sql_generation_ms", genMs)
+    Metrics.observeMs("ai_sql_exec_ms", execMs)
+    if (lastError.contains("empty"))
+      Metrics.inc("ai_sql_empty_results_total")
+
+    AgentResult(
+      plan = plan,
+      candidates = candidates,
+      chosenSql = chosenSql,
+      rows = rows,
+      explain =
+        if (explain.nonEmpty) explain
+        else "Query generated according to the plan. Last status: " +
+          candidates.lastOption.map(_.reason).getOrElse("n/a") + ".",
+      telemetry = Map(
+        "gen_ms" -> genMs, "exec_ms" -> execMs, "retries" -> retries.toLong),
+      lastError = lastError)
+  }
+}

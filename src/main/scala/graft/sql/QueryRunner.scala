@@ -1,0 +1,69 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FormattedMode
+import graft.metrics.Metrics
+
+/** Validated query execution (SURVEY.md §2.1 S5/S6 + §3.1 step 4;
+  * reference `src/sql_runner.py:54-63`): guard → execute → formatted
+  * plan + bounded row preview. One long-lived SparkSession replaces
+  * the reference's per-query DuckDB reconnect; resource caps (V8) are
+  * fixed at session build (master threads, shuffle partitions, driver
+  * memory) instead of per-connection SETs.
+  */
+class QueryRunner(
+    spark: SparkSession,
+    rowLimit: Int = 200,
+    previewRows: Int = 20) {
+
+  /** Run validated SQL: returns the executed SQL, the formatted plan,
+    * and up to [[previewRows]] JSON rows. Auto-limit applies via
+    * [[AutoLimitRule]] while the scoped conf flag is set. */
+  def run(markdownOrSql: String): QueryResult = {
+    val sql = SqlGuard.extractSqlFromMarkdown(markdownOrSql)
+    SqlGuard.validate(spark, sql)
+    val t0 = System.nanoTime()
+    val (planText, rows) = withAutoLimit {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.explainString(FormattedMode)
+      (plan, preview(df))
+    }
+    val ms = (System.nanoTime() - t0) / 1000000
+    Metrics.observeMs("ai_sql_exec_ms", ms)
+    QueryResult(sql, planText, rows, ms)
+  }
+
+  /** Head-N preview as JSON rows (reference head-20 `to_dict`). */
+  def preview(df: DataFrame): Seq[String] =
+    df.limit(previewRows).toJSON.collect().toSeq
+
+  /** Scope the plan-level auto-limit to this execution only. */
+  private def withAutoLimit[A](body: => A): A = {
+    spark.conf.set("graft.sql.autoLimit.enabled", "true")
+    spark.conf.set("graft.sql.autoLimit.rows", rowLimit.toString)
+    try body
+    finally spark.conf.set("graft.sql.autoLimit.enabled", "false")
+  }
+}
+
+/** §3.1 response shape (`{sql, plan, rows}` + timing). */
+final case class QueryResult(
+    sql: String,
+    plan: String,
+    rows: Seq[String],
+    execMs: Long)
+
+/** Session factory with graft's defaults: UTC, CPU-matched shuffle
+  * partitions, the [[GraftExtensions]] optimizer rules installed. */
+object GraftSession {
+  def build(master: String = "local[*]", shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+}

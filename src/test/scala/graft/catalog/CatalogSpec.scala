@@ -1,0 +1,124 @@
+package graft.catalog
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class NamesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import Names.normalizeSchemaName
+
+  test("reference doctests (src/utils.py:25-31)") {
+    assert(normalizeSchemaName("My Schema 2024") === "my_schema_2024")
+    assert(normalizeSchemaName("123-test schema!") === "_123_test_schema")
+    assert(normalizeSchemaName("Café & Restaurant") === "cafe_restaurant")
+  }
+
+  test("cyrillic transliteration, collapsing, truncation, fallback") {
+    assert(normalizeSchemaName("Продажи 2024") === "prodazhi_2024")
+    assert(normalizeSchemaName("a   b---c") === "a_b_c")
+    assert(normalizeSchemaName("!!!") === "schema_default")
+    val long = "x" * 100
+    assert(normalizeSchemaName(long).length === Names.MaxLength)
+    intercept[IllegalArgumentException](normalizeSchemaName(""))
+  }
+
+  test("normalization is idempotent") {
+    val inputs = Seq("My Schema 2024", "123-test!", "Café", "a__b", "ПРИВЕТ мир")
+    for (in <- inputs) {
+      val once = normalizeSchemaName(in)
+      assert(normalizeSchemaName(once) === once)
+    }
+  }
+}
+
+class CatalogSpec extends SparkSpec {
+
+  private def freshCatalog(): (Catalog, java.nio.file.Path) = {
+    val dir = Files.createTempDirectory("graft_meta")
+    var tick = 0L
+    val clock = () => { tick += 1000; new Timestamp(1700000000000L + tick) }
+    (new Catalog(spark, dir.toString, clock), dir)
+  }
+
+  test("namespace CRUD round-trips with RETURNING semantics") {
+    val (cat, _) = freshCatalog()
+    val ns = cat.createNamespace("My Test NS 1", "demo")
+    assert(ns.schemaName === "my_test_ns_1")
+    assert(spark.catalog.databaseExists("my_test_ns_1"))
+    assert(cat.listNamespaces().map(_.id) === Seq(ns.id))
+    val updated = cat.updateNamespace(ns.id, description = Some("new")).get
+    assert(updated.description === "new")
+    assert(updated.updatedAt.after(ns.updatedAt))
+    intercept[IllegalArgumentException](cat.createNamespace("My Test NS 1"))
+    assert(cat.deleteNamespace(ns.id))
+    assert(!spark.catalog.databaseExists("my_test_ns_1"))
+    assert(cat.listNamespaces().isEmpty)
+  }
+
+  test("CSV ingest: validation, schema inference, saveAsTable, metadata") {
+    val (cat, _) = freshCatalog()
+    val ns = cat.createNamespace("Ingest NS")
+    val entry = cat.createTable(ns.id, "People")
+    assert(!entry.isLoaded)
+
+    val csv = Files.createTempFile("people", ".csv")
+    Files.writeString(csv, "id,name,score\n1,ann,9.5\n2,bob,7.25\n")
+    val loaded = cat.loadCsv(entry.id, csv.toString)
+    assert(loaded.isLoaded && loaded.fileSize > 0)
+    val df = spark.table("ingest_ns.people")
+    assert(df.count() === 2)
+    assert(df.schema("id").dataType.typeName === "integer")
+    assert(df.schema("score").dataType.typeName === "double")
+    // re-load is rejected (reference blocks already-loaded tables)
+    intercept[IllegalArgumentException](cat.loadCsv(entry.id, csv.toString))
+    // wrong extension / empty file rejected
+    val txt = Files.createTempFile("x", ".txt")
+    val e2 = cat.createTable(ns.id, "Other")
+    intercept[IllegalArgumentException](cat.loadCsv(e2.id, txt.toString))
+    val empty = Files.createTempFile("empty", ".csv")
+    intercept[IllegalArgumentException](cat.loadCsv(e2.id, empty.toString))
+    cat.deleteNamespace(ns.id)
+  }
+
+  test("metadata persists across catalog instances") {
+    val (cat, dir) = freshCatalog()
+    val ns = cat.createNamespace("Persist NS")
+    val reopened = new Catalog(spark, dir.toString)
+    assert(reopened.listNamespaces().map(_.schemaName) === Seq("persist_ns"))
+    reopened.deleteNamespace(ns.id)
+  }
+
+  test("demo bulk load creates one table per CSV") {
+    val (cat, _) = freshCatalog()
+    val dir = Files.createTempDirectory("demo_csvs")
+    Files.writeString(dir.resolve("aa.csv"), "x\n1\n")
+    Files.writeString(dir.resolve("bb.csv"), "y\n2\n")
+    val entries = cat.loadDemoDataset(dir.toString, "Bulk NS X")
+    assert(entries.length === 2 && entries.forall(_.isLoaded))
+    assert(spark.table("bulk_ns_x.aa").count() === 1)
+    cat.deleteNamespace(cat.listNamespaces().head.id)
+  }
+}
+
+class SchemaDocsSpec extends SparkSpec {
+  test("markdown matches the reference golden format") {
+    spark.range(3).selectExpr("id AS order_id", "CAST(id AS STRING) AS sku")
+      .createOrReplaceTempView("docs_items")
+    val md = SchemaDocs.buildMarkdown(spark,
+      descriptions = Map("docs_items" -> Map("sku" -> "Stock keeping unit")))
+    assert(md.startsWith("# Data Warehouse Schema (auto-generated)\n"))
+    assert(md.contains("## docs_items"))
+    assert(md.contains("| column | type | pk | not_null | description |"))
+    assert(md.contains("|---|---|---:|---:|---|"))
+    assert(md.contains("| order_id | BIGINT |  | 1 |  |"))
+    assert(md.contains("| sku | VARCHAR |  | 1 | Stock keeping unit |"))
+    spark.catalog.dropTempView("docs_items")
+  }
+
+  test("writeSchemaDocs writes atomically") {
+    val out = Files.createTempDirectory("docs").resolve("schema_docs.md")
+    SchemaDocs.writeSchemaDocs(spark, out.toString)
+    assert(Files.readString(out).startsWith("# Data Warehouse Schema"))
+  }
+}
