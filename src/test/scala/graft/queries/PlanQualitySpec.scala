@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan assertions for the scale disciplines (SURVEY.md §4 /
+  * the 100 TB design rules): filters and projections must reach the
+  * parquet scan, small dimensions must broadcast, aggregates must have
+  * a map-side partial phase, top-k must not globally sort. These
+  * pin the plan SHAPE so a refactor that silently regresses (e.g. a
+  * filter stuck above a join, a dimension falling back to
+  * sort-merge-join) fails CI rather than an eventual cluster run.
+  */
+class PlanQualitySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  test("flagship: year filter pushed to scan, pruned columns, broadcast dims") {
+    val p = plan(Relational.flagship(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"))
+    // orders scan reads only join key, measure, filter column
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp_ntz>"))
+    assert(!p.contains("SortMergeJoin"), "dimension joins must broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_sum"), "aggregate needs a map-side partial phase")
+    assert(p.contains("TakeOrderedAndProject"), "top-5 must not globally sort")
+  }
+
+  test("group agg (q06): shipdate filter pushed, partial aggregation") {
+    val p = plan(Relational.groupAgg(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("multiway join (q05): facts shuffle, dims broadcast, pruned lineitem scan") {
+    val p = plan(Relational.multiJoin(spark, dir))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("ANN brute force: query-set predicate pushed, partial top-k before shuffle") {
+    val p = plan(VectorPipeline.annBrute(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"))
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must prune before exchange")
+    assert(p.contains("vec_dot"), "native kernel must appear in the plan")
+  }
+
+  test("top-n per group (q11): window top-k prunes partially") {
+    val p = plan(Relational.topNPerGroup(spark, dir))
+    assert(p.contains("WindowGroupLimit"))
+  }
+}
