@@ -39,6 +39,18 @@ object DqQueries extends graft.Registry {
       |                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS smsq
       |  FROM events)""".stripMargin
 
+  /** S4: table sample scan — `SELECT * FROM t WHERE pred LIMIT n`
+    * (`src/dq.py:18-28`), with a total order added so the sample is
+    * deterministic and hash-comparable (the reference's unordered
+    * LIMIT is whatever DuckDB scans first; an ordered prefix is the
+    * same contract made reproducible). */
+  def s4SampleScan(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("value") > 50.0 && col("event_type") === "purchase")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+      .limit(100)
+
   /** P1: count / nulls / distinct per column, one wide agg melted to
     * one row per column (`src/dq.py:45-50`). */
   def p1Counts(s: SparkSession, dir: String): DataFrame = {
@@ -140,6 +152,7 @@ object DqQueries extends graft.Registry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_s4_sample_scan" -> s4SampleScan,
     "dq_p1_counts" -> p1Counts,
     "dq_p2_numeric_profile" -> p2Numeric,
     "dq_p3_ts_profile" -> p3Timestamp,
@@ -152,6 +165,10 @@ object DqQueries extends graft.Registry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "dq_s4_sample_scan" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE value > 50.0 AND event_type = 'purchase'
+        |ORDER BY event_id LIMIT 100""".stripMargin,
     "dq_p1_counts" ->
       """SELECT column_name, n_rows, n_nulls, n_distinct FROM (
         |  SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
