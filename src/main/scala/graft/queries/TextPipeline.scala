@@ -60,15 +60,28 @@ object TextPipeline extends graft.Registry {
 
   // ---------------------------------------------------------------- analysis
 
-  /** Token-count distribution per language: docs, totals, exact
-    * interpolated median. One pass, one shuffle on lang (5 groups). */
+  /** BPE-ish subword pattern: greedy ≤4-char letter chunks, ≤3-digit
+    * number chunks, single other glyphs — greedy quantifiers behave
+    * identically in Java regex and DuckDB RE2, so counts match. The
+    * pattern is escape-free (literal space, not \s) because Spark SQL
+    * string literals consume backslash escapes while DuckDB's do not.
+    */
+  private val SubwordPattern = "[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]"
+
+  /** Token-count distribution per language: whitespace tokens AND
+    * BPE-ish regex subtokens, with exact interpolated median. One
+    * pass, one shuffle on lang (5 groups). */
   def tokenStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("lang"), size(split(col("text"), " ")).as("n_tok"))
+      .select(
+        col("lang"),
+        size(split(col("text"), " ")).as("n_tok"),
+        size(expr(s"regexp_extract_all(text, '$SubwordPattern', 0)")).as("n_sub"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tok").as("total_tokens"),
+        sum("n_sub").as("total_subtokens"),
         min("n_tok").as("min_tokens"),
         max("n_tok").as("max_tokens"),
         (sum("n_tok").cast("double") / count(lit(1))).as("avg_tokens"),
@@ -297,12 +310,15 @@ object TextPipeline extends graft.Registry {
 
   def oracleSql: Map[String, String] = Map(
     "td01_token_stats" ->
-      """SELECT lang, COUNT(*) AS n_docs,
+      s"""SELECT lang, COUNT(*) AS n_docs,
         |       SUM(n_tok) AS total_tokens,
+        |       SUM(n_sub) AS total_subtokens,
         |       MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
         |       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
         |       quantile_cont(CAST(n_tok AS DOUBLE), 0.5) AS p50_tokens
-        |FROM (SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents)
+        |FROM (SELECT lang, len(string_split(text, ' ')) AS n_tok,
+        |             len(regexp_extract_all(text, '$SubwordPattern')) AS n_sub
+        |      FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "td02_quality_score" -> {
       val inList = Stopwords.map(w => s"'$w'").mkString(", ")
