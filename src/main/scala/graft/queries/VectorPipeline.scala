@@ -35,6 +35,8 @@ object VectorPipeline extends graft.Registry {
   private val NumPlanes = 8
   private val Dim = 64
   private val NearDupCos = 0.4
+  private val NumSeeds = 8 // IVF coarse centroids (first 8 vectors)
+  private val NProbe = 2 // IVF lists probed per query
 
   /** Fixed pseudo-random integer hyperplanes w(p,i) ∈ [-5,5]. */
   private def plane(p: Int): IndexedSeq[Int] =
@@ -134,6 +136,47 @@ object VectorPipeline extends graft.Registry {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF-style ANN: a one-pass deterministic coarse quantizer — the
+    * first [[NumSeeds]] vectors act as centroids, every vector joins
+    * the inverted list of its nearest centroid (exact cosine, id
+    * tiebreak) — then each query probes its [[NProbe]] closest lists
+    * and ranks exactly within them. This is the IVF layout (assign
+    * once, search few lists) without k-means iterations, which keeps
+    * it bit-deterministic for the oracle; at scale the assignment pass
+    * is a broadcast join + argmax and the probe is a seed-keyed
+    * equijoin, both shuffle-friendly. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir).cache()
+    val seeds = e.where(col("vec_id") < NumSeeds)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
+        col("nrm").as("sn"))
+    val toSeed = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"),
+        (expr(dotSql("embedding", "se")) / (col("nrm") * col("sn"))).as("scos"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(desc("scos"), col("seed_id"))
+    val assigned = toSeed
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"))
+    val probes = toSeed
+      .where(col("vec_id") < NumQueries)
+      .withColumn("prn", row_number().over(wAssign))
+      .where(col("prn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("seed_id"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("neighbor_id"))
+    assigned.join(broadcast(probes),
+        Seq("seed_id")).where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wRank))
+      .where(col("rnk") <= TopK)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Cosine near-duplicate pairs (cos > 0.4), brute-force all-pairs
     * baseline with exact fold arithmetic. */
   def nearDup(s: SparkSession, dir: String): DataFrame = {
@@ -153,7 +196,8 @@ object VectorPipeline extends graft.Registry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_ann_cosine_topk" -> annBrute,
     "v02_ann_lsh_topk" -> annLsh,
-    "v03_embedding_neardup" -> nearDup
+    "v03_embedding_neardup" -> nearDup,
+    "v04_ann_ivf_topk" -> annIvf
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -198,6 +242,39 @@ object VectorPipeline extends graft.Registry {
          |       ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > $NearDupCos
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "v04_ann_ivf_topk" ->
+      s"""WITH $normDuckCte,
+         |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+         |          FROM e WHERE vec_id < $NumSeeds),
+         |to_seed AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, s.seed_id,
+         |         ${dotDuck("e.embedding", "s.se")} / (e.nrm * s.sn) AS scos
+         |  FROM e CROSS JOIN seeds s),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, seed_id FROM (
+         |    SELECT vec_id, embedding, nrm, seed_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY scos DESC, seed_id) AS arn
+         |    FROM to_seed) WHERE arn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, seed_id FROM (
+         |    SELECT vec_id, embedding, nrm, seed_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY scos DESC, seed_id) AS prn
+         |    FROM to_seed WHERE vec_id < $NumQueries) WHERE prn <= $NProbe),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         ${dotDuck("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cos
+         |  FROM assigned a JOIN probes p ON a.seed_id = p.seed_id
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cos
+         |FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin
   )
 }

@@ -67,6 +67,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN returns k ranked candidates per query with exact scores") {
+    val rows = VectorPipeline.annIvf(spark, dir).collect()
+    assert(rows.length === 30) // 10 queries × k=3 (lists ≥ k members here)
+    val brute = VectorPipeline.annBrute(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos")).toMap
+    // scores for pairs that also appear in brute-force must be identical
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      brute.get(key).foreach(c => assert(c === r.getAs[Double]("cos")))
+    }
+  }
+
   test("language-ID confusion matrix covers every document") {
     val total = TextPipeline.langId(spark, dir)
       .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()(0).getLong(0)
