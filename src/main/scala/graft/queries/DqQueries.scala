@@ -51,21 +51,24 @@ object DqQueries extends graft.Registry {
       .orderBy("event_id")
       .limit(100)
 
-  /** P1: count / nulls / distinct per column, one wide agg melted to
-    * one row per column (`src/dq.py:45-50`). */
+  /** P1: count / nulls / distinct per column (`src/dq.py:45-50`). One
+    * single-distinct aggregation per column over a cached scan,
+    * unioned: N distinct columns in ONE agg would make Catalyst
+    * Expand-multiply the input N+1× before its shuffle, which is the
+    * shape that breaks first at scale; per-column aggs collapse
+    * map-side to each column's distinct values instead. */
   def p1Counts(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("event_id", "user_id", "event_type", "value", "props")
-    val aggs = cols.flatMap { c =>
-      Seq(sum(col(c).isNull.cast("long")).as(s"nulls__$c"),
-          count_distinct(col(c)).as(s"distinct__$c"))
-    }
-    val stacked = cols
-      .map(c => s"'$c', nulls__$c, distinct__$c").mkString(", ")
-    events(s, dir)
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
-      .selectExpr("n_rows",
-        s"stack(${cols.size}, $stacked) AS (column_name, n_nulls, n_distinct)")
-      .select("column_name", "n_rows", "n_nulls", "n_distinct")
+    val e = events(s, dir).cache()
+    cols.map { c =>
+        e.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col(c).isNull.cast("long")).as("n_nulls"),
+          count_distinct(col(c)).as("n_distinct"))
+          .select(lit(c).as("column_name"),
+            col("n_rows"), col("n_nulls"), col("n_distinct"))
+      }
+      .reduce(_ unionAll _)
       .orderBy("column_name")
   }
 

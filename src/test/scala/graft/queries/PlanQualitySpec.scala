@@ -15,8 +15,12 @@ import org.apache.spark.sql.execution.SimpleMode
 class PlanQualitySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(df: DataFrame): String =
+  private def plan(df: DataFrame): String = {
+    // other suites may have cached subtrees (e.g. the ANN index); a
+    // cache hit would replace the FileScan these tests assert on
+    spark.catalog.clearCache()
     df.queryExecution.explainString(SimpleMode)
+  }
 
   test("flagship: year filter pushed to scan, pruned columns, broadcast dims") {
     val p = plan(Relational.flagship(spark, dir))
