@@ -154,11 +154,14 @@ object DqEngine {
   def runChecks(df: DataFrame, rules: Seq[Rule], limit: Int = 10000,
                 where: Option[String] = None,
                 now: Instant = Instant.now()): DqReport = {
+    graft.metrics.Metrics.inc("dq_requests_total", Map("route" -> "check"))
     val clamped = math.max(1, math.min(limit, 200000))
     val sample = where.foldLeft(df)((d, p) => d.where(p)).limit(clamped).cache()
     try {
       val prof = Profiler.profile(sample)
       val results = evaluate(sample, rules, now)
+      results.foreach(r => graft.metrics.Metrics.inc(
+        "dq_checks_total", Map("passed" -> r.passed.toString)))
       DqReport(prof, results, Report.render(prof, results))
     } finally sample.unpersist()
   }

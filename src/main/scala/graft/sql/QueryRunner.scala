@@ -14,7 +14,15 @@ import graft.metrics.Metrics
 class QueryRunner(
     spark: SparkSession,
     rowLimit: Int = 200,
-    previewRows: Int = 20) {
+    previewRows: Int = 20,
+    queryTimeoutMs: Long = 0) {
+
+  /** Raised when [[queryTimeoutMs]] elapses mid-query. The reference
+    * CONFIGURED `sql.query_timeout_ms` (8000) but never enforced it
+    * (`src/config.py:92` has no call site); here enforcement is real:
+    * the query runs under a job group that a watchdog cancels. */
+  final case class QueryTimeoutError(ms: Long)
+      extends Exception(s"query exceeded ${ms}ms and was cancelled")
 
   /** Run validated SQL: returns the executed SQL, the formatted plan,
     * and up to [[previewRows]] JSON rows. Auto-limit applies via
@@ -24,13 +32,41 @@ class QueryRunner(
     SqlGuard.validate(spark, sql)
     val t0 = System.nanoTime()
     val (planText, rows) = withAutoLimit {
-      val df = spark.sql(sql)
-      val plan = df.queryExecution.explainString(FormattedMode)
-      (plan, preview(df))
+      withTimeout {
+        val df = spark.sql(sql)
+        val plan = df.queryExecution.explainString(FormattedMode)
+        (plan, preview(df))
+      }
     }
     val ms = (System.nanoTime() - t0) / 1000000
     Metrics.observeMs("ai_sql_exec_ms", ms)
     QueryResult(sql, planText, rows, ms)
+  }
+
+  /** Enforce [[queryTimeoutMs]] (0 = unlimited) by running the body
+    * under a cancellable job group watched by a timer thread — Spark's
+    * cooperative cancellation path, so executors stop doing work
+    * rather than being abandoned. */
+  private def withTimeout[A](body: => A): A = {
+    if (queryTimeoutMs <= 0) return body
+    val group = s"graft-query-${java.util.UUID.randomUUID()}"
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, "guarded query", interruptOnCancel = true)
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watchdog = new java.util.Timer("graft-query-watchdog", true)
+    watchdog.schedule(new java.util.TimerTask {
+      override def run(): Unit = {
+        timedOut.set(true)
+        sc.cancelJobGroup(group)
+      }
+    }, queryTimeoutMs)
+    try body
+    catch {
+      case e: Exception if timedOut.get() => throw QueryTimeoutError(queryTimeoutMs)
+    } finally {
+      watchdog.cancel()
+      sc.clearJobGroup()
+    }
   }
 
   /** Head-N preview as JSON rows (reference head-20 `to_dict`). */

@@ -66,6 +66,18 @@ class SqlGuardSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM autolimit_src").collect().length === 1000)
   }
 
+  test("query timeout cancels the job group and leaves the session usable") {
+    val runner = new QueryRunner(spark, queryTimeoutMs = 1500)
+    // cartesian square of 300M rows: cannot finish in 1.5s on local[4]
+    spark.range(300L * 1000 * 1000).createOrReplaceTempView("slow_src")
+    val err = intercept[Exception] {
+      runner.run("SELECT COUNT(*) AS n FROM slow_src a, slow_src b")
+    }
+    assert(err.getMessage.contains("1500ms"))
+    // the session must keep serving queries after the cancellation
+    assert(new QueryRunner(spark).run("SELECT 1 AS x").rows.length === 1)
+  }
+
   test("QueryRunner returns plan + bounded preview and records metrics") {
     spark.range(100).createOrReplaceTempView("qr_src")
     val before = graft.metrics.Metrics.counter("ai_requests_total",
