@@ -21,6 +21,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Let AQE size shuffle partitions by bytes instead of pinning to
+      // the parallelism floor: small-SF shuffles coalesce to one task
+      // instead of `cpus` near-empty ones, and at scale the same
+      // setting yields healthy ~64MB partitions.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -153,7 +153,7 @@ object TextPipeline extends graft.Registry {
     * near-dup). One shuffle on doc_id. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("h"), col("shingle"))
-    shingleHashes(docs(s, dir))
+    shingleIndex(s, dir)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .groupBy("doc_id")
@@ -185,7 +185,7 @@ object TextPipeline extends graft.Registry {
     * Never O(n²): work is Σ df(shingle)² over the index, and the join
     * keys on shingle so it hash-distributes. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(docs(s, dir)).cache()
+    val sh = shingleIndex(s, dir).select("doc_id", "shingle")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -211,7 +211,7 @@ object TextPipeline extends graft.Registry {
     */
   def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
     val mhAggs = (0 until NumHashes).map(i => min(perm(i, col("h"))).as(s"mh$i"))
-    val sig = shingleHashes(docs(s, dir))
+    val sig = shingleIndex(s, dir)
       .groupBy("doc_id")
       .agg(mhAggs.head, mhAggs.tail: _*)
       .cache()
@@ -250,7 +250,7 @@ object TextPipeline extends graft.Registry {
   def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
     val votes = (0 until SimBits).map(b =>
       sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1")).as(s"s$b"))
-    val sig = shingleHashes(docs(s, dir))
+    val sig = shingleIndex(s, dir)
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(

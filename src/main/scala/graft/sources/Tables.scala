@@ -20,20 +20,28 @@ object Tables {
   /** Small dimensions that should always be broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    // ([PARQUET_TYPE_ILLEGAL]) unless read as a raw long. Read nanos as
-    // long and convert to a microsecond TimestampType with integer
-    // division (a double-path division would lose precision: epoch
-    // nanos ~1.7e18 exceed 2^53).
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
-  }
+  // Relation cache: one file-listing + schema-discovery per
+  // (session, dir, table) instead of per query — what a real catalog
+  // keeps as table state. DataFrames are immutable plan handles, so
+  // sharing them across queries is safe.
+  private val relations =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    relations.computeIfAbsent((spark, dir, name), { _ =>
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+      // ([PARQUET_TYPE_ILLEGAL]) unless read as a raw long. Read nanos
+      // as long and convert to a microsecond TimestampType with integer
+      // division (a double-path division would lose precision: epoch
+      // nanos ~1.7e18 exceed 2^53).
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      } else {
+        spark.read.parquet(s"$dir/$name.parquet")
+      }
+    })
 
   /** Register every testdata table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =
