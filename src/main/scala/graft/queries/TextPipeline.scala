@@ -283,6 +283,38 @@ object TextPipeline extends graft.Registry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Dedup keep-list: connected components over the Jaccard near-dup
+    * pair graph via min-label propagation (the Pregel pattern: a
+    * driver-side loop of data-parallel join+min steps, lineage
+    * truncated per round). Component root = smallest doc_id = the
+    * document to KEEP; everything else in the component is a drop.
+    * Iteration count bounds component diameter; near-dup clusters are
+    * small, and the result is exact once converged regardless of
+    * extra rounds. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupJaccard(s, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("root", col("node"))
+    for (_ <- 1 to 10) {
+      val prop = edges
+        .join(labels, edges("doc_b") === labels("node"))
+        .groupBy(col("doc_a").as("pnode"))
+        .agg(min("root").as("proot"))
+      labels = labels
+        .join(prop, col("node") === col("pnode"), "left")
+        .select(col("node"),
+          least(col("root"), coalesce(col("proot"), col("root"))).as("root"))
+        .localCheckpoint() // truncate the iterative lineage
+    }
+    labels
+      .select(col("root").as("component"), col("node").as("doc_id"),
+        (col("node") =!= col("root")).as("is_duplicate"))
+      .orderBy("component", "doc_id")
+  }
+
   // -------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -293,7 +325,8 @@ object TextPipeline extends graft.Registry {
     "td05_dedup_exact" -> dedupExact,
     "td06_dedup_jaccard" -> dedupJaccard,
     "td07_dedup_minhash" -> dedupMinHash,
-    "td08_dedup_simhash" -> dedupSimHash
+    "td08_dedup_simhash" -> dedupSimHash,
+    "td09_dedup_components" -> dedupComponents
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -421,6 +454,32 @@ object TextPipeline extends graft.Registry {
          |WHERE CAST(n_matching AS DOUBLE) / $NumHashes >= $EstSimThreshold
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "td09_dedup_components" ->
+      s"""WITH RECURSIVE $shinglesSqlCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jpairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON doc_a = sa.doc_id
+         |  JOIN sz sb ON doc_b = sb.doc_id
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $JaccardThreshold),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM jpairs),
+         |reach AS (
+         |  SELECT DISTINCT doc_a AS node, doc_a AS r FROM edges
+         |  UNION
+         |  SELECT e.doc_a AS node, rc.r
+         |  FROM edges e JOIN reach rc ON e.doc_b = rc.node)
+         |SELECT MIN(r) AS component, node AS doc_id,
+         |       node <> MIN(r) AS is_duplicate
+         |FROM reach GROUP BY node
+         |ORDER BY component, doc_id""".stripMargin,
     "td08_dedup_simhash" -> {
       val votes = (0 until SimBits)
         .map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b")

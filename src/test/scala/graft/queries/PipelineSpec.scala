@@ -36,6 +36,22 @@ class PipelineSpec extends SparkSpec {
     assert(jaccardPairs.subsetOf(sh), s"missed: ${jaccardPairs -- sh}")
   }
 
+  test("dedup components form a consistent keep-list over the pair graph") {
+    val comp = TextPipeline.dedupComponents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[Boolean]("is_duplicate"))).toMap
+    // every near-dup pair must land in the same component
+    jaccardPairs.foreach { case (a, b) =>
+      assert(comp(a)._1 === comp(b)._1, s"pair ($a,$b) split across components")
+    }
+    // the root is the smallest member and the only non-duplicate
+    comp.groupBy(_._2._1).foreach { case (root, members) =>
+      assert(members.keys.min === root)
+      assert(members.count(!_._2._2) === 1)
+      assert(!comp(root)._2)
+    }
+  }
+
   test("exact dedup reports a full-corpus summary") {
     val r = TextPipeline.dedupExact(spark, dir).collect()(0)
     assert(r.getAs[Long]("n_docs") === 500L)
