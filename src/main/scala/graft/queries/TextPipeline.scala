@@ -88,22 +88,22 @@ object TextPipeline extends graft.Registry {
         percentile(col("n_tok").cast("double"), lit(0.5)).as("p50_tokens"))
       .orderBy("lang")
 
-  /** Per-document quality score: length, stopword ratio, mean word
-    * length — codegen'd scalar expressions on a single scan. */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document quality metrics + composite score over one scan:
+    * length, stopword ratio, mean word length (codegen'd scalars). */
+  private def qualityBase(s: SparkSession, dir: String): DataFrame = {
     val inList = Stopwords.map(w => s"'$w'").mkString(", ")
     docs(s, dir)
       .select(
-        col("doc_id"),
+        col("doc_id"), col("lang"),
         length(col("text")).as("n_chars_calc"),
         split(col("text"), " ").as("t"))
       .select(
-        col("doc_id"),
+        col("doc_id"), col("lang"),
         col("n_chars_calc"),
         size(col("t")).as("n_tokens"),
         expr(s"size(filter(t, x -> x IN ($inList)))").as("n_stopwords"))
       .select(
-        col("doc_id"),
+        col("doc_id"), col("lang"),
         col("n_tokens"),
         col("n_chars_calc"),
         expr("CAST(n_stopwords AS DOUBLE) / n_tokens").as("stop_ratio"),
@@ -115,9 +115,15 @@ object TextPipeline extends graft.Registry {
         // DECIMAL in each engine with different precision rules → ulp
         // drift; forcing doubles makes the IEEE op sequence identical.
         expr(scoreExpr))
+  }
+
+  /** Quality-score listing (declared query). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityBase(s, dir)
+      .select("doc_id", "n_tokens", "n_chars_calc", "stop_ratio",
+        "avg_word_len", "quality_score")
       .orderBy("doc_id")
       .limit(200)
-  }
 
   /** Language-ID by corpus-trained token document frequency: score of
     * doc d for language L = sum over d's distinct tokens of the number
@@ -283,6 +289,33 @@ object TextPipeline extends graft.Registry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Deterministic 10% corpus sample by content-hash bucket: stable
+    * across runs and engines (unlike Bernoulli sampling), stratification
+    * reported per language. Hash-mod bucketing is the sampling
+    * primitive that stays consistent when the corpus is re-partitioned
+    * or re-processed — a requirement for reproducible training sets. */
+  def sampleStrata(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .where(h32(col("text")) % 100 < 10)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length(col("text"))).as("sampled_chars"))
+      .orderBy("lang")
+
+  /** Balanced training mixture: top-20 docs per language by quality
+    * score (ties → doc_id) — per-group quota selection, the mixture-
+    * construction step of a curation pipeline. WindowGroupLimit prunes
+    * per-partition before the shuffle. */
+  def mixture(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityBase(s, dir)
+    val w = Window.partitionBy("lang").orderBy(desc("quality_score"), col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 20)
+      .select("lang", "rn", "doc_id", "quality_score")
+      .orderBy("lang", "rn")
+  }
+
   /** Dedup keep-list: connected components over the Jaccard near-dup
     * pair graph via min-label propagation (the Pregel pattern: a
     * driver-side loop of data-parallel join+min steps, lineage
@@ -326,7 +359,9 @@ object TextPipeline extends graft.Registry {
     "td06_dedup_jaccard" -> dedupJaccard,
     "td07_dedup_minhash" -> dedupMinHash,
     "td08_dedup_simhash" -> dedupSimHash,
-    "td09_dedup_components" -> dedupComponents
+    "td09_dedup_components" -> dedupComponents,
+    "td10_sample_strata" -> sampleStrata,
+    "td11_mixture" -> mixture
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -453,6 +488,39 @@ object TextPipeline extends graft.Registry {
          |FROM scored
          |WHERE CAST(n_matching AS DOUBLE) / $NumHashes >= $EstSimThreshold
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "td10_sample_strata" ->
+      s"""SELECT lang, COUNT(*) AS n_sampled,
+         |       SUM(LENGTH(text)) AS sampled_chars
+         |FROM documents
+         |WHERE ${h32Sql("text")} % 100 < 10
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "td11_mixture" -> {
+      val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, length(text) AS n_chars_calc,
+         |         string_split(text, ' ') AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, n_chars_calc, len(t) AS n_tokens,
+         |         len(list_filter(t, x -> x IN ($inList))) AS n_stopwords
+         |  FROM base),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |         CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+         |         CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len,
+         |         n_tokens
+         |  FROM m),
+         |q AS (
+         |  SELECT doc_id, lang, $scoreExpr AS quality_score FROM r),
+         |ranked AS (
+         |  SELECT lang, doc_id, quality_score,
+         |         ROW_NUMBER() OVER (PARTITION BY lang
+         |                            ORDER BY quality_score DESC, doc_id) AS rn
+         |  FROM q)
+         |SELECT lang, rn, doc_id, quality_score
+         |FROM ranked WHERE rn <= 20
+         |ORDER BY lang, rn""".stripMargin
     },
     "td09_dedup_components" ->
       s"""WITH RECURSIVE $shinglesSqlCte,
