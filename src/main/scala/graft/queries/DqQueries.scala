@@ -136,6 +136,23 @@ object DqQueries extends graft.Registry {
       .select(col("below_min"), col("above_max"),
         (col("below_min") + col("above_max") === 0).as("passed"))
 
+  /** R4: freshness check against a FIXED reference instant — the
+    * injected-clock form of `src/dq.py:122-133` (the engine's live
+    * rule takes `now` as a parameter; a declared query must never call
+    * `current_timestamp()`). age_hours is integer-second arithmetic
+    * divided once, so both engines produce the identical double. */
+  def r4Freshness(s: SparkSession, dir: String): DataFrame = {
+    val asOf = "2024-03-01 00:00:00"
+    val maxAgeHours = 24.0
+    events(s, dir)
+      .agg(max(unix_timestamp(date_trunc("second", col("ts")))).as("max_epoch"))
+      .select(
+        expr(s"CAST(unix_timestamp(timestamp'$asOf') - max_epoch AS DOUBLE) / 3600.0")
+          .as("age_hours"))
+      .select(col("age_hours"),
+        (col("age_hours") <= maxAgeHours).as("passed"))
+  }
+
   /** R5: z-score anomaly on events.value, sigma = 3.0
     * (`src/dq.py:136-149`): pass 1 exact-decimal stats, pass 2 outlier
     * count; stats row broadcast to the scan. */
@@ -164,6 +181,7 @@ object DqQueries extends graft.Registry {
     "dq_r1_not_null" -> r1NotNull,
     "dq_r2_unique" -> r2Unique,
     "dq_r3_range" -> r3Range,
+    "dq_r4_freshness_fixed" -> r4Freshness,
     "dq_r5_anomaly" -> r5Anomaly
   )
 
@@ -236,6 +254,11 @@ object DqQueries extends graft.Registry {
         |       SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END)
         |       + SUM(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) = 0 AS passed
         |FROM events""".stripMargin,
+    "dq_r4_freshness_fixed" ->
+      """SELECT age_hours, age_hours <= 24.0 AS passed FROM (
+        |  SELECT CAST(epoch(TIMESTAMP '2024-03-01 00:00:00')
+        |              - MAX(epoch(date_trunc('second', ts))) AS DOUBLE) / 3600.0 AS age_hours
+        |  FROM events)""".stripMargin,
     "dq_r5_anomaly" ->
       s"""WITH $statsSqlCte,
         |s AS (SELECT n AS n_checked, sm / n AS mean,
