@@ -331,7 +331,15 @@ object TextPipeline extends graft.Registry {
       .cache()
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("root", col("node"))
-    for (_ <- 1 to 10) {
+      .localCheckpoint()
+    // Iterate to fixpoint: labels only ever decrease, so an unchanged
+    // label sum means convergence — rounds used ≈ component diameter
+    // (small for near-dup clusters) instead of a fixed worst case.
+    var prevSum = labels.agg(sum("root")).first().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      rounds += 1
       val prop = edges
         .join(labels, edges("doc_b") === labels("node"))
         .groupBy(col("doc_a").as("pnode"))
@@ -341,6 +349,9 @@ object TextPipeline extends graft.Registry {
         .select(col("node"),
           least(col("root"), coalesce(col("proot"), col("root"))).as("root"))
         .localCheckpoint() // truncate the iterative lineage
+      val s = labels.agg(sum("root")).first().getLong(0)
+      converged = s == prevSum
+      prevSum = s
     }
     labels
       .select(col("root").as("component"), col("node").as("doc_id"),
