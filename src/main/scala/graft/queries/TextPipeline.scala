@@ -185,6 +185,15 @@ object TextPipeline extends graft.Registry {
         col("n_docs"), col("n_distinct_texts"),
         (col("n_docs") - col("n_distinct_texts")).as("n_dup_docs"))
 
+  // The thresholded pair graph is consumed by both the pair listing
+  // (td06) and connected components (td09): materialize once per
+  // (session, corpus), like the shingle index it derives from.
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def jaccardPairGraph(s: SparkSession, dir: String): DataFrame =
+    pairCache.computeIfAbsent((s, dir), _ => dedupJaccard(s, dir).cache())
+
   /** N-gram Jaccard near-dup pairs via inverted shingle index: explode
     * distinct shingles, self-join on shingle (candidate pairs share at
     * least one), count intersections, Jaccard = |∩| / (|A|+|B|−|∩|).
@@ -325,7 +334,7 @@ object TextPipeline extends graft.Registry {
     * small, and the result is exact once converged regardless of
     * extra rounds. */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupJaccard(s, dir).select("doc_a", "doc_b")
+    val pairs = jaccardPairGraph(s, dir).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
@@ -367,7 +376,7 @@ object TextPipeline extends graft.Registry {
     "td03_lang_id" -> langId,
     "td04_fingerprint" -> fingerprint,
     "td05_dedup_exact" -> dedupExact,
-    "td06_dedup_jaccard" -> dedupJaccard,
+    "td06_dedup_jaccard" -> jaccardPairGraph,
     "td07_dedup_minhash" -> dedupMinHash,
     "td08_dedup_simhash" -> dedupSimHash,
     "td09_dedup_components" -> dedupComponents,
