@@ -298,6 +298,29 @@ object TextPipeline extends graft.Registry {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark decontamination: flag training documents sharing ≥ 10
+    * distinct word 3-grams with the held-out eval set (`source =
+    * 'src0'` stands in for the benchmark corpus). The eval side
+    * collapses to a DISTINCT shingle set first, so overlap counts are
+    * per unique shingle — an inverted-index semi-join keyed on
+    * shingle, the shape that scales to a trillion-token corpus
+    * (the eval shingle set is small and broadcastable). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val evalIds = docs(s, dir).where(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"))
+    val idx = shingleIndex(s, dir).select("doc_id", "shingle")
+    val evalShingles = idx
+      .join(broadcast(evalIds), col("doc_id") === col("eval_id"))
+      .select("shingle").distinct()
+    idx
+      .join(broadcast(evalIds), col("doc_id") === col("eval_id"), "left_anti")
+      .join(evalShingles, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .where(col("n_shared_shingles") >= 10)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic 10% corpus sample by content-hash bucket: stable
     * across runs and engines (unlike Bernoulli sampling), stratification
     * reported per language. Hash-mod bucketing is the sampling
@@ -381,7 +404,8 @@ object TextPipeline extends graft.Registry {
     "td08_dedup_simhash" -> dedupSimHash,
     "td09_dedup_components" -> dedupComponents,
     "td10_sample_strata" -> sampleStrata,
-    "td11_mixture" -> mixture
+    "td11_mixture" -> mixture,
+    "td12_decontaminate" -> decontaminate
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -542,6 +566,19 @@ object TextPipeline extends graft.Registry {
          |FROM ranked WHERE rn <= 20
          |ORDER BY lang, rn""".stripMargin
     },
+    "td12_decontaminate" ->
+      s"""WITH $shinglesSqlCte,
+         |eval_ids AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+         |eval_sh AS (
+         |  SELECT DISTINCT shingle FROM sh
+         |  WHERE doc_id IN (SELECT doc_id FROM eval_ids))
+         |SELECT s.doc_id, COUNT(*) AS n_shared_shingles
+         |FROM sh s
+         |JOIN eval_sh e ON s.shingle = e.shingle
+         |WHERE s.doc_id NOT IN (SELECT doc_id FROM eval_ids)
+         |GROUP BY s.doc_id
+         |HAVING COUNT(*) >= 10
+         |ORDER BY s.doc_id""".stripMargin,
     "td09_dedup_components" ->
       s"""WITH RECURSIVE $shinglesSqlCte,
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
