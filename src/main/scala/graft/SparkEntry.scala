@@ -11,9 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SQL `AS` names must agree exactly).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Smallest testdata scale factor (driver smoke + bench warmup). */
+  val SmallestSfDir = "/root/testdata/sf0.001"
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Relational.flagship(spark, "/root/testdata/sf0.001")
+    graft.queries.Relational.flagship(spark, SmallestSfDir)
 
   private def registry: Seq[Registry] = Seq(
     graft.queries.Relational,
