@@ -39,16 +39,26 @@ object DqQueries extends graft.Registry {
       |                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS smsq
       |  FROM events)""".stripMargin
 
+  // Shared constants interpolated into BOTH the Spark queries and
+  // their oracle SQL, so editing one side cannot silently diverge.
+  private val S4MinValue = 50.0
+  private val S4EventType = "purchase"
+  private val R3Lo = 0.0
+  private val R3Hi = 400.0
+  private val R4AsOf = "2024-03-01 00:00:00"
+  private val R4MaxAgeHours = 24.0
+  private val TopK = 5
+
   /** S4: table sample scan — `SELECT * FROM t WHERE pred LIMIT n`
-    * (`src/dq.py:18-28`), with a total order added so the sample is
-    * deterministic and hash-comparable (the reference's unordered
-    * LIMIT is whatever DuckDB scans first; an ordered prefix is the
-    * same contract made reproducible). */
+    * (`src/dq.py:18-28`), with a TOTAL order added (all four output
+    * columns tie-break) so the sample prefix is deterministic even
+    * under duplicate event_ids; the oracle pins NULLS FIRST to match
+    * Spark's ascending null placement. */
   def s4SampleScan(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
-      .where(col("value") > 50.0 && col("event_type") === "purchase")
+      .where(col("value") > S4MinValue && col("event_type") === S4EventType)
       .select("event_id", "user_id", "event_type", "value")
-      .orderBy("event_id")
+      .orderBy("event_id", "user_id", "event_type", "value")
       .limit(100)
 
   /** P1: count / nulls / distinct per column (`src/dq.py:45-50`). One
@@ -72,13 +82,17 @@ object DqQueries extends graft.Registry {
       .orderBy("column_name")
   }
 
-  /** P2: numeric profile of events.value (`src/dq.py:51-59`). */
+  /** P2: numeric profile of events.value (`src/dq.py:51-59`) — all
+    * seven statistics in ONE aggregation pass over one scan. */
   def p2Numeric(s: SparkSession, dir: String): DataFrame =
-    valueStats(events(s, dir).select("value"))
-      .join(events(s, dir).agg(
+    events(s, dir).select("value")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(decV).cast("double").as("sm"),
+        sum(decV * decV).cast("double").as("smsq"),
         min("value").as("min_val"), max("value").as("max_val"),
         percentile(col("value"), lit(0.5)).as("p50"),
-        percentile(col("value"), lit(0.95)).as("p95")))
+        percentile(col("value"), lit(0.95)).as("p95"))
       .select(col("n"), col("min_val"), col("max_val"),
         (col("sm") / col("n")).as("mean"),
         sqrt((col("smsq") - col("sm") * col("sm") / col("n")) / col("n"))
@@ -106,7 +120,7 @@ object DqQueries extends graft.Registry {
       .groupBy(col("event_type").as("value"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("value"))
-      .limit(5)
+      .limit(TopK)
 
   /** R1: not_null check on events.user_id (`src/dq.py:94-98`). */
   def r1NotNull(s: SparkSession, dir: String): DataFrame =
@@ -131,8 +145,8 @@ object DqQueries extends graft.Registry {
   /** R3: range check on events.value ∈ [0, 400] (`src/dq.py:110-119`). */
   def r3Range(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
-      .agg(sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("below_min"),
-           sum(when(col("value") > 400.0, 1L).otherwise(0L)).as("above_max"))
+      .agg(sum(when(col("value") < R3Lo, 1L).otherwise(0L)).as("below_min"),
+           sum(when(col("value") > R3Hi, 1L).otherwise(0L)).as("above_max"))
       .select(col("below_min"), col("above_max"),
         (col("below_min") + col("above_max") === 0).as("passed"))
 
@@ -141,17 +155,14 @@ object DqQueries extends graft.Registry {
     * rule takes `now` as a parameter; a declared query must never call
     * `current_timestamp()`). age_hours is integer-second arithmetic
     * divided once, so both engines produce the identical double. */
-  def r4Freshness(s: SparkSession, dir: String): DataFrame = {
-    val asOf = "2024-03-01 00:00:00"
-    val maxAgeHours = 24.0
+  def r4Freshness(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .agg(max(unix_timestamp(date_trunc("second", col("ts")))).as("max_epoch"))
       .select(
-        expr(s"CAST(unix_timestamp(timestamp'$asOf') - max_epoch AS DOUBLE) / 3600.0")
+        expr(s"CAST(unix_timestamp(timestamp'$R4AsOf') - max_epoch AS DOUBLE) / 3600.0")
           .as("age_hours"))
       .select(col("age_hours"),
-        (col("age_hours") <= maxAgeHours).as("passed"))
-  }
+        (col("age_hours") <= R4MaxAgeHours).as("passed"))
 
   /** R5: z-score anomaly on events.value, sigma = 3.0
     * (`src/dq.py:136-149`): pass 1 exact-decimal stats, pass 2 outlier
@@ -187,9 +198,11 @@ object DqQueries extends graft.Registry {
 
   def oracleSql: Map[String, String] = Map(
     "dq_s4_sample_scan" ->
-      """SELECT event_id, user_id, event_type, value FROM events
-        |WHERE value > 50.0 AND event_type = 'purchase'
-        |ORDER BY event_id LIMIT 100""".stripMargin,
+      s"""SELECT event_id, user_id, event_type, value FROM events
+        |WHERE value > $S4MinValue AND event_type = '$S4EventType'
+        |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST,
+        |         event_type NULLS FIRST, value NULLS FIRST
+        |LIMIT 100""".stripMargin,
     "dq_p1_counts" ->
       """SELECT column_name, n_rows, n_nulls, n_distinct FROM (
         |  SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
@@ -232,8 +245,9 @@ object DqQueries extends graft.Registry {
         |       quantile_cont(CAST(LENGTH(text) AS DOUBLE), 0.95) AS p95_len
         |FROM documents""".stripMargin,
     "dq_p5_topk_values" ->
-      """SELECT event_type AS value, COUNT(*) AS cnt FROM events
-        |GROUP BY event_type ORDER BY cnt DESC, value LIMIT 5""".stripMargin,
+      s"""SELECT event_type AS value, COUNT(*) AS cnt FROM events
+        |GROUP BY event_type
+        |ORDER BY cnt DESC, value NULLS FIRST LIMIT $TopK""".stripMargin,
     "dq_r1_not_null" ->
       """SELECT CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
         |       COUNT(*) AS total,
@@ -249,14 +263,14 @@ object DqQueries extends graft.Registry {
         |       COUNT(*) - COUNT(DISTINCT event_id) = 0 AS passed
         |FROM events""".stripMargin,
     "dq_r3_range" ->
-      """SELECT CAST(SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS below_min,
-        |       CAST(SUM(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) AS BIGINT) AS above_max,
-        |       SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END)
-        |       + SUM(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) = 0 AS passed
+      s"""SELECT CAST(SUM(CASE WHEN value < $R3Lo THEN 1 ELSE 0 END) AS BIGINT) AS below_min,
+        |       CAST(SUM(CASE WHEN value > $R3Hi THEN 1 ELSE 0 END) AS BIGINT) AS above_max,
+        |       SUM(CASE WHEN value < $R3Lo THEN 1 ELSE 0 END)
+        |       + SUM(CASE WHEN value > $R3Hi THEN 1 ELSE 0 END) = 0 AS passed
         |FROM events""".stripMargin,
     "dq_r4_freshness_fixed" ->
-      """SELECT age_hours, age_hours <= 24.0 AS passed FROM (
-        |  SELECT CAST(epoch(TIMESTAMP '2024-03-01 00:00:00')
+      s"""SELECT age_hours, age_hours <= $R4MaxAgeHours AS passed FROM (
+        |  SELECT CAST(epoch(TIMESTAMP '$R4AsOf')
         |              - MAX(epoch(date_trunc('second', ts))) AS DOUBLE) / 3600.0 AS age_hours
         |  FROM events)""".stripMargin,
     "dq_r5_anomaly" ->

@@ -208,9 +208,12 @@ object TextPipeline extends graft.Registry {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    // sz is corpus-cardinality (one row per doc): shuffle-join it —
+    // broadcasting would collect the whole corpus's sizes to the
+    // driver, which breaks at the trillion-document target scale.
     inter
-      .join(broadcast(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
-      .join(broadcast(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .select(
         col("doc_a"), col("doc_b"), col("n_common"),
         expr("CAST(n_common AS DOUBLE) / (na + nb - n_common)").as("jaccard"))
@@ -252,7 +255,7 @@ object TextPipeline extends graft.Registry {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("size(filter(zip_with(a.sigarr, b.sigarr, (x, y) -> x = y), m -> m))")
           .cast("long").as("n_matching"))
-      .where(col("n_matching") >= (EstSimThreshold * NumHashes).toInt)
+      .where(col("n_matching") >= math.ceil(EstSimThreshold * NumHashes).toInt)
       .distinct()
       .withColumn("est_sim", expr(s"CAST(n_matching AS DOUBLE) / $NumHashes"))
       .orderBy("doc_a", "doc_b")
@@ -367,10 +370,16 @@ object TextPipeline extends graft.Registry {
     // Iterate to fixpoint: labels only ever decrease, so an unchanged
     // label sum means convergence — rounds used ≈ component diameter
     // (small for near-dup clusters) instead of a fixed worst case.
-    var prevSum = labels.agg(sum("root")).first().getLong(0)
-    var converged = false
+    // sum() over an empty frame is null → 0 (empty pair graph is a
+    // legal input and must yield an empty, not crashed, result).
+    def labelSum(): Long = {
+      val v = labels.agg(sum("root")).first()
+      if (v.isNullAt(0)) 0L else v.getLong(0)
+    }
+    var prevSum = labelSum()
+    var converged = labels.head(1).isEmpty
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < 50) {
       rounds += 1
       val prop = edges
         .join(labels, edges("doc_b") === labels("node"))
@@ -381,10 +390,14 @@ object TextPipeline extends graft.Registry {
         .select(col("node"),
           least(col("root"), coalesce(col("proot"), col("root"))).as("root"))
         .localCheckpoint() // truncate the iterative lineage
-      val s = labels.agg(sum("root")).first().getLong(0)
+      val s = labelSum()
       converged = s == prevSum
       prevSum = s
     }
+    // Fail loudly rather than emit partial (wrong) components: a
+    // >50-hop near-dup chain means the corpus needs pointer-jumping,
+    // not silent acceptance.
+    require(converged, s"component propagation did not converge in $rounds rounds")
     labels
       .select(col("root").as("component"), col("node").as("doc_id"),
         (col("node") =!= col("root")).as("is_duplicate"))
