@@ -28,13 +28,19 @@ object SchemaDocs {
       descriptions: Map[String, Map[String, String]] = Map.empty): String = {
     val sb = new StringBuilder
     sb.append("# Data Warehouse Schema (auto-generated)\n\n")
+    // Resolve through the listed table's own database — an unqualified
+    // spark.table(name) would read from the CURRENT database instead
+    // of `db`. Temp views have no database and stay unqualified.
     val tables = spark.catalog.listTables(db).collect()
-      .map(_.name).sorted
-    for (t <- tables) {
+      .map(t => t.name ->
+        Option(t.database).filter(_.nonEmpty)
+          .map(d => s"`$d`.`${t.name}`").getOrElse(t.name))
+      .sortBy(_._1)
+    for ((t, qualified) <- tables) {
       sb.append(s"## $t\n\n")
       sb.append("| column | type | pk | not_null | description |\n")
       sb.append("|---|---|---:|---:|---|\n")
-      val schema = spark.table(t).schema
+      val schema = spark.table(qualified).schema
       for (f <- schema.fields) {
         val nn = if (!f.nullable) "1" else ""
         val descr = descriptions.getOrElse(t, Map.empty).getOrElse(f.name, "")

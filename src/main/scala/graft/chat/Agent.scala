@@ -138,22 +138,33 @@ class Agent(
             sql = SqlGuard.extractSqlFromMarkdown(draftMd)
           }
         } catch {
-          case err: IncorrectQuestionError =>
-            lastError = Some(err.message)
-            candidates :+= CandidateSql(sql, s"error:${err.message}")
+          // Refine on ANY execution failure — guard rejections, but
+          // also analysis errors (bad column/table, the most common
+          // LLM failure mode) and timeouts. (The reference only
+          // catches its guard error and would 500 on a binder error;
+          // refining is the loop's documented intent.)
+          case scala.util.control.NonFatal(err) =>
+            val msg = err match {
+              case IncorrectQuestionError(m) => m
+              case e => Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            }
+            lastError = Some(msg)
+            candidates :+= CandidateSql(sql, s"error:$msg")
             Metrics.inc("ai_errors_total", Map("stage" -> "execute"))
             retries += 1
-            draftMd = refine(question, s"execution error: ${err.message}")
+            draftMd = refine(question, s"execution error: $msg")
             sql = SqlGuard.extractSqlFromMarkdown(draftMd)
         }
       }
     }
 
-    // Fallback: last ok candidate re-executed, else last candidate.
+    // Fallback: last ok candidate (its rows were empty by construction
+    // — a non-empty success would have been chosen — so no pointless
+    // re-execution), else the last candidate of any kind.
     if (chosenSql.isEmpty) {
       candidates.reverse.find(_.reason.startsWith("ok")).foreach { c =>
         chosenSql = c.sql
-        rows = try runner.run(c.sql).rows catch { case _: Exception => Seq.empty }
+        rows = Seq.empty
       }
       if (chosenSql.isEmpty && candidates.nonEmpty)
         chosenSql = candidates.last.sql

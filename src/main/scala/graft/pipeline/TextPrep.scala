@@ -118,6 +118,20 @@ object TextPrep {
       shingleHashes(graft.sources.Tables.table(spark, dir, "documents")).cache()
     })
 
+  /** Drop this session's cached indexes (call on session stop or after
+    * re-ingesting a corpus; entries would otherwise pin the session
+    * and serve stale data). */
+  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = indexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
+  }
+
   /** DuckDB CTEs exposing `shh(doc_id, shingle, h)`. */
   val shingleHashesSqlCte: String =
     shinglesSqlCte + ",\n" +

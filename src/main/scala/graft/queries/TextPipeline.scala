@@ -194,6 +194,20 @@ object TextPipeline extends graft.Registry {
   private def jaccardPairGraph(s: SparkSession, dir: String): DataFrame =
     pairCache.computeIfAbsent((s, dir), _ => dedupJaccard(s, dir).cache())
 
+  /** Drop this session's cached pair graphs + the underlying shingle
+    * index (session stop / corpus re-ingest). */
+  def invalidate(s: SparkSession): Unit = {
+    val it = pairCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
+    TextPrep.invalidate(s)
+  }
+
   /** N-gram Jaccard near-dup pairs via inverted shingle index: explode
     * distinct shingles, self-join on shingle (candidate pairs share at
     * least one), count intersections, Jaccard = |∩| / (|A|+|B|−|∩|).

@@ -43,6 +43,14 @@ object Tables {
       }
     })
 
+  /** Drop this session's cached relation handles (session stop or
+    * underlying-data change; entries would otherwise pin the session).
+    */
+  def invalidate(spark: SparkSession): Unit = {
+    val it = relations.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
+  }
+
   /** Register every testdata table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))

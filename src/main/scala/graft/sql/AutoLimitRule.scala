@@ -1,23 +1,29 @@
 package graft.sql
 
-import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.plans.logical.{Command, GlobalLimit, Limit, LocalLimit, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, GlobalLimit, Limit, LocalLimit, LogicalPlan, Subquery}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Plan-level auto-LIMIT (SURVEY.md §4; reference appends `LIMIT 200`
   * to the SQL text when the substring "limit" is absent,
-  * `src/sql_runner.py:28-31`). Here it is a Catalyst optimizer rule:
-  * if a guarded query's plan contains no limit anywhere, wrap it in
-  * `GlobalLimit(rowLimit)` — semantically what the reference intends,
-  * but robust to "limit" appearing in identifiers or strings.
+  * `src/sql_runner.py:28-31`): a Catalyst `Rule[LogicalPlan]` that
+  * wraps a PARSED statement plan lacking any limit in
+  * `GlobalLimit(rows)` — semantically what the reference intends, but
+  * robust to "limit" appearing in identifiers or string literals.
   *
-  * The rule is scoped: it only fires while the session conf
-  * `graft.sql.autoLimit.enabled` is true (set by [[QueryRunner]]
-  * around guarded executions), so internal/engine queries are never
-  * capped. Idempotent by construction — a wrapped plan has a limit.
+  * It is deliberately applied by [[QueryRunner]] to the parsed plan of
+  * the guarded statement, NOT injected into the session's
+  * analyzer/optimizer via extensions. Both injection phases were tried
+  * and are unsound for this rule: optimizer-phase rules re-run on
+  * every subquery with a `Subquery` root that `OptimizeSubqueries`
+  * then destructures (crash on any IN/EXISTS query), and
+  * `EliminateLimits` can legitimately erase a user's explicit `LIMIT`
+  * before the rule looks for one (silent re-cap → wrong results);
+  * analyzer post-hoc rules additionally run on internal encoder plan
+  * fragments that must round-trip unchanged. The parsed statement
+  * plan is exactly what the user wrote — the right place to decide.
   */
-class AutoLimitRule extends Rule[LogicalPlan] {
+class AutoLimitRule(rows: Int) extends Rule[LogicalPlan] {
 
   private def hasLimit(plan: LogicalPlan): Boolean =
     plan.collectFirst {
@@ -25,24 +31,10 @@ class AutoLimitRule extends Rule[LogicalPlan] {
       case _: LocalLimit => ()
     }.isDefined
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val sqlConf = conf
-    if (!sqlConf.getConfString("graft.sql.autoLimit.enabled", "false").toBoolean) plan
-    else {
-      val rows = sqlConf.getConfString("graft.sql.autoLimit.rows", "200").toInt
-      plan match {
-        case c: Command => c
-        case p if hasLimit(p) => p
-        case p => Limit(Literal(rows), p)
-      }
-    }
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case c: Command => c
+    case s: Subquery => s
+    case p if hasLimit(p) => p
+    case p => Limit(Literal(rows), p)
   }
-}
-
-/** `SparkSessionExtensions` installer: register with
-  * `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.sql.GraftExtensions`. */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectOptimizerRule(_ => new AutoLimitRule)
 }

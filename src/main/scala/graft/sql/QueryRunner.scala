@@ -24,19 +24,24 @@ class QueryRunner(
   final case class QueryTimeoutError(ms: Long)
       extends Exception(s"query exceeded ${ms}ms and was cancelled")
 
+  private val autoLimit = new AutoLimitRule(rowLimit)
+
   /** Run validated SQL: returns the executed SQL, the formatted plan,
-    * and up to [[previewRows]] JSON rows. Auto-limit applies via
-    * [[AutoLimitRule]] while the scoped conf flag is set. */
+    * and up to [[previewRows]] JSON rows. Auto-limit: the
+    * [[AutoLimitRule]] is applied to the PARSED statement plan; when
+    * it decides a cap is needed (no user limit anywhere), the
+    * equivalent `df.limit(rowLimit)` is applied to the executed frame.
+    */
   def run(markdownOrSql: String): QueryResult = {
     val sql = SqlGuard.extractSqlFromMarkdown(markdownOrSql)
     SqlGuard.validate(spark, sql)
     val t0 = System.nanoTime()
-    val (planText, rows) = withAutoLimit {
-      withTimeout {
-        val df = spark.sql(sql)
-        val plan = df.queryExecution.explainString(FormattedMode)
-        (plan, preview(df))
-      }
+    val (planText, rows) = withTimeout {
+      val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+      val base = spark.sql(sql)
+      val df = if (autoLimit(parsed) eq parsed) base else base.limit(rowLimit)
+      val plan = df.queryExecution.explainString(FormattedMode)
+      (plan, preview(df))
     }
     val ms = (System.nanoTime() - t0) / 1000000
     Metrics.observeMs("ai_sql_exec_ms", ms)
@@ -73,13 +78,6 @@ class QueryRunner(
   def preview(df: DataFrame): Seq[String] =
     df.limit(previewRows).toJSON.collect().toSeq
 
-  /** Scope the plan-level auto-limit to this execution only. */
-  private def withAutoLimit[A](body: => A): A = {
-    spark.conf.set("graft.sql.autoLimit.enabled", "true")
-    spark.conf.set("graft.sql.autoLimit.rows", rowLimit.toString)
-    try body
-    finally spark.conf.set("graft.sql.autoLimit.enabled", "false")
-  }
 }
 
 /** §3.1 response shape (`{sql, plan, rows}` + timing). */
@@ -90,7 +88,8 @@ final case class QueryResult(
     execMs: Long)
 
 /** Session factory with graft's defaults: UTC, CPU-matched shuffle
-  * partitions, the [[GraftExtensions]] optimizer rules installed. */
+  * partitions, UI off. Auto-limit needs no session extension — it is
+  * applied per-statement by [[QueryRunner]]. */
 object GraftSession {
   def build(master: String = "local[*]", shufflePartitions: Int = 32,
       appName: String = "graft"): SparkSession =
@@ -100,6 +99,5 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
       .getOrCreate()
 }

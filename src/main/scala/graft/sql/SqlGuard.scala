@@ -67,10 +67,12 @@ object SqlGuard {
     (true, "ok")
   }
 
-  /** V7: replace a trailing `LIMIT n` with an override (or append). */
+  /** V7: replace a trailing `LIMIT n` with an override (or append —
+    * after stripping trailing semicolons/whitespace, which would
+    * otherwise make the appended LIMIT a second statement). */
   def overrideLimit(sql: String, n: Int): String =
     TrailingLimit.findFirstIn(sql) match {
       case Some(_) => TrailingLimit.replaceFirstIn(sql, s"LIMIT $n")
-      case None => sql.stripSuffix(";") + s"\nLIMIT $n"
+      case None => sql.replaceAll("[;\\s]+$", "") + s"\nLIMIT $n"
     }
 }

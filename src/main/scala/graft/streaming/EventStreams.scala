@@ -91,8 +91,10 @@ object EventStreams {
                     new Timestamp(s.end), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
+                  // late-but-within-watermark events can precede the
+                  // stored start; extend both bounds
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.total + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }

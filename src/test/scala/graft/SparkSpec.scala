@@ -14,6 +14,5 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.extensions", "graft.sql.GraftExtensions")
     .getOrCreate()
 }

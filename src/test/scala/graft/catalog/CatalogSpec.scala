@@ -116,6 +116,18 @@ class SchemaDocsSpec extends SparkSpec {
     spark.catalog.dropTempView("docs_items")
   }
 
+  test("buildMarkdown resolves tables through their own database") {
+    val dbSpark = spark
+    dbSpark.sql("CREATE DATABASE IF NOT EXISTS docs_db_x")
+    try {
+      dbSpark.range(2).selectExpr("id AS k").write
+        .mode("overwrite").saveAsTable("docs_db_x.things")
+      val md = SchemaDocs.buildMarkdown(dbSpark, db = "docs_db_x")
+      assert(md.contains("## things"))
+      assert(md.contains("| k | BIGINT |"))
+    } finally dbSpark.sql("DROP DATABASE IF EXISTS docs_db_x CASCADE")
+  }
+
   test("writeSchemaDocs writes atomically") {
     val out = Files.createTempDirectory("docs").resolve("schema_docs.md")
     SchemaDocs.writeSchemaDocs(spark, out.toString)

@@ -82,6 +82,22 @@ class AgentSpec extends SparkSpec {
     assert(out.telemetry("retries") >= 1)
   }
 
+  test("agent loop: analysis errors (bad column) are refined, not propagated") {
+    val docs = withTestdata()
+    val provider = new NlToSql {
+      var calls = 0
+      override def complete(question: String, rowLimit: Int): String = {
+        calls += 1
+        if (calls == 1) "```sql\nSELECT no_such_col FROM orders\n```"
+        else "```sql\nSELECT COUNT(*) AS n FROM orders\n```"
+      }
+    }
+    val out = new Agent(spark, provider, docs).run("typo question")
+    assert(out.candidates.head.reason.startsWith("error:"))
+    assert(out.chosenSql === "SELECT COUNT(*) AS n FROM orders")
+    assert(out.rows.length === 1)
+  }
+
   test("agent loop: empty results trigger refine, fallback keeps last ok") {
     val docs = withTestdata()
     val provider = new NlToSql {

@@ -48,22 +48,37 @@ class SqlGuardSpec extends SparkSpec {
       === "SELECT * FROM t\nLIMIT 5")
   }
 
-  test("AutoLimitRule wraps unlimited guarded queries, leaves others") {
+  test("AutoLimitRule wraps unlimited parsed plans, leaves limited/command plans") {
+    val rule = new AutoLimitRule(7)
+    def parsed(sql: String) = spark.sessionState.sqlParser.parsePlan(sql)
+    val unlimited = parsed("SELECT * FROM t")
+    assert(rule(unlimited).isInstanceOf[GlobalLimit])
+    val limited = parsed("SELECT * FROM t LIMIT 900")
+    assert(rule(limited) eq limited)
+    // "limit" as an identifier/inside a literal must not count
+    assert(rule(parsed("SELECT 'limit 5' AS s FROM t")).isInstanceOf[GlobalLimit])
+    val cmd = parsed("DROP TABLE t")
+    assert(rule(cmd) eq cmd)
+  }
+
+  test("QueryRunner caps unlimited queries, respects user limits and subqueries") {
     spark.range(1000).createOrReplaceTempView("autolimit_src")
-    spark.conf.set("graft.sql.autoLimit.enabled", "true")
-    spark.conf.set("graft.sql.autoLimit.rows", "7")
-    try {
-      val df = spark.sql("SELECT id FROM autolimit_src")
-      assert(df.queryExecution.optimizedPlan.isInstanceOf[GlobalLimit])
-      // collect, not count: count() builds a fresh Aggregate plan whose
-      // OUTPUT (1 row) is what the limit would cap — same as SQL-text
-      // auto-limit semantics on an aggregate query.
-      assert(df.collect().length === 7)
-      // explicit limit is respected, not double-wrapped
-      assert(spark.sql("SELECT id FROM autolimit_src LIMIT 900").collect().length === 900)
-    } finally spark.conf.set("graft.sql.autoLimit.enabled", "false")
-    // flag off → no cap
-    assert(spark.sql("SELECT id FROM autolimit_src").collect().length === 1000)
+    spark.range(50).createOrReplaceTempView("al_u")
+    val runner = new QueryRunner(spark, rowLimit = 7, previewRows = 1000)
+    assert(runner.run("SELECT id FROM autolimit_src").rows.length === 7)
+    // explicit limit respected, not re-capped
+    assert(runner.run("SELECT id FROM autolimit_src LIMIT 900").rows.length === 900)
+    // IN-subquery queries execute (optimizer-phase injection crashed here)
+    assert(runner.run(
+      "SELECT id FROM autolimit_src WHERE id IN (SELECT id FROM al_u)")
+      .rows.length === 7)
+    // explicit LIMIT that EliminateLimits would erase still wins
+    assert(runner.run("SELECT id FROM al_u LIMIT 100000").rows.length === 50)
+  }
+
+  test("overrideLimit appends cleanly after trailing semicolons/whitespace") {
+    assert(SqlGuard.overrideLimit("SELECT 1;\n", 50) === "SELECT 1\nLIMIT 50")
+    assert(SqlGuard.overrideLimit("SELECT 1;;", 50) === "SELECT 1\nLIMIT 50")
   }
 
   test("query timeout cancels the job group and leaves the session usable") {
