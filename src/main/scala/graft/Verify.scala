@@ -14,6 +14,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Clean any previous run's outputs first: a failing query must NOT
+    // leave its stale parquet behind for the oracle compare to
+    // silently re-validate.
+    val outPath = Paths.get(outDir)
+    if (Files.exists(outPath))
+      Files.walk(outPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

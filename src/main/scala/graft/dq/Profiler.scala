@@ -13,7 +13,12 @@ import org.apache.spark.sql.types._
   *  - ONE melt → groupBy → window pass computes top-k value counts for
   *    ALL profiled columns together, instead of one job per column.
   *
-  * On a cluster this is two shuffles total regardless of column count.
+  * Intended for the BOUNDED samples runChecks feeds it (≤ 200 000
+  * rows): the N-column distinct counts in one agg make Catalyst
+  * Expand-multiply the sample (N+1)× before its shuffle, which is fine
+  * at sample scale but would be the first thing to break on a full
+  * table — full-table profiling should go per-column (see
+  * DqQueries.p1Counts for that shape).
   *
   * Pandas-parity semantics: nulls are excluded from distinct, stats
   * and top-k (`dropna()` throughout the reference); std is population
@@ -31,9 +36,11 @@ object Profiler {
   def profile(df: DataFrame, topK: Int = 5): Seq[ColumnProfile] = {
     val fields = df.schema.fields.toSeq
 
+    def quoted(name: String) = "`" + name.replace("`", "``") + "`"
+
     // Pass 1: one wide agg — 3 base metrics + type stats per column.
     val aggs = fields.flatMap { f =>
-      val c = col(f.name)
+      val c = col(quoted(f.name))
       val base = Seq(
         sum(c.isNull.cast("long")).as(s"nulls__${f.name}"),
         count_distinct(c).as(s"distinct__${f.name}"))
@@ -41,10 +48,12 @@ object Profiler {
         case dt if isNumeric(dt) => Seq(
           min(c).cast("double").as(s"min__${f.name}"),
           max(c).cast("double").as(s"max__${f.name}"),
-          avg(c).as(s"mean__${f.name}"),
+          // cast: avg/percentile of a DECIMAL column return Decimal,
+          // which would CCE on the Double read-back below
+          avg(c).cast("double").as(s"mean__${f.name}"),
           stddev_pop(c).as(s"std__${f.name}"),
-          percentile(c, lit(0.5)).as(s"p50__${f.name}"),
-          percentile(c, lit(0.95)).as(s"p95__${f.name}"))
+          percentile(c, lit(0.5)).cast("double").as(s"p50__${f.name}"),
+          percentile(c, lit(0.95)).cast("double").as(s"p95__${f.name}"))
         case _: TimestampType => Seq(
           date_format(min(c), "yyyy-MM-dd HH:mm:ss").as(s"tsmin__${f.name}"),
           date_format(max(c), "yyyy-MM-dd HH:mm:ss").as(s"tsmax__${f.name}"))
@@ -64,8 +73,10 @@ object Profiler {
       else None
 
     // Pass 2: top-k for all columns at once via melt (null-excluded).
-    val stackExpr = fields.map(f =>
-      s"'${f.name}', CAST(`${f.name}` AS STRING)").mkString(", ")
+    val stackExpr = fields.map { f =>
+      val lit = f.name.replace("'", "''")
+      s"'$lit', CAST(${quoted(f.name)} AS STRING)"
+    }.mkString(", ")
     val w = Window.partitionBy("column")
       .orderBy(desc("cnt"), col("value"))
     val topRows = df

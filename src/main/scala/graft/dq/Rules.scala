@@ -36,40 +36,57 @@ object DqEngine {
     else BigDecimal(100.0 * x / total)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Backtick-quoted column reference (names may contain dots etc.). */
+  private def qcol(name: String) =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** Numeric coercion matching pandas `to_numeric(errors="coerce")`:
+    * non-numeric values become null instead of throwing under ANSI. */
+  private def numCoerce(name: String) =
+    qcol(name).try_cast("double")
+
   /** Evaluate all rules over `df` in at most two aggregation jobs. */
   def evaluate(df: DataFrame, rules: Seq[Rule],
                now: Instant = Instant.now()): Seq[RuleResult] = {
     val known = rules.filter(!_.isInstanceOf[UnknownRule])
 
-    // Job 1: every rule contributes aggregate columns to one wide agg.
+    // Job 1: every rule contributes aggregate columns to one wide agg;
+    // the row count rides along instead of a separate df.count() job.
     val aggs = known.zipWithIndex.flatMap { case (r, i) =>
-      val c = col(r.column)
+      val c = qcol(r.column)
       r match {
         case _: NotNullRule => Seq(
           sum(c.isNull.cast("long")).as(s"a${i}_nulls"))
         case _: UniqueRule => Seq(
-          count(lit(1)).as(s"a${i}_total"),
           count_distinct(c).as(s"a${i}_distinct"))
-        case RangeRule(_, lo, hi) => Seq(
-          lo.map(v => sum(when(c < v, 1L).otherwise(0L)).as(s"a${i}_below"))
-            .getOrElse(lit(0L).as(s"a${i}_below")),
-          hi.map(v => sum(when(c > v, 1L).otherwise(0L)).as(s"a${i}_above"))
-            .getOrElse(lit(0L).as(s"a${i}_above")))
+        case RangeRule(colName, lo, hi) =>
+          val cd = numCoerce(colName)
+          Seq(
+            lo.map(v => sum(when(cd < v, 1L).otherwise(0L)).as(s"a${i}_below"))
+              .getOrElse(lit(0L).as(s"a${i}_below")),
+            hi.map(v => sum(when(cd > v, 1L).otherwise(0L)).as(s"a${i}_above"))
+              .getOrElse(lit(0L).as(s"a${i}_above")))
         case _: FreshnessRule => Seq(
           // try_to_timestamp = pandas to_datetime(errors="coerce"):
           // unparseable → null (ANSI to_timestamp would throw).
           max(try_to_timestamp(c)).cast("long").as(s"a${i}_maxts"))
-        case _: AnomalyRule => Seq(
-          avg(c).as(s"a${i}_mean"),
-          stddev_pop(c).as(s"a${i}_std"),
-          count(c).as(s"a${i}_n"))
+        case AnomalyRule(colName, _) =>
+          // coerce like the reference (`pd.to_numeric(errors='coerce')`,
+          // src/dq.py:137): strings/decimals profile as doubles, and a
+          // non-numeric column auto-passes instead of an ANSI cast error
+          val cd = numCoerce(colName)
+          Seq(
+            avg(cd).as(s"a${i}_mean"),
+            stddev_pop(cd).as(s"a${i}_std"),
+            count(cd).as(s"a${i}_n"))
         case _: UnknownRule => Nil
       }
     }
-    val total = df.count()
     val row =
-      if (aggs.isEmpty) null
-      else df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      if (known.isEmpty) null
+      else df.agg(count(lit(1)).as("a_total"), aggs: _*).collect()(0)
+    val total =
+      if (row == null) 0L else row.getAs[Long]("a_total")
     def get[T](n: String): Option[T] =
       if (row != null && !row.isNullAt(row.fieldIndex(n)))
         Some(row.getAs[T](n)) else None
@@ -85,7 +102,7 @@ object DqEngine {
         val cs = anomalyIdx.map { case (a, i) =>
           val mean = get[Double](s"a${i}_mean").get
           val std = get[Double](s"a${i}_std").get
-          sum(when(abs(col(a.column) - mean) / std > a.sigma, 1L)
+          sum(when(abs(numCoerce(a.column) - mean) / std > a.sigma, 1L)
             .otherwise(0L)).as(s"o$i")
         }
         val r = df.agg(cs.head, cs.tail: _*).collect()(0)

@@ -34,6 +34,11 @@ object Tables {
       // as long and convert to a microsecond TimestampType with integer
       // division (a double-path division would lose precision: epoch
       // nanos ~1.7e18 exceed 2^53).
+      // NB deliberate session-wide side effect: the nanosAsLong conf
+      // must remain set for the lifetime of this (lazily executed)
+      // DataFrame, so it is never restored. Any OTHER nanos-timestamp
+      // source read in the session will therefore also surface as raw
+      // longs and needs its own conversion like this one.
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$dir/$name.parquet")
