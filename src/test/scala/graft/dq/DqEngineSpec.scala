@@ -91,3 +91,41 @@ class DqEngineSpec extends SparkSpec {
     assert(rep.profile.nonEmpty)
   }
 }
+
+/** Edge cases from review: ANSI-safe coercion, decimal columns,
+  * hostile column names. */
+class DqRobustnessSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("range/anomaly on a string column coerce instead of throwing (ANSI)") {
+    import spark.implicits._
+    val df = Seq("a", "b", "c").toDF("s")
+    val results = DqEngine.evaluate(df,
+      Seq(RangeRule("s", Some(0.0), Some(1.0)), AnomalyRule("s")))
+    // all values coerce to null -> zero violations / auto-pass,
+    // matching pandas to_numeric(errors="coerce") in the reference
+    assert(results.forall(_.passed))
+  }
+
+  test("profiler handles decimal columns and quoted/dotted names") {
+    import spark.implicits._
+    val df = Seq((BigDecimal("1.50"), 1), (BigDecimal("2.25"), 2))
+      .toDF("amount", "x")
+      .select(col("amount").cast("decimal(18,2)").as("amount"),
+        col("x").as("weird.na`me"))
+    val profiles = Profiler.profile(df)
+    val amount = profiles.find(_.column == "amount").get
+    assert(amount.numeric.exists(n => math.abs(n.mean - 1.875) < 1e-12))
+    val weird = profiles.find(_.column == "weird.na`me").get
+    assert(weird.count === 2 && weird.distinct === 2)
+  }
+
+  test("evaluate computes totals without a separate count job") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (2L, null)).toDF("id", "tag")
+    val res = DqEngine.evaluate(df,
+      Seq(NotNullRule("tag"), UniqueRule("id")))
+    assert(res.find(_.rule == "not_null").get.details("total") === "3")
+    assert(res.find(_.rule == "unique").get.details("duplicates") === "1")
+  }
+}
