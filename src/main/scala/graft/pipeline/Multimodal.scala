@@ -115,6 +115,39 @@ object Multimodal {
     }
   }
 
+  /** A resized media payload: target dims + the (stub-)resampled bytes. */
+  final case class Resized(
+      mediaId: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      bytes: Array[Byte])
+
+  /** Resize batch operator: recompute target dimensions preserving
+    * aspect ratio and resample the payload. The byte resampling is a
+    * deterministic stride subsample standing in for a real scaler
+    * (STUB codec boundary); the dimension math, batch shape and
+    * output-size bound are the real pipeline contract. */
+  def resize(ds: Dataset[MediaFile], maxSide: Int = 256,
+      codec: Codec = StubCodec): Dataset[Resized] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, _) = codec.dimensions(m.content)
+        val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+        val (tw, th) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        // deterministic stride subsample proportional to the area ratio
+        val keep = math.max(1,
+          (m.content.length.toDouble * (tw.toLong * th) / (w.toLong * h)).toInt)
+        val stride = math.max(1, m.content.length / keep)
+        val out = Array.newBuilder[Byte]
+        var i = 0
+        while (i < m.content.length) { out += m.content(i); i += stride }
+        Resized(m.mediaId, m.kind, tw, th, out.result())
+      }
+    }
+  }
+
   /** Frame sampling for `video` rows: `nFrames` evenly-spaced
     * fixed-size byte slices (a real codec would seek keyframes; the
     * offsets/batch shape are the real part). */

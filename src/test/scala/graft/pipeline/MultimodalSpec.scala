@@ -34,6 +34,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize preserves aspect ratio, bounds the max side, shrinks bytes") {
+    val decoded = decode(mediaFixture).collect().map(d => d.mediaId -> d).toMap
+    val resized = resize(mediaFixture, maxSide = 256).collect()
+    assert(resized.length === 20)
+    resized.foreach { r =>
+      val d = decoded(r.mediaId)
+      assert(math.max(r.width, r.height) <= 256)
+      val origRatio = d.width.toDouble / d.height
+      val newRatio = r.width.toDouble / r.height
+      assert(math.abs(origRatio - newRatio) / origRatio < 0.05)
+      assert(r.bytes.length <= (1000 + r.mediaId.toInt * 37))
+    }
+    // deterministic across partitionings
+    val again = resize(spread(mediaFixture, 2), maxSide = 256).collect()
+      .sortBy(_.mediaId)
+    assert(resized.sortBy(_.mediaId).map(_.bytes.toSeq).toSeq
+      === again.map(_.bytes.toSeq).toSeq)
+  }
+
   test("frame sampling slices only videos, evenly spaced") {
     val frames = sampleFrames(mediaFixture, nFrames = 4, frameBytes = 100).collect()
     val videos = mediaFixture.collect().filter(_.kind == "video")
