@@ -65,6 +65,8 @@ class Agent(
 
   private val runner = new QueryRunner(spark, rowLimit)
 
+  /** Regenerate with feedback appended (reference `chain.py:42-55`;
+    * the reduced row limit 100 is the reference's constant). */
   private def refine(question: String, feedback: String): String = {
     val hint =
       s"\nConstraints: Fix issue -> $feedback. Keep it a single safe " +
@@ -99,13 +101,22 @@ class Agent(
       md
     }
 
+    // refinement generations count toward gen_ms too (the reference
+    // times every nl_to_sql call, chat.py:88-154)
+    def refineTimed(q: String, fb: String): String = {
+      val t0 = System.nanoTime()
+      val md = refine(q, fb)
+      genMs += (System.nanoTime() - t0) / 1000000
+      md
+    }
+
     var draftMd = generate(question, rowLimit)
     var sql = SqlGuard.extractSqlFromMarkdown(draftMd)
     val (ok0, reason0) = SqlGuard.isSafe(sql)
     if (!ok0) {
       candidates :+= CandidateSql(sql, s"blocked: $reason0")
       retries += 1
-      draftMd = refine(question, s"unsafe: $reason0")
+      draftMd = refineTimed(question, s"unsafe: $reason0")
       sql = SqlGuard.extractSqlFromMarkdown(draftMd)
     }
 
@@ -117,7 +128,7 @@ class Agent(
       if (!ok) {
         candidates :+= CandidateSql(sql, s"blocked: $reason")
         retries += 1
-        draftMd = refine(question, s"unsafe: $reason")
+        draftMd = refineTimed(question, s"unsafe: $reason")
         sql = SqlGuard.extractSqlFromMarkdown(draftMd)
       } else {
         try {
@@ -133,7 +144,7 @@ class Agent(
           } else if (res.rows.isEmpty) {
             lastError = Some("empty")
             retries += 1
-            draftMd = refine(question,
+            draftMd = refineTimed(question,
               "empty result, add broader filters or remove overly strict predicates")
             sql = SqlGuard.extractSqlFromMarkdown(draftMd)
           }
@@ -152,7 +163,7 @@ class Agent(
             candidates :+= CandidateSql(sql, s"error:$msg")
             Metrics.inc("ai_errors_total", Map("stage" -> "execute"))
             retries += 1
-            draftMd = refine(question, s"execution error: $msg")
+            draftMd = refineTimed(question, s"execution error: $msg")
             sql = SqlGuard.extractSqlFromMarkdown(draftMd)
         }
       }
@@ -166,8 +177,13 @@ class Agent(
         chosenSql = c.sql
         rows = Seq.empty
       }
-      if (chosenSql.isEmpty && candidates.nonEmpty)
+      if (chosenSql.isEmpty && candidates.nonEmpty) {
         chosenSql = candidates.last.sql
+        // a blocked-only run must not masquerade as a clean answer
+        if (lastError.isEmpty &&
+            candidates.last.reason.startsWith("blocked"))
+          lastError = Some(candidates.last.reason)
+      }
     }
 
     Metrics.observeMs("ai_sql_generation_ms", genMs)

@@ -44,7 +44,9 @@ class QueryRunner(
       (plan, preview(df))
     }
     val ms = (System.nanoTime() - t0) / 1000000
-    Metrics.observeMs("ai_sql_exec_ms", ms)
+    // NB: no metrics here — the agent route aggregates and observes
+    // ai_sql_exec_ms once per request (reference `chat.py:173`);
+    // observing per-query too would double-count.
     QueryResult(sql, planText, rows, ms)
   }
 
