@@ -58,6 +58,32 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming data-quality monitor: per-window counts of DQ rule
+    * violations (not_null on user_id, range on value) over the live
+    * event stream — the continuous form of the batch DQ engine's R1/R3
+    * (`graft.dq`). A watermark bounds state; emitted windows carry the
+    * violation counts and a passed flag per rule, ready for an
+    * alerting sink. */
+  def dqMonitor(events: DataFrame,
+      valueLo: Double = 0.0, valueHi: Double = 400.0,
+      watermark: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("user_id").isNull.cast("long")).as("null_user_ids"),
+        sum((col("value") < valueLo || col("value") > valueHi)
+          .cast("long")).as("range_violations"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_events"),
+        col("null_user_ids"),
+        (col("null_user_ids") === 0).as("not_null_passed"),
+        col("range_violations"),
+        (col("range_violations") === 0).as("range_passed"))
+
   /** Gap-based sessionization: one state record per user; a session
     * closes when the event-time watermark passes `gapMinutes` past its
     * last event (or when a new in-batch event arrives after the gap).

@@ -68,6 +68,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DQ monitor flags violations per finalized window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = dqMonitor(
+        src.toDF().withColumnRenamed("userId", "user_id"),
+        valueLo = 0.0, valueHi = 100.0)
+      .writeStream.format("memory").queryName("dq_mon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        Event(1, 1, "view", 5.0, ts(5)),
+        Event(2, 2, "view", 500.0, ts(20)), // range violation
+        Event(3, 3, "view", 50.0, ts(40)))
+      q.processAllAvailable()
+      src.addData(ev(4, 9, 60 * 5)) // advance watermark, close hour 0
+      q.processAllAvailable()
+      src.addData(ev(5, 9, 60 * 10))
+      q.processAllAvailable()
+      // window start = hour floor of the first event's time
+      val w0 = spark.table("dq_mon").collect()
+        .filter(_.getAs[Timestamp]("window_start") === new Timestamp(1699999200000L))
+      assert(w0.length === 1)
+      assert(w0(0).getAs[Long]("n_events") === 3)
+      assert(w0(0).getAs[Long]("range_violations") === 1)
+      assert(!w0(0).getAs[Boolean]("range_passed"))
+      assert(w0(0).getAs[Boolean]("not_null_passed"))
+    } finally q.stop()
+  }
+
   test("windowed transform works unchanged on a batch frame") {
     import spark.implicits._
     val batch = Seq(ev(1, 1, 5), ev(2, 2, 10), ev(3, 3, 70)).toDF()
