@@ -188,7 +188,9 @@ object Relational extends graft.Registry {
       .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"), col("c_custkey"), col("spend"))
-      .withColumn("rn", row_number().over(w))
+      // long, not int: DuckDB ROW_NUMBER() is BIGINT and the driver
+      // hashes typed values, so the rank column must match width
+      .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 3)
       .orderBy("nation", "rn")
   }

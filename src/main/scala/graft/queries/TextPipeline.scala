@@ -43,6 +43,18 @@ object TextPipeline extends graft.Registry {
   private val MaxHamming = 7
   private val JaccardThreshold = 0.8
   private val EstSimThreshold = 0.5
+  // Document-frequency cap for the Jaccard candidate join: a shingle
+  // present in more than this many documents (site boilerplate,
+  // license headers — think "terms of service" with df = 10⁶) is
+  // dropped BEFORE the shingle self-join, because its contribution to
+  // the join is df² candidate rows on one key — a single hot shingle
+  // would put a 10¹²-pair partition on one executor. Ubiquitous
+  // shingles carry no dedup signal, so sizes and intersections are
+  // both computed over the capped index (consistent Jaccard over
+  // discriminative shingles). Testdata max df is 25 (measured at
+  // sf0.1), so results are identical to the uncapped form there; a
+  // production corpus would tune this toward a corpus fraction.
+  private[queries] val MaxShingleDf = 1000L
 
   /** Stopword list for quality scoring (generic English function
     * words; 'the'/'in'/'on' overlap the testdata vocabulary). */
@@ -82,8 +94,10 @@ object TextPipeline extends graft.Registry {
         count(lit(1)).as("n_docs"),
         sum("n_tok").as("total_tokens"),
         sum("n_sub").as("total_subtokens"),
-        min("n_tok").as("min_tokens"),
-        max("n_tok").as("max_tokens"),
+        // long, not int: DuckDB len() is BIGINT, so the oracle's
+        // MIN/MAX are int64 — match the width exactly.
+        min("n_tok").cast("long").as("min_tokens"),
+        max("n_tok").cast("long").as("max_tokens"),
         (sum("n_tok").cast("double") / count(lit(1))).as("avg_tokens"),
         percentile(col("n_tok").cast("double"), lit(0.5)).as("p50_tokens"))
       .orderBy("lang")
@@ -95,12 +109,14 @@ object TextPipeline extends graft.Registry {
     docs(s, dir)
       .select(
         col("doc_id"), col("lang"),
-        length(col("text")).as("n_chars_calc"),
+        // long, not int: DuckDB length()/len() are BIGINT and the
+        // driver hashes typed values — match the width exactly
+        length(col("text")).cast("long").as("n_chars_calc"),
         split(col("text"), " ").as("t"))
       .select(
         col("doc_id"), col("lang"),
         col("n_chars_calc"),
-        size(col("t")).as("n_tokens"),
+        size(col("t")).cast("long").as("n_tokens"),
         expr(s"size(filter(t, x -> x IN ($inList)))").as("n_stopwords"))
       .select(
         col("doc_id"), col("lang"),
@@ -211,10 +227,18 @@ object TextPipeline extends graft.Registry {
   /** N-gram Jaccard near-dup pairs via inverted shingle index: explode
     * distinct shingles, self-join on shingle (candidate pairs share at
     * least one), count intersections, Jaccard = |∩| / (|A|+|B|−|∩|).
-    * Never O(n²): work is Σ df(shingle)² over the index, and the join
-    * keys on shingle so it hash-distributes. */
-  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleIndex(s, dir).select("doc_id", "shingle")
+    * Never O(n²): work is Σ df(shingle)² over the index, the join
+    * keys on shingle so it hash-distributes, and shingles hotter than
+    * `dfCap` docs are dropped first so no single key can concentrate
+    * df² pairs on one partition (see [[MaxShingleDf]]). The hot-
+    * shingle list is tiny by construction → broadcast anti-join. */
+  def dedupJaccard(s: SparkSession, dir: String,
+      dfCap: Long = MaxShingleDf): DataFrame = {
+    val shAll = shingleIndex(s, dir).select("doc_id", "shingle")
+    val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap)
+      .select("shingle")
+    val sh = shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -359,7 +383,7 @@ object TextPipeline extends graft.Registry {
     val scored = qualityBase(s, dir)
     val w = Window.partitionBy("lang").orderBy(desc("quality_score"), col("doc_id"))
     scored
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 20)
       .select("lang", "rn", "doc_id", "quality_score")
       .orderBy("lang", "rn")
@@ -438,6 +462,15 @@ object TextPipeline extends graft.Registry {
   // DuckDB oracles — generated from the SAME constants as the Spark
   // queries (TextPrep.MinHashAB etc.), so both sides stay in lockstep.
 
+  /** Oracle mirror of the df-cap: `shf` = `sh` minus shingles hotter
+    * than [[MaxShingleDf]] docs (td06/td09 compute over `shf`). */
+  private def cappedShinglesSqlCte: String =
+    s"""shf AS (
+       |  SELECT doc_id, shingle FROM sh
+       |  WHERE shingle NOT IN (
+       |    SELECT shingle FROM sh GROUP BY shingle
+       |    HAVING COUNT(*) > $MaxShingleDf))""".stripMargin
+
   private def minhashSigSql: String = {
     val mh = (0 until NumHashes)
       .map(i => s"MIN(${permSql(i, "h")}) AS mh$i").mkString(",\n         ")
@@ -450,8 +483,8 @@ object TextPipeline extends graft.Registry {
   def oracleSql: Map[String, String] = Map(
     "td01_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
-        |       SUM(n_tok) AS total_tokens,
-        |       SUM(n_sub) AS total_subtokens,
+        |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_sub) AS BIGINT) AS total_subtokens,
         |       MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
         |       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
         |       quantile_cont(CAST(n_tok AS DOUBLE), 0.5) AS p50_tokens
@@ -519,10 +552,11 @@ object TextPipeline extends graft.Registry {
         |FROM documents""".stripMargin,
     "td06_dedup_jaccard" ->
       s"""WITH $shinglesSqlCte,
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |$cappedShinglesSqlCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-         |  FROM sh a JOIN sh b
+         |  FROM shf a JOIN shf b
          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b, n_common,
@@ -562,7 +596,7 @@ object TextPipeline extends graft.Registry {
     },
     "td10_sample_strata" ->
       s"""SELECT lang, COUNT(*) AS n_sampled,
-         |       SUM(LENGTH(text)) AS sampled_chars
+         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS sampled_chars
          |FROM documents
          |WHERE ${h32Sql("text")} % 100 < 10
          |GROUP BY lang ORDER BY lang""".stripMargin,
@@ -608,10 +642,11 @@ object TextPipeline extends graft.Registry {
          |ORDER BY s.doc_id""".stripMargin,
     "td09_dedup_components" ->
       s"""WITH RECURSIVE $shinglesSqlCte,
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |$cappedShinglesSqlCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-         |  FROM sh a JOIN sh b
+         |  FROM shf a JOIN shf b
          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id),
          |jpairs AS (

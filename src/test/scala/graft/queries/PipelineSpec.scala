@@ -64,7 +64,7 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0))
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
     assert(byQuery.forall { case (_, rs) =>
-      rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 3)
+      rs.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to 3L)
     })
   }
 
@@ -94,6 +94,32 @@ class PipelineSpec extends SparkSpec {
       val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
       brute.get(key).foreach(c => assert(c === r.getAs[Double]("cos")))
     }
+  }
+
+  test("LSH near-dup pairs are a subset of brute force with identical scores") {
+    val brute = VectorPipeline.nearDup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cos")).toMap
+    val lsh = VectorPipeline.nearDupLsh(spark, dir).collect()
+    assert(lsh.nonEmpty, "banded LSH must surface near-dup pairs")
+    // Banding only prunes candidates — every surviving pair must exist
+    // in the exact all-pairs result with a bit-identical cosine.
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(brute.contains(key), s"LSH emitted non-near-dup pair $key")
+      assert(brute(key) === r.getAs[Double]("cos"))
+    }
+    assert(lsh.length <= brute.size)
+  }
+
+  test("jaccard df-cap drops hot shingles from the candidate join") {
+    // cap 0 drops every shingle → no candidates at all
+    assert(TextPipeline.dedupJaccard(spark, dir, dfCap = 0L).isEmpty)
+    // a cap far above the corpus df ceiling changes nothing vs default
+    val capped = TextPipeline.dedupJaccard(spark, dir).collect().toSeq
+    val loose =
+      TextPipeline.dedupJaccard(spark, dir, dfCap = Long.MaxValue).collect().toSeq
+    assert(capped === loose)
   }
 
   test("language-ID confusion matrix covers every document") {

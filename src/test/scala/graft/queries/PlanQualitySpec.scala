@@ -56,4 +56,18 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan(Relational.topNPerGroup(spark, dir))
     assert(p.contains("WindowGroupLimit"))
   }
+
+  test("embedding near-dup (v03): banded equijoin, never a nested-loop cross join") {
+    val p = plan(VectorPipeline.nearDupLsh(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "near-dup candidates must come from the LSH band equijoin")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("vec_dot"), "exact rescoring uses the native kernel")
+  }
+
+  test("jaccard dedup (td06): hot-shingle cap is a broadcast anti-join") {
+    val p = plan(TextPipeline.dedupJaccard(spark, dir))
+    assert(p.contains("LeftAnti, BuildRight"),
+      "df-cap filter must broadcast the (tiny) hot-shingle list")
+  }
 }

@@ -6,9 +6,11 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json in DuckDB over the
 parquet tables in <sfDir>, and compares: schema (sorted column names),
-row count, and cell values (exact for non-floats; floats must match to
-1e-9 relative — flagged loudly if not bitwise, since the driver may
-hash raw values).
+column TYPES (the driver hashes typed values, so INT64 vs HUGEINT or
+INT32 vs INT64 is a real mismatch even when the values print the same
+— this is exactly how td01/td10 slipped past round 1), row count, and
+cell values (exact for non-floats; floats must match bitwise, since
+the driver may hash raw values).
 
 Dev tool only — the Scala library has no Python dependency.
 """
@@ -57,6 +59,17 @@ def main():
         if scols != ocols:
             status = "FAIL"
             notes.append(f"schema: spark={scols} oracle={ocols}")
+            ora_rows = None
+        elif (stypes := [str(t) for _, t in
+                         sorted(zip(spark_rel.columns, spark_rel.types))]) != \
+             (otypes := [str(t) for _, t in
+                         sorted(zip(ora_rel.columns, ora_rel.types))]):
+            # Typed comparison: the driver hashes (type, value); HUGEINT
+            # vs BIGINT or INT vs BIGINT fails there even when values
+            # compare equal here.
+            status = "FAIL"
+            notes.append(f"types: spark={list(zip(scols, stypes))} "
+                         f"oracle={list(zip(ocols, otypes))}")
             ora_rows = None
         else:
             ora_rows = con.sql(
