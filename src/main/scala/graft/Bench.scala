@@ -55,22 +55,50 @@ object Bench {
     // them for executor memory (sfDir cache entries don't exist yet).
     spark.catalog.clearCache()
 
+    // Per-query median of `Runs` back-to-back executions: single-run
+    // numbers on this shared host swing ±30% (GC, noisy neighbors), so
+    // one sample cannot distinguish a regression from noise. The first
+    // run also absorbs any one-time shared-index materialization; the
+    // median reports the steady state. A query that throws is retried
+    // no further, reported as null in the per-query map, listed in
+    // errors, and EXCLUDED from the total — a fast crash must not
+    // deflate (nor a slow one inflate) the headline number.
+    val Runs = 3
     var errors = Vector.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          errors :+= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      var failed = false
+      val times = (1 to Runs).flatMap { _ =>
+        if (failed) None
+        else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              failed = true
+              errors :+= name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              None
+          }
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (failed) None else Some(times.sorted.apply(times.size / 2)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs_per_query":$Runs,"sf":"$sfDir"}"""
+    // stdout (unprefixed — build.sbt routes forked stdout verbatim);
+    // mirrored to a file when SPARK_GRAFT_BENCH_OUT is set so the
+    // driver can read the result without scraping logs at all.
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -45,9 +45,24 @@ object DqEngine {
   private def numCoerce(name: String) =
     qcol(name).try_cast("double")
 
-  /** Evaluate all rules over `df` in at most two aggregation jobs. */
+  /** Evaluate all rules over `df` in at most two aggregation jobs.
+    * When anomaly rules are present the second job re-scans `df` for
+    * outlier counts; on an uncached non-deterministic input the rows
+    * counted in job 2 could differ from the ones job 1 computed stats
+    * over, so the frame is pinned for the two-job window unless the
+    * caller already cached it ([[runChecks]] does). */
   def evaluate(df: DataFrame, rules: Seq[Rule],
                now: Instant = Instant.now()): Seq[RuleResult] = {
+    val mustCache =
+      rules.exists(_.isInstanceOf[AnomalyRule]) &&
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (mustCache) df.persist()
+    try evaluateImpl(df, rules, now)
+    finally if (mustCache) df.unpersist()
+  }
+
+  private def evaluateImpl(df: DataFrame, rules: Seq[Rule],
+                           now: Instant): Seq[RuleResult] = {
     val known = rules.filter(!_.isInstanceOf[UnknownRule])
 
     // Job 1: every rule contributes aggregate columns to one wide agg;

@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.plans.logical.{Command, GlobalLimit, Limit, LocalLimit, LogicalPlan, Subquery}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, Distinct, GlobalLimit, Limit, LocalLimit, LogicalPlan, Project, Sort, Subquery, UnresolvedWith}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Plan-level auto-LIMIT (SURVEY.md §4; reference appends `LIMIT 200`
@@ -25,16 +25,29 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 class AutoLimitRule(rows: Int) extends Rule[LogicalPlan] {
 
-  private def hasLimit(plan: LogicalPlan): Boolean =
-    plan.collectFirst {
-      case _: GlobalLimit => ()
-      case _: LocalLimit => ()
-    }.isDefined
+  /** A limit counts as the USER's only when it bounds the statement's
+    * output — i.e. it sits at the plan root or under wrappers that
+    * preserve cardinality-bounding (Sort/Project/Distinct, or the main
+    * branch of a WITH). A `LIMIT` inside an IN/EXISTS subquery or a
+    * derived table bounds only that subtree, so scanning the whole
+    * tree (`collectFirst`) would wrongly suppress the cap on an
+    * unbounded outer query like
+    * `SELECT * FROM t WHERE id IN (SELECT id FROM u LIMIT 1)`.
+    */
+  @annotation.tailrec
+  private def userLimited(plan: LogicalPlan): Boolean = plan match {
+    case _: GlobalLimit | _: LocalLimit => true
+    case s: Sort => userLimited(s.child)
+    case p: Project => userLimited(p.child)
+    case d: Distinct => userLimited(d.child)
+    case w: UnresolvedWith => userLimited(w.child)
+    case _ => false
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case c: Command => c
     case s: Subquery => s
-    case p if hasLimit(p) => p
+    case p if userLimited(p) => p
     case p => Limit(Literal(rows), p)
   }
 }

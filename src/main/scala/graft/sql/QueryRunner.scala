@@ -20,9 +20,12 @@ class QueryRunner(
   /** Raised when [[queryTimeoutMs]] elapses mid-query. The reference
     * CONFIGURED `sql.query_timeout_ms` (8000) but never enforced it
     * (`src/config.py:92` has no call site); here enforcement is real:
-    * the query runs under a job group that a watchdog cancels. */
-  final case class QueryTimeoutError(ms: Long)
-      extends Exception(s"query exceeded ${ms}ms and was cancelled")
+    * the query runs under a job group that a watchdog cancels. Carries
+    * the underlying exception as its cause — a genuine analysis or
+    * execution error racing the timer must stay diagnosable, not be
+    * masked by the timeout wrapper. */
+  final case class QueryTimeoutError(ms: Long, underlying: Throwable)
+      extends Exception(s"query exceeded ${ms}ms and was cancelled", underlying)
 
   private val autoLimit = new AutoLimitRule(rowLimit)
 
@@ -69,7 +72,8 @@ class QueryRunner(
     }, queryTimeoutMs)
     try body
     catch {
-      case e: Exception if timedOut.get() => throw QueryTimeoutError(queryTimeoutMs)
+      case e: Exception if timedOut.get() =>
+        throw QueryTimeoutError(queryTimeoutMs, e)
     } finally {
       watchdog.cancel()
       sc.clearJobGroup()

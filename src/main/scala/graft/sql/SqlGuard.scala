@@ -23,7 +23,12 @@ object SqlGuard {
   final case class IncorrectQuestionError(message: String)
       extends Exception(message)
 
-  private val SelectOnly = "(?is)^\\s*SELECT\\b".r
+  // Accepts a leading WITH as well as SELECT: CTEs are a legal
+  // read-only shape LLM providers commonly emit, and the parse-level
+  // Command rejection below (stronger than any prefix regex) is what
+  // actually guarantees read-only-ness. The reference's SELECT-only
+  // prefix gate would burn agent refine steps on safe CTE SQL.
+  private val SelectOnly = "(?is)^\\s*(SELECT|WITH)\\b".r
   private val Forbidden =
     "(?i)\\b(INSERT|UPDATE|DELETE|CREATE|DROP|ALTER|ATTACH|COPY|PRAGMA|EXPORT|IMPORT)\\b".r
   private val SqlBlock = "(?is)```sql(.*?)```".r

@@ -16,6 +16,8 @@ class SqlGuardSpec extends SparkSpec {
     assert(SqlGuard.validate(spark, "SELECT 1 AS x") === "SELECT 1 AS x")
     assert(SqlGuard.validate(spark,
       "select x from (select 1 as x)") === "select x from (select 1 as x)")
+    val cte = "WITH x AS (SELECT 1 AS a) SELECT a FROM x"
+    assert(SqlGuard.validate(spark, cte) === cte)
   }
 
   test("validate rejects non-SELECT and forbidden keywords") {
@@ -31,8 +33,12 @@ class SqlGuardSpec extends SparkSpec {
   test("isSafe mirrors the reference gates (query.http malicious case)") {
     assert(SqlGuard.isSafe("SELECT * FROM t")._1)
     assert(SqlGuard.isSafe("DELETE FROM t") === (false, "forbidden keyword"))
-    assert(SqlGuard.isSafe("WITH x AS (SELECT 1) SELECT * FROM x")
-      === (false, "only SELECT allowed")) // reference anchors ^SELECT
+    // Deliberate deviation from the reference's ^SELECT anchor: CTEs
+    // are read-only and common LLM output; the parse-level Command
+    // rejection (validate) is what enforces safety.
+    assert(SqlGuard.isSafe("WITH x AS (SELECT 1) SELECT * FROM x")._1)
+    assert(SqlGuard.isSafe("WITH x AS (SELECT 1) DELETE FROM t")
+      === (false, "forbidden keyword"))
     assert(SqlGuard.isSafe("SELECT 1; SELECT 2") === (false, "multiple statements"))
     assert(SqlGuard.isSafe("SELECT 1 /* DROP */") === (false, "forbidden keyword"))
     assert(SqlGuard.isSafe("SELECT 1 /* hidden */") === (false, "block comments not allowed"))
@@ -59,6 +65,19 @@ class SqlGuardSpec extends SparkSpec {
     assert(rule(parsed("SELECT 'limit 5' AS s FROM t")).isInstanceOf[GlobalLimit])
     val cmd = parsed("DROP TABLE t")
     assert(rule(cmd) eq cmd)
+    // a LIMIT that bounds only a subtree must NOT suppress the cap on
+    // an unbounded outer query
+    assert(rule(parsed("SELECT * FROM t WHERE id IN (SELECT id FROM u LIMIT 1)"))
+      .isInstanceOf[GlobalLimit])
+    assert(rule(parsed("SELECT * FROM (SELECT * FROM t LIMIT 5) d"))
+      .isInstanceOf[GlobalLimit])
+    assert(rule(parsed("WITH c AS (SELECT * FROM t LIMIT 5) SELECT * FROM c"))
+      .isInstanceOf[GlobalLimit])
+    // root-adjacent user limits (under ORDER BY / WITH main branch) hold
+    val sorted = parsed("SELECT * FROM t ORDER BY x LIMIT 9")
+    assert(rule(sorted) eq sorted)
+    val cteLimited = parsed("WITH c AS (SELECT * FROM t) SELECT * FROM c LIMIT 3")
+    assert(rule(cteLimited) eq cteLimited)
   }
 
   test("QueryRunner caps unlimited queries, respects user limits and subqueries") {
