@@ -1,0 +1,352 @@
+package graft.http
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.{Catalog, SchemaDocs}
+import graft.chat.{Agent, NlToSql, StubNlToSql}
+import graft.dbt.{DbtGenerator, DbtModelGen, StubDbtModelGen}
+import graft.dq.{AnomalyRule, DqEngine, FreshnessRule, NotNullRule, RangeRule, Rule, UniqueRule, UnknownRule}
+import graft.metrics.Metrics
+import graft.sql.SqlGuard.IncorrectQuestionError
+
+/** Thin HTTP façade over the engine services (reference
+  * `src/main.py:28-50`, `src/route/chat.py:41-341`,
+  * `src/route/namespace.py:28-85`): same endpoints, same response
+  * shapes (`{sql, plan, rows}`, `{passed, results, markdown_report,
+  * sample_rows}`, …), no framework — the JDK's built-in
+  * `com.sun.net.httpserver` plus the Jackson that already ships with
+  * Spark, so the parity surface stays visible without any new
+  * dependency or network egress. Heavy lifting all happens in the
+  * engine classes this wraps; handlers only translate JSON ↔ calls.
+  *
+  * Deliberately NOT in scope (reference features that require the
+  * network): LLM provider adapters (the injected [[NlToSql]] decides),
+  * GitHub PR automation, Prefect orchestration.
+  */
+class HttpFacade(
+    spark: SparkSession,
+    provider: NlToSql = new StubNlToSql,
+    dbtGen: DbtModelGen = new StubDbtModelGen,
+    catalog: Option[Catalog] = None,
+    dbtRoot: () => Path = () => Files.createTempDirectory("graft-dbt"),
+    schemaDocsPath: String = "db/schema_docs.md",
+    rowLimit: Int = 200) {
+
+  private val mapper = new ObjectMapper()
+  private lazy val schemaDocs = SchemaDocs.buildMarkdown(spark)
+  private lazy val agent = new Agent(spark, provider, schemaDocs, rowLimit)
+
+  private var server: HttpServer = _
+
+  /** Bound port after [[start]] (useful with port=0 in tests). */
+  def port: Int = server.getAddress.getPort
+
+  def start(portWanted: Int = 0): Unit = synchronized {
+    require(server == null, "already started")
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", portWanted), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null) // single-threaded like the reference's 1 worker
+    server.start()
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  // ------------------------------------------------------------ dispatch
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath.stripSuffix("/") match {
+      case "" => "/"
+      case p => p
+    }
+    val body =
+      try new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      catch { case NonFatal(_) => "" }
+    val (status, contentType, payload) =
+      try route(method, path, body)
+      catch {
+        case IncorrectQuestionError(m) => (400, "application/json", detail(m))
+        case e: IllegalArgumentException =>
+          (400, "application/json", detail(Option(e.getMessage).getOrElse("bad request")))
+        case NonFatal(e) =>
+          (500, "application/json",
+            detail(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      }
+    val bytes = payload.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private val NamespaceId = "^/namespace/(\\d+)$".r
+  private val NamespaceTables = "^/namespace/(\\d+)/table$".r
+
+  private def route(method: String, path: String,
+      body: String): (Int, String, String) = (method, path) match {
+    case ("GET", "/health") => okJson(obj("status" -> "ok"))
+    case ("GET", "/description") =>
+      okJson(obj("message" -> "Here will be a description of database"))
+    case ("GET", "/schema") =>
+      okJson(obj("schema_markdown" -> SchemaDocs.buildMarkdown(spark)))
+    case ("POST", "/schema/refresh") =>
+      val written = SchemaDocs.writeSchemaDocs(spark, schemaDocsPath)
+      okJson(obj(
+        "schema_docs_path" -> written,
+        "size_bytes" -> Files.size(java.nio.file.Paths.get(written))))
+    case ("GET", "/metrics") =>
+      (200, "text/plain; version=0.0.4; charset=utf-8", Metrics.exportPrometheus())
+    case ("POST", "/chat") => chat(parse(body))
+    case ("POST", "/chat/agent") => chatAgent(parse(body))
+    case ("POST", "/dq/profile") => dqProfile(parse(body))
+    case ("POST", "/dq/check") => dqCheck(parse(body))
+    case ("POST", "/dbt/generate") => dbtGenerate(parse(body))
+    case ("POST", "/dbt/preview") => dbtPreview(parse(body))
+    case ("GET", "/namespace") => nsList()
+    case ("POST", "/namespace") => nsCreate(parse(body))
+    case ("GET", NamespaceId(id)) => nsGet(id.toLong)
+    case ("DELETE", NamespaceId(id)) => nsDelete(id.toLong)
+    case ("GET", NamespaceTables(id)) => nsTables(id.toLong)
+    case ("POST", NamespaceTables(id)) => nsCreateTable(id.toLong, parse(body))
+    case _ => (404, "application/json", detail("Not Found"))
+  }
+
+  // ------------------------------------------------------------- handlers
+
+  /** `POST /chat` → `{sql, plan, rows}` (reference `chat.py:41-53`). */
+  private def chat(in: JsonNode): (Int, String, String) = {
+    val res = agent.chat(reqString(in, "question"))
+    okJson(obj("sql" -> res.sql, "plan" -> res.plan,
+      "rows" -> rawRows(res.rows)))
+  }
+
+  /** `POST /chat/agent` → `{plan, candidates, chosen_sql, rows,
+    * explain, telemetry}` (reference `chat.py:75-184`). */
+  private def chatAgent(in: JsonNode): (Int, String, String) = {
+    val maxSteps = optInt(in, "max_steps").getOrElse(2)
+    val r = agent.run(reqString(in, "question"), maxSteps)
+    val cands = arr(r.candidates.map(c => obj("sql" -> c.sql, "reason" -> c.reason)))
+    val telemetry = obj(r.telemetry.toSeq.sortBy(_._1).map {
+      case (k, v) => k -> (v: Any)
+    }: _*)
+    r.lastError.foreach(e => telemetry.put("last_error", e))
+    okJson(obj(
+      "plan" -> r.plan, "candidates" -> cands, "chosen_sql" -> r.chosenSql,
+      "rows" -> rawRows(r.rows), "explain" -> r.explain,
+      "telemetry" -> telemetry))
+  }
+
+  /** Resolve + sample a table like the reference's S4 scan
+    * (`src/dq.py:18-28`): `table` is a catalog/view identifier, the
+    * optional predicate and clamped limit bound the scan. */
+  private def sampled(in: JsonNode, limitField: String): DataFrame = {
+    val table = reqString(in, "table")
+    val limit = optInt(in, limitField).getOrElse(10000)
+    val clamped = math.max(1, math.min(limit, 200000))
+    val base = spark.table(table)
+    optString(in, "where").foldLeft(base)((d, p) => d.where(p)).limit(clamped)
+  }
+
+  /** `POST /dq/profile` → `{profile, sample_rows}` (reference
+    * `chat.py:289-297`). */
+  private def dqProfile(in: JsonNode): (Int, String, String) = {
+    Metrics.inc("dq_requests_total", Map("route" -> "profile"))
+    val df = sampled(in, "limit").cache()
+    try {
+      val prof = graft.dq.Profiler.profile(df)
+      okJson(obj(
+        "profile" -> obj(prof.map(p => p.column -> (profileJson(p): Any)): _*),
+        "sample_rows" -> rawRows(df.limit(20).toJSON.collect().toSeq)))
+    } finally df.unpersist()
+  }
+
+  /** `POST /dq/check` → `{passed, results, markdown_report,
+    * sample_rows}` (reference `chat.py:323-341`). */
+  private def dqCheck(in: JsonNode): (Int, String, String) = {
+    val rules = Option(in.get("rules")).map(_.elements())
+      .map(it => Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq)
+      .getOrElse(Nil)
+      .map(parseRule)
+    val df = sampled(in, "sample_limit")
+    val report = DqEngine.runChecks(df, rules,
+      limit = 200000 /* already clamped by sampled() */ )
+    val results = arr(report.results.map(r => obj(
+      "rule" -> r.rule, "column" -> r.column, "passed" -> r.passed,
+      "details" -> obj(r.details.toSeq.sortBy(_._1).map {
+        case (k, v) => k -> (v: Any)
+      }: _*))))
+    okJson(obj(
+      "passed" -> report.passed, "results" -> results,
+      "markdown_report" -> report.markdown,
+      "sample_rows" -> rawRows(df.limit(50).toJSON.collect().toSeq)))
+  }
+
+  /** Reference `DQRule` dict → [[Rule]] ADT (`src/dq.py:159-170`). */
+  private def parseRule(n: JsonNode): Rule = {
+    val col = optString(n, "column").getOrElse("")
+    optString(n, "type").getOrElse("") match {
+      case "not_null" => NotNullRule(col)
+      case "unique" => UniqueRule(col)
+      case "range" =>
+        RangeRule(col, optDouble(n, "min"), optDouble(n, "max"))
+      case "freshness" =>
+        FreshnessRule(col, optDouble(n, "max_age_hours").getOrElse(24.0))
+      case "anomaly" =>
+        AnomalyRule(col, optDouble(n, "sigma").getOrElse(3.0))
+      case other => UnknownRule(other, col)
+    }
+  }
+
+  /** `POST /dbt/generate` → `{model_name, files, written_paths}`
+    * (reference `chat.py:199-222`). */
+  private def dbtGenerate(in: JsonNode): (Int, String, String) = {
+    val model = DbtGenerator.generate(dbtGen, reqString(in, "question"),
+      optString(in, "model_name"), schemaDocs)
+    val out = obj(
+      "model_name" -> model.modelName,
+      "files" -> obj(model.files.toSeq.map { case (k, v) => k -> (v: Any) }: _*))
+    if (optBool(in, "write").getOrElse(false)) {
+      val written = DbtGenerator.materialize(dbtRoot(), model)
+      out.set[ObjectNode]("written_paths",
+        obj(written.toSeq.map { case (k, v) => k -> (v: Any) }: _*))
+    } else out.putNull("written_paths")
+    okJson(out)
+  }
+
+  /** `POST /dbt/preview` → `{plan, rows}` (reference `chat.py:226-236`). */
+  private def dbtPreview(in: JsonNode): (Int, String, String) = {
+    val res = DbtGenerator.preview(spark, reqString(in, "model_sql"),
+      optInt(in, "limit_override"))
+    okJson(obj("plan" -> res.plan, "rows" -> rawRows(res.rows)))
+  }
+
+  // ------------------------------------------------- namespace CRUD (C1-C4)
+
+  private def cat: Catalog = catalog.getOrElse(
+    throw new IllegalArgumentException("catalog not configured"))
+
+  private def nsJson(ns: graft.catalog.Namespace): ObjectNode = obj(
+    "id" -> ns.id, "name" -> ns.name, "schema_name" -> ns.schemaName,
+    "description" -> ns.description,
+    "created_at" -> ns.createdAt.toString, "updated_at" -> ns.updatedAt.toString)
+
+  private def tblJson(t: graft.catalog.TableEntry): ObjectNode = obj(
+    "id" -> t.id, "namespace_id" -> t.namespaceId, "name" -> t.name,
+    "table_name" -> t.tableName, "file_name" -> t.fileName,
+    "file_size" -> t.fileSize, "is_loaded" -> t.isLoaded)
+
+  private def nsList(): (Int, String, String) = {
+    val all = cat.listNamespaces()
+    okJson(obj(
+      "message" -> (if (all.nonEmpty) "OK" else "No namespaces created"),
+      "namespaces" -> arr(all.map(nsJson))))
+  }
+
+  private def nsCreate(in: JsonNode): (Int, String, String) =
+    okJson(nsJson(cat.createNamespace(
+      reqString(in, "name"), optString(in, "description").getOrElse(""))))
+
+  private def nsGet(id: Long): (Int, String, String) =
+    cat.getNamespace(id) match {
+      case Some(ns) => okJson(nsJson(ns))
+      case None => (404, "application/json", detail(s"namespace $id not found"))
+    }
+
+  private def nsDelete(id: Long): (Int, String, String) =
+    if (cat.deleteNamespace(id)) okJson(obj("message" -> "OK"))
+    else (404, "application/json", detail(s"namespace $id not found"))
+
+  private def nsTables(id: Long): (Int, String, String) = {
+    val ts = cat.listTables(id)
+    okJson(obj(
+      "message" -> (if (ts.nonEmpty) "OK" else "No tables created"),
+      "tables" -> arr(ts.map(tblJson))))
+  }
+
+  private def nsCreateTable(id: Long, in: JsonNode): (Int, String, String) =
+    okJson(tblJson(cat.createTable(id, reqString(in, "name"))))
+
+  // ---------------------------------------------------------- JSON helpers
+
+  private def parse(body: String): JsonNode =
+    try mapper.readTree(if (body.isEmpty) "{}" else body)
+    catch {
+      case NonFatal(_) =>
+        throw new IllegalArgumentException("request body is not valid JSON")
+    }
+
+  private def reqString(n: JsonNode, field: String): String =
+    optString(n, field).getOrElse(
+      throw new IllegalArgumentException(s"missing required field '$field'"))
+
+  private def optString(n: JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText())
+
+  private def optInt(n: JsonNode, f: String): Option[Int] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asInt())
+
+  private def optDouble(n: JsonNode, f: String): Option[Double] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asDouble())
+
+  private def optBool(n: JsonNode, f: String): Option[Boolean] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asBoolean())
+
+  private def obj(fields: (String, Any)*): ObjectNode = {
+    val o = mapper.createObjectNode()
+    fields.foreach { case (k, v) => put(o, k, v) }
+    o
+  }
+
+  private def arr(items: Seq[JsonNode]): ArrayNode = {
+    val a = mapper.createArrayNode()
+    items.foreach(a.add)
+    a
+  }
+
+  /** Result rows arrive as JSON strings (`toJSON`); re-parse so they
+    * embed as objects, not double-encoded strings. */
+  private def rawRows(rows: Seq[String]): ArrayNode =
+    arr(rows.map(mapper.readTree))
+
+  private def put(o: ObjectNode, k: String, v: Any): Unit = v match {
+    case s: String => o.put(k, s)
+    case i: Int => o.put(k, i)
+    case l: Long => o.put(k, l)
+    case d: Double => o.put(k, d)
+    case b: Boolean => o.put(k, b)
+    case n: JsonNode => o.set[ObjectNode](k, n)
+    case null => o.putNull(k)
+    case other => o.put(k, other.toString)
+  }
+
+  private def profileJson(p: graft.dq.ColumnProfile): ObjectNode = {
+    val o = obj("count" -> p.count, "nulls" -> p.nulls, "distinct" -> p.distinct)
+    p.numeric.foreach(s => o.set[ObjectNode]("numeric", obj(
+      "min" -> s.min, "max" -> s.max, "mean" -> s.mean,
+      "std" -> s.stdPop, "p50" -> s.p50, "p95" -> s.p95)))
+    p.timestamp.foreach(t =>
+      o.set[ObjectNode]("timestamp", obj("min" -> t.min, "max" -> t.max)))
+    p.stringLength.foreach(l => o.set[ObjectNode]("string_length", obj(
+      "min_len" -> l.minLen, "max_len" -> l.maxLen, "p95_len" -> l.p95Len)))
+    o.set[ObjectNode]("top_values",
+      arr(p.topValues.map(t => obj("value" -> t.value, "count" -> t.count))))
+    o
+  }
+
+  private def okJson(n: JsonNode): (Int, String, String) =
+    (200, "application/json", mapper.writeValueAsString(n))
+
+  private def detail(msg: String): String =
+    mapper.writeValueAsString(obj("detail" -> msg))
+}

@@ -1,0 +1,191 @@
+package graft.http
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.SparkSpec
+import graft.catalog.Catalog
+
+/** E2E tests over the HTTP façade: real requests through the JDK http
+  * client against the in-process server, asserting the reference's
+  * response shapes (`src/main.py`, `src/route/chat.py`,
+  * `src/route/namespace.py`, examples `query.http`).
+  */
+class HttpFacadeSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private lazy val facade: HttpFacade = {
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val metaDir = Files.createTempDirectory("graft-http-meta").toString
+    val f = new HttpFacade(spark,
+      catalog = Some(new Catalog(spark, metaDir)),
+      schemaDocsPath =
+        Files.createTempDirectory("graft-http-docs").resolve("schema_docs.md").toString)
+    f.start()
+    f
+  }
+
+  private def url(path: String) = s"http://127.0.0.1:${facade.port}$path"
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url(path))).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, json: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url(path)))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def delete(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url(path))).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET /health and /description match the reference") {
+    val h = get("/health")
+    assert(h.statusCode() === 200)
+    assert(mapper.readTree(h.body()).get("status").asText() === "ok")
+    assert(mapper.readTree(get("/description").body()).get("message").asText()
+      .nonEmpty)
+  }
+
+  test("GET /schema returns the markdown docs") {
+    val md = mapper.readTree(get("/schema").body()).get("schema_markdown").asText()
+    assert(md.contains("# Data Warehouse Schema"))
+    assert(md.contains("## orders"))
+  }
+
+  test("POST /chat returns {sql, plan, rows} for the canonical question") {
+    val r = post("/chat", """{"question": "top 5 nations by revenue"}""")
+    assert(r.statusCode() === 200)
+    val n = mapper.readTree(r.body())
+    assert(n.get("sql").asText().toLowerCase.contains("select"))
+    assert(n.get("plan").asText().contains("Physical Plan"))
+    assert(n.get("rows").size() === 5)
+    assert(n.get("rows").get(0).has("nation"))
+    assert(n.get("rows").get(0).has("revenue"))
+  }
+
+  test("POST /chat with an adversarial question returns HTTP 400") {
+    // the stub emits DROP TABLE for this, like a naive LLM would
+    val r = post("/chat", """{"question": "please drop the orders table"}""")
+    assert(r.statusCode() === 400)
+    assert(mapper.readTree(r.body()).has("detail"))
+  }
+
+  test("POST /chat/agent returns the full agent shape") {
+    val r = post("/chat/agent",
+      """{"question": "top 5 nations by revenue", "max_steps": 2}""")
+    assert(r.statusCode() === 200)
+    val n = mapper.readTree(r.body())
+    assert(n.get("chosen_sql").asText().nonEmpty)
+    assert(n.get("candidates").size() >= 1)
+    assert(n.get("rows").size() === 5)
+    assert(n.get("explain").asText().nonEmpty)
+    val t = n.get("telemetry")
+    assert(t.has("gen_ms") && t.has("exec_ms") && t.has("retries"))
+  }
+
+  test("POST /dq/profile returns per-column profile + sample rows") {
+    val r = post("/dq/profile", """{"table": "nation", "limit": 100}""")
+    assert(r.statusCode() === 200)
+    val n = mapper.readTree(r.body())
+    val prof = n.get("profile")
+    assert(prof.has("n_nationkey"))
+    assert(prof.get("n_nationkey").get("count").asLong() > 0)
+    assert(prof.get("n_nationkey").has("numeric"))
+    assert(n.get("sample_rows").size() > 0)
+  }
+
+  test("POST /dq/check mirrors the reference DQCheckOut shape") {
+    val r = post("/dq/check",
+      """{"table": "events", "sample_limit": 500, "rules": [
+        |  {"type": "not_null", "column": "event_id"},
+        |  {"type": "range", "column": "value", "min": -1e12, "max": 1e12},
+        |  {"type": "nonsense", "column": "x"}
+        |]}""".stripMargin)
+    assert(r.statusCode() === 200)
+    val n = mapper.readTree(r.body())
+    // the unknown rule must fail the run (reference `src/dq.py:168-170`)
+    assert(!n.get("passed").asBoolean())
+    assert(n.get("results").size() === 3)
+    val byRule = (0 until 3).map(i => n.get("results").get(i))
+      .map(r => r.get("rule").asText() -> r.get("passed").asBoolean()).toMap
+    assert(byRule("not_null"))
+    assert(byRule("range"))
+    assert(!byRule("nonsense"))
+    assert(n.get("markdown_report").asText().contains("# Data Quality Report"))
+    assert(n.get("sample_rows").size() > 0)
+  }
+
+  test("POST /dbt/generate + /dbt/preview mirror query.http:85-97") {
+    val gen = post("/dbt/generate",
+      """{"question": "user retention cohorts", "model_name": "mart_user_retention", "write": true}""")
+    assert(gen.statusCode() === 200)
+    val g = mapper.readTree(gen.body())
+    assert(g.get("model_name").asText() === "mart_user_retention")
+    assert(g.get("files").has("models/mart_user_retention.sql"))
+    assert(g.get("files").has("models/schema.yml"))
+    assert(g.get("written_paths").has("models/mart_user_retention.sql"))
+
+    val prev = post("/dbt/preview",
+      """{"model_sql": "SELECT 1 AS x", "limit_override": 10}""")
+    assert(prev.statusCode() === 200)
+    val p = mapper.readTree(prev.body())
+    assert(p.get("plan").asText().contains("Physical Plan"))
+    assert(p.get("rows").get(0).get("x").asInt() === 1)
+  }
+
+  test("namespace CRUD over HTTP (C1-C4 shapes)") {
+    val created = post("/namespace",
+      """{"name": "Facade NS", "description": "e2e"}""")
+    assert(created.statusCode() === 200)
+    val ns = mapper.readTree(created.body())
+    assert(ns.get("schema_name").asText() === "facade_ns")
+    val id = ns.get("id").asLong()
+
+    val listed = mapper.readTree(get("/namespace").body())
+    assert(listed.get("message").asText() === "OK")
+    assert(listed.get("namespaces").size() >= 1)
+
+    assert(mapper.readTree(get(s"/namespace/$id").body())
+      .get("schema_name").asText() === "facade_ns")
+
+    val tbl = post(s"/namespace/$id/table", """{"name": "My Table"}""")
+    assert(mapper.readTree(tbl.body()).get("table_name").asText() === "my_table")
+    assert(mapper.readTree(get(s"/namespace/$id/table").body())
+      .get("tables").size() === 1)
+
+    assert(delete(s"/namespace/$id").statusCode() === 200)
+    assert(get(s"/namespace/$id").statusCode() === 404)
+  }
+
+  test("GET /metrics exports prometheus text incl. the reference counters") {
+    val r = get("/metrics")
+    assert(r.statusCode() === 200)
+    assert(r.headers().firstValue("Content-Type").get().startsWith("text/plain"))
+    // /chat and /chat/agent above incremented these
+    assert(r.body().contains("ai_requests_total{route=\"chat\"}"))
+    assert(r.body().contains("ai_requests_total{route=\"agent\"}"))
+    assert(r.body().contains("dq_requests_total"))
+  }
+
+  test("POST /schema/refresh writes the docs file atomically") {
+    val r = post("/schema/refresh", "{}")
+    assert(r.statusCode() === 200)
+    val n = mapper.readTree(r.body())
+    assert(Files.exists(java.nio.file.Paths.get(n.get("schema_docs_path").asText())))
+    assert(n.get("size_bytes").asLong() > 0)
+  }
+
+  test("unknown path is 404, malformed body is 400") {
+    assert(get("/nope").statusCode() === 404)
+    assert(post("/chat", "{not json").statusCode() === 400)
+    assert(post("/chat", "{}").statusCode() === 400) // missing question
+  }
+}
