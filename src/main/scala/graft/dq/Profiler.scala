@@ -13,18 +13,29 @@ import org.apache.spark.sql.types._
   *  - ONE melt → groupBy → window pass computes top-k value counts for
   *    ALL profiled columns together, instead of one job per column.
   *
-  * Intended for the BOUNDED samples runChecks feeds it (≤ 200 000
-  * rows): the N-column distinct counts in one agg make Catalyst
-  * Expand-multiply the sample (N+1)× before its shuffle, which is fine
-  * at sample scale but would be the first thing to break on a full
-  * table — full-table profiling should go per-column (see
-  * DqQueries.p1Counts for that shape).
+  * Two accuracy modes (the 100 TB cliff SURVEY §2.8 flags):
   *
-  * Pandas-parity semantics: nulls are excluded from distinct, stats
-  * and top-k (`dropna()` throughout the reference); std is population
-  * std (`ddof=0`, `src/dq.py:56`); percentiles are exact with linear
-  * interpolation (pandas default = DuckDB `quantile_cont` = Spark
-  * `percentile`).
+  *  - `exact = true` (default; what [[DqEngine.runChecks]] uses on its
+  *    BOUNDED ≤ 200 000-row samples and what the oracle queries pin):
+  *    exact interpolated `percentile` and exact `count_distinct`. The
+  *    N-column exact distincts make Catalyst Expand-multiply the input
+  *    (N+1)× before the shuffle, and exact percentile buffers every
+  *    value per partition — both fine at sample scale, both the first
+  *    thing to break on a full table.
+  *  - `exact = false` ([[profileFull]]): sketch-based
+  *    `approx_percentile` (rank error ≤ 1/accuracy of the row count,
+  *    so the default 10 000 bounds p50/p95 to ±0.01% of ranks; returns
+  *    an actual data value, not an interpolation) and HyperLogLog++
+  *    `approx_count_distinct` (relative sd 5% default, exact at small
+  *    cardinalities, no Expand — the agg stays a single partial-merge
+  *    pass). This is the mode a full-table profile on a cluster should
+  *    run; the memory per column is O(accuracy), not O(rows).
+  *
+  * Pandas-parity semantics (exact mode): nulls are excluded from
+  * distinct, stats and top-k (`dropna()` throughout the reference);
+  * std is population std (`ddof=0`, `src/dq.py:56`); percentiles are
+  * exact with linear interpolation (pandas default = DuckDB
+  * `quantile_cont` = Spark `percentile`).
   */
 object Profiler {
 
@@ -33,8 +44,21 @@ object Profiler {
     case _ => false
   }
 
-  def profile(df: DataFrame, topK: Int = 5): Seq[ColumnProfile] = {
+  /** Full-table profiling entry point: sketch aggregates throughout
+    * (see class doc for the error bounds). */
+  def profileFull(df: DataFrame, topK: Int = 5,
+      accuracy: Int = 10000): Seq[ColumnProfile] =
+    profile(df, topK, exact = false, accuracy)
+
+  def profile(df: DataFrame, topK: Int = 5, exact: Boolean = true,
+      accuracy: Int = 10000): Seq[ColumnProfile] = {
     val fields = df.schema.fields.toSeq
+
+    def pctl(c: org.apache.spark.sql.Column, p: Double) =
+      if (exact) percentile(c, lit(p))
+      else approx_percentile(c, lit(p), lit(accuracy))
+    def cdist(c: org.apache.spark.sql.Column) =
+      if (exact) count_distinct(c) else approx_count_distinct(c)
 
     def quoted(name: String) = "`" + name.replace("`", "``") + "`"
 
@@ -43,7 +67,7 @@ object Profiler {
       val c = col(quoted(f.name))
       val base = Seq(
         sum(c.isNull.cast("long")).as(s"nulls__${f.name}"),
-        count_distinct(c).as(s"distinct__${f.name}"))
+        cdist(c).as(s"distinct__${f.name}"))
       val typed = f.dataType match {
         case dt if isNumeric(dt) => Seq(
           min(c).cast("double").as(s"min__${f.name}"),
@@ -52,15 +76,15 @@ object Profiler {
           // which would CCE on the Double read-back below
           avg(c).cast("double").as(s"mean__${f.name}"),
           stddev_pop(c).as(s"std__${f.name}"),
-          percentile(c, lit(0.5)).cast("double").as(s"p50__${f.name}"),
-          percentile(c, lit(0.95)).cast("double").as(s"p95__${f.name}"))
+          pctl(c, 0.5).cast("double").as(s"p50__${f.name}"),
+          pctl(c, 0.95).cast("double").as(s"p95__${f.name}"))
         case _: TimestampType => Seq(
           date_format(min(c), "yyyy-MM-dd HH:mm:ss").as(s"tsmin__${f.name}"),
           date_format(max(c), "yyyy-MM-dd HH:mm:ss").as(s"tsmax__${f.name}"))
         case _: StringType => Seq(
           min(length(c)).cast("long").as(s"lmin__${f.name}"),
           max(length(c)).cast("long").as(s"lmax__${f.name}"),
-          percentile(length(c), lit(0.95)).as(s"lp95__${f.name}"))
+          pctl(length(c), 0.95).cast("double").as(s"lp95__${f.name}"))
         case _ => Nil
       }
       base ++ typed

@@ -55,4 +55,42 @@ class ProfilerSpec extends SparkSpec {
       assert(cp.nulls >= 0 && cp.nulls <= cp.count)
     }
   }
+
+  test("approx (full-table) path: sketch percentiles return data values") {
+    val ap = Profiler.profileFull(df).find(_.column == "x").get
+    assert(ap.count == 4 && ap.nulls == 1)
+    // HLL++ is exact at tiny cardinalities
+    assert(ap.distinct == 3)
+    val n = ap.numeric.get
+    assert(n.min == 1.0 && n.max == 3.0)
+    // approx_percentile returns an ACTUAL element of {1,2,3}, no
+    // interpolation: p50 = 2.0, p95 = 3.0 (exact mode gives 2.9)
+    assert(n.p50 == 2.0)
+    assert(n.p95 == 3.0)
+    val l = Profiler.profileFull(df).find(_.column == "s").get.stringLength.get
+    assert(l.minLen == 2 && l.maxLen == 2 && l.p95Len == 2.0)
+  }
+
+  test("approx path tracks exact closely on real data (lineitem sf0.001)") {
+    val li = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_quantity", "l_extendedprice", "l_orderkey")
+    val exact = Profiler.profile(li)
+    val approx = Profiler.profileFull(li)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.count === a.count)
+      // HLL++ default rsd is 5%
+      assert(math.abs(a.distinct - e.distinct) <= math.max(1, e.distinct / 10))
+      (e.numeric, a.numeric) match {
+        case (Some(en), Some(an)) =>
+          assert(en.min === an.min && en.max === an.max)
+          val span = en.max - en.min
+          assert(math.abs(an.p50 - en.p50) <= math.max(span * 0.02, 1e-9),
+            s"${e.column}: approx p50 ${an.p50} vs exact ${en.p50}")
+          assert(math.abs(an.p95 - en.p95) <= math.max(span * 0.02, 1e-9),
+            s"${e.column}: approx p95 ${an.p95} vs exact ${en.p95}")
+        case _ => ()
+      }
+    }
+  }
 }
