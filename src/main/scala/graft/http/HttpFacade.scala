@@ -37,6 +37,8 @@ class HttpFacade(
     provider: NlToSql = new StubNlToSql,
     dbtGen: DbtModelGen = new StubDbtModelGen,
     catalog: Option[Catalog] = None,
+    github: Option[graft.git.GitHubClient] = None,
+    orchestrator: Option[graft.orchestrate.Orchestrator] = None,
     dbtRoot: () => Path = () => Files.createTempDirectory("graft-dbt"),
     schemaDocsPath: String = "db/schema_docs.md",
     rowLimit: Int = 200) {
@@ -77,6 +79,9 @@ class HttpFacade(
       try route(method, path, body)
       catch {
         case IncorrectQuestionError(m) => (400, "application/json", detail(m))
+        // reference maps GitHubError to 400 (`chat.py:277-278`)
+        case graft.git.GitHubClient.GitHubError(m) =>
+          (400, "application/json", detail(m))
         case e: IllegalArgumentException =>
           (400, "application/json", detail(Option(e.getMessage).getOrElse("bad request")))
         case NonFatal(e) =>
@@ -92,6 +97,7 @@ class HttpFacade(
 
   private val NamespaceId = "^/namespace/(\\d+)$".r
   private val NamespaceTables = "^/namespace/(\\d+)/table$".r
+  private val OrchestrateStatus = "^/orchestrate/status/([^/]+)$".r
 
   private def route(method: String, path: String,
       body: String): (Int, String, String) = (method, path) match {
@@ -113,6 +119,9 @@ class HttpFacade(
     case ("POST", "/dq/check") => dqCheck(parse(body))
     case ("POST", "/dbt/generate") => dbtGenerate(parse(body))
     case ("POST", "/dbt/preview") => dbtPreview(parse(body))
+    case ("POST", "/dbt/pr") => dbtPr(parse(body))
+    case ("POST", "/orchestrate/run") => orchestrateRun(parse(body))
+    case ("GET", OrchestrateStatus(id)) => orchestrateStatus(id)
     case ("GET", "/namespace") => nsList()
     case ("POST", "/namespace") => nsCreate(parse(body))
     case ("GET", NamespaceId(id)) => nsGet(id.toLong)
@@ -229,6 +238,64 @@ class HttpFacade(
     val res = DbtGenerator.preview(spark, reqString(in, "model_sql"),
       optInt(in, "limit_override"))
     okJson(obj("plan" -> res.plan, "rows" -> rawRows(res.rows)))
+  }
+
+  /** `POST /dbt/pr` → `{branch, files_committed, pr_url}` (reference
+    * `chat.py:255-278`): create/reuse the branch, upsert every file
+    * with the reference's commit message, open the PR. */
+  private def dbtPr(in: JsonNode): (Int, String, String) = {
+    val gh = github.getOrElse(
+      throw new IllegalArgumentException("github client not configured"))
+    val branch = reqString(in, "branch")
+    val base = optString(in, "base")
+    gh.createBranch(branch, base)
+    val files = Option(in.get("files")).filter(_.isObject).getOrElse(
+      throw new IllegalArgumentException("missing required field 'files'"))
+    val committed = obj()
+    files.properties().forEach { e =>
+      val r = gh.upsertFile(e.getKey, e.getValue.asText(), branch,
+        s"chore(dbt): add/update ${e.getKey}")
+      committed.put(e.getKey,
+        Option(r.path("content").path("sha").asText(null)).getOrElse("ok"))
+    }
+    val pr = gh.createPullRequest(reqString(in, "title"), head = branch,
+      base = base, body = Some("Automated PR from the data copilot"))
+    okJson(obj(
+      "branch" -> branch, "files_committed" -> committed,
+      "pr_url" -> pr.path("html_url").asText("")))
+  }
+
+  /** `POST /orchestrate/run` → `{run_id, details}` (reference
+    * `chat.py:361-377`). */
+  private def orchestrateRun(in: JsonNode): (Int, String, String) = {
+    val orch = orchestrator.getOrElse(
+      throw new IllegalArgumentException("orchestrator not configured"))
+    val params = Option(in.get("params")).filter(_.isObject).map { p =>
+      p.properties().toArray.map { e0 =>
+        val e = e0.asInstanceOf[java.util.Map.Entry[String, JsonNode]]
+        e.getKey -> (e.getValue match {
+          case v if v.isInt => v.asInt(): Any
+          case v if v.isBoolean => v.asBoolean(): Any
+          case v if v.isDouble => v.asDouble(): Any
+          case v => v.asText(): Any
+        })
+      }.toMap
+    }.getOrElse(Map.empty[String, Any])
+    val res = orch.runFlow(reqString(in, "flow_name"),
+      optString(in, "deployment_name"), params)
+    okJson(obj("run_id" -> res.path("id").asText(""), "details" -> res))
+  }
+
+  /** `GET /orchestrate/status/{run_id}` → `{run_id, state, details}`
+    * (reference `chat.py:380-385`). */
+  private def orchestrateStatus(runId: String): (Int, String, String) = {
+    val orch = orchestrator.getOrElse(
+      throw new IllegalArgumentException("orchestrator not configured"))
+    val res = orch.getStatus(runId)
+    okJson(obj(
+      "run_id" -> runId,
+      "state" -> res.path("state").path("type").asText("unknown"),
+      "details" -> res))
   }
 
   // ------------------------------------------------- namespace CRUD (C1-C4)

@@ -1,0 +1,113 @@
+package graft.orchestrate
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.net.{HttpCall, HttpTransport}
+
+/** Prefect-style orchestration proxy (reference
+  * `src/orchestrator.py:22-61`): start a flow run through a
+  * deployment — auto-discovering the first deployment of the flow
+  * when none is named — and poll run status. The Prefect 2 REST
+  * shapes are public API; the wire call is behind [[HttpTransport]].
+  */
+object Orchestrator {
+  final case class OrchestratorError(message: String)
+      extends RuntimeException(message)
+}
+
+class Orchestrator(transport: HttpTransport,
+    apiBase: String = "http://localhost:4200/api") {
+  import Orchestrator.OrchestratorError
+
+  private val mapper = new ObjectMapper()
+
+  private def checked(r: graft.net.HttpReply, what: String): JsonNode = {
+    if (r.status >= 300) throw OrchestratorError(s"$what -> ${r.status}: ${r.body}")
+    mapper.readTree(r.body)
+  }
+
+  /** Reference `run_flow`: resolve the deployment (filter by flow name
+    * when not given), then `create_flow_run` with parameters. */
+  def runFlow(flowName: String, deploymentName: Option[String] = None,
+      params: Map[String, Any] = Map.empty): JsonNode = {
+    val deployment = deploymentName.getOrElse {
+      val filter = mapper.createObjectNode()
+      filter.put("offset", 0)
+      filter.put("limit", 20)
+      filter.put("sort", "DESC")
+      filter.putObject("deployments").putNull("name_like")
+      filter.putObject("flows").putObject("name")
+        .putArray("any_").add(flowName)
+      val found = checked(
+        transport.send(HttpCall("POST", s"$apiBase/deployments/filter",
+          Map("Content-Type" -> "application/json"),
+          Some(mapper.writeValueAsString(filter)))),
+        s"POST $apiBase/deployments/filter")
+      if (!found.isArray || found.size() == 0)
+        throw OrchestratorError(
+          s"No deployments found for flow '$flowName'. Build and apply a deployment first.")
+      found.get(0).path("name").asText()
+    }
+    val body = mapper.createObjectNode()
+    val p = body.putObject("parameters")
+    params.foreach {
+      case (k, v: String) => p.put(k, v)
+      case (k, v: Int) => p.put(k, v)
+      case (k, v: Long) => p.put(k, v)
+      case (k, v: Double) => p.put(k, v)
+      case (k, v: Boolean) => p.put(k, v)
+      case (k, v) => p.put(k, String.valueOf(v))
+    }
+    val url = s"$apiBase/deployments/name/$flowName/$deployment/create_flow_run"
+    checked(
+      transport.send(HttpCall("POST", url,
+        Map("Content-Type" -> "application/json"),
+        Some(mapper.writeValueAsString(body)))),
+      s"POST $url")
+  }
+
+  /** Reference `get_status`: fetch a flow run by id. */
+  def getStatus(flowRunId: String): JsonNode = {
+    val url = s"$apiBase/flow_runs/$flowRunId"
+    checked(transport.send(HttpCall("GET", url)), s"GET $url")
+  }
+}
+
+/** The reference's one demo flow (`flows/daily_sales.py:6-30` —
+  * extract → transform → load), rebuilt Spark-native: extract counts
+  * the orders placed in the trailing `daysBack` window of the data's
+  * own clock (max order date — injected-clock style, deterministic),
+  * transform doubles the row figure like the reference stub, load
+  * renders the reference's message. Each task is a plain function so
+  * an external orchestrator can schedule them individually.
+  */
+object DailySalesFlow {
+
+  final case class Payload(rows: Long, date: String, rowsTransformed: Long = 0L)
+
+  def extract(spark: SparkSession, dir: String, daysBack: Int = 1): Payload = {
+    val orders = graft.sources.Tables.table(spark, dir, "orders")
+    val row = orders
+      .agg(max(col("o_orderdate")).as("mx"))
+      .select(
+        col("mx").cast("string").as("date"),
+        lit(daysBack).as("db"))
+      .collect()(0)
+    val mx = row.getAs[String]("date")
+    val n = orders
+      .where(col("o_orderdate") >= expr(s"timestamp'$mx' - INTERVAL $daysBack DAYS"))
+      .count()
+    Payload(rows = n, date = mx)
+  }
+
+  def transform(p: Payload): Payload = p.copy(rowsTransformed = p.rows * 2)
+
+  def load(p: Payload): String =
+    s"Loaded ${p.rowsTransformed} rows on ${p.date}"
+
+  /** `@flow daily_sales`: the 3-task chain. */
+  def run(spark: SparkSession, dir: String, daysBack: Int = 1): String =
+    load(transform(extract(spark, dir, daysBack)))
+}

@@ -188,4 +188,74 @@ class HttpFacadeSpec extends SparkSpec {
     assert(post("/chat", "{not json").statusCode() === 400)
     assert(post("/chat", "{}").statusCode() === 400) // missing question
   }
+
+  test("POST /dbt/pr runs the branch→upsert→PR flow (DbtPROut shape)") {
+    import graft.net.{FakeTransport, HttpReply}
+    val t = new FakeTransport(
+      HttpReply(200, """{"object":{"sha":"base"}}"""),
+      HttpReply(201, """{"object":{"sha":"feat"}}"""),
+      HttpReply(404, "{}"),
+      HttpReply(201, """{"content":{"sha":"filesha"}}"""),
+      HttpReply(201, """{"html_url":"https://github.test/pr/7"}"""))
+    val f2 = new HttpFacade(spark,
+      github = Some(new graft.git.GitHubClient(t, "tok", "owner/repo")))
+    f2.start()
+    try {
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f2.port}/dbt/pr"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"title": "add model", "branch": "feat",
+            |  "files": {"models/m.sql": "SELECT 1"}}""".stripMargin)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      val n = mapper.readTree(r.body())
+      assert(n.get("branch").asText() === "feat")
+      assert(n.get("files_committed").get("models/m.sql").asText() === "filesha")
+      assert(n.get("pr_url").asText() === "https://github.test/pr/7")
+      assert(t.calls.map(_.method) === Seq("GET", "POST", "GET", "PUT", "POST"))
+    } finally f2.stop()
+  }
+
+  test("POST /orchestrate/run + GET /orchestrate/status proxy the flow API") {
+    import graft.net.{FakeTransport, HttpReply}
+    val t = new FakeTransport(
+      HttpReply(201, """{"id":"run-9","state":{"type":"SCHEDULED"}}"""),
+      HttpReply(200, """{"id":"run-9","state":{"type":"COMPLETED"}}"""))
+    val f2 = new HttpFacade(spark,
+      orchestrator = Some(new graft.orchestrate.Orchestrator(t)))
+    f2.start()
+    try {
+      val run = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f2.port}/orchestrate/run"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"flow_name": "daily_sales", "deployment_name": "d", "params": {"days_back": 1}}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(run.statusCode() === 200)
+      assert(mapper.readTree(run.body()).get("run_id").asText() === "run-9")
+      val st = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f2.port}/orchestrate/status/run-9"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      val sn = mapper.readTree(st.body())
+      assert(sn.get("state").asText() === "COMPLETED")
+      assert(sn.get("run_id").asText() === "run-9")
+    } finally f2.stop()
+  }
+
+  test("GitHub errors surface as HTTP 400; unconfigured services too") {
+    assert(post("/dbt/pr",
+      """{"title": "t", "branch": "b", "files": {}}""").statusCode() === 400)
+    assert(post("/orchestrate/run", """{"flow_name": "x"}""").statusCode() === 400)
+  }
+
+  test("daily_sales flow runs Spark-native over testdata") {
+    val msg = graft.orchestrate.DailySalesFlow.run(
+      spark, "/root/testdata/sf0.001", daysBack = 30)
+    assert(msg.matches("Loaded \\d+ rows on .+"))
+    // transform doubles extract's count (reference flow semantics)
+    val p = graft.orchestrate.DailySalesFlow.extract(
+      spark, "/root/testdata/sf0.001", 30)
+    assert(graft.orchestrate.DailySalesFlow.transform(p).rowsTransformed
+      === p.rows * 2)
+    assert(p.rows > 0)
+  }
 }
