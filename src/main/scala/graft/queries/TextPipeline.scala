@@ -103,28 +103,35 @@ object TextPipeline extends graft.Registry {
       .orderBy("lang")
 
   /** Per-document quality metrics + composite score over one scan:
-    * length, stopword ratio, mean word length (codegen'd scalars). */
-  private def qualityBase(s: SparkSession, dir: String): DataFrame = {
+    * length, stopword ratio, mean word length (codegen'd scalars).
+    * Pure stateless column expressions over a `(doc_id, lang, text)`
+    * frame — the SAME transform scores a streaming ingest
+    * ([[graft.streaming.DocStreams.qualityFilter]]). */
+  private[graft] def scoreQuality(d: DataFrame): DataFrame = {
     val inList = Stopwords.map(w => s"'$w'").mkString(", ")
-    docs(s, dir)
-      .select(
+    // columns beyond the scored triple ride through unchanged (a
+    // streaming ingest keeps its event-time column for watermarking)
+    val extras = d.columns.toSeq.diff(Seq("doc_id", "lang", "text")).map(col)
+    d
+      .select(Seq(
         col("doc_id"), col("lang"),
         // long, not int: DuckDB length()/len() are BIGINT and the
         // driver hashes typed values — match the width exactly
         length(col("text")).cast("long").as("n_chars_calc"),
-        split(col("text"), " ").as("t"))
-      .select(
+        split(col("text"), " ").as("t")) ++ extras: _*)
+      .select(Seq(
         col("doc_id"), col("lang"),
         col("n_chars_calc"),
         size(col("t")).cast("long").as("n_tokens"),
         expr(s"size(filter(t, x -> x IN ($inList)))").as("n_stopwords"))
-      .select(
+        ++ extras: _*)
+      .select(Seq(
         col("doc_id"), col("lang"),
         col("n_tokens"),
         col("n_chars_calc"),
         expr("CAST(n_stopwords AS DOUBLE) / n_tokens").as("stop_ratio"),
         expr("CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens")
-          .as("avg_word_len"))
+          .as("avg_word_len")) ++ extras: _*)
       .withColumn(
         "quality_score",
         // Literals cast to DOUBLE on BOTH sides: bare 0.4 parses as
@@ -132,6 +139,10 @@ object TextPipeline extends graft.Registry {
         // drift; forcing doubles makes the IEEE op sequence identical.
         expr(scoreExpr))
   }
+
+  /** Scored corpus of `dir` (batch form of [[scoreQuality]]). */
+  private def qualityBase(s: SparkSession, dir: String): DataFrame =
+    scoreQuality(docs(s, dir))
 
   /** Quality-score listing (declared query). */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
