@@ -122,7 +122,11 @@ class ProviderNlToSql(
     schemaDocs: String) extends NlToSql {
 
   /** Reference `SYSTEM_PROMPT` (`src/chain.py:7-26`), schema and row
-    * limit interpolated per call. */
+    * limit interpolated per call. The schema docs are appended AFTER
+    * stripMargin: markdown table rows start with `|`, which stripMargin
+    * would treat as its margin character and eat — corrupting every
+    * schema line if the docs were interpolated into the margined
+    * template. */
   def systemPrompt(rowLimit: Int): String =
     s"""You convert user questions to a single SAFE SQL SELECT. For Russian and English languages.
        |Rules:
@@ -131,8 +135,7 @@ class ProviderNlToSql(
        |- Always include explicit column list and LIMIT $rowLimit if not aggregating large sets.
        |- Use ISO timestamps; for year filters use BETWEEN y-01-01 AND (y+1)-01-01.
        |Schema:
-       |$schemaDocs
-       |""".stripMargin
+       |""".stripMargin + schemaDocs + "\n"
 
   override def complete(question: String, rowLimit: Int): String =
     Providers.complete(config, transport,

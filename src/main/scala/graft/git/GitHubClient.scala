@@ -42,8 +42,18 @@ class GitHubClient(
     s"https://api.github.com/repos/$repo$path"
   }
 
+  /** Percent-encode one URL path/query value (spaces, '#', '?', …
+    * would otherwise truncate or corrupt the request URI). */
+  private def enc(segment: String): String =
+    java.net.URLEncoder.encode(segment, "UTF-8").replace("+", "%20")
+
+  /** Encode a repo-relative file path, preserving its '/' separators. */
+  private def encPath(path: String): String =
+    path.split("/", -1).map(enc).mkString("/")
+
   def getBranchSha(branch: String): String = {
-    val r = transport.send(HttpCall("GET", api(s"/git/ref/heads/$branch"), headers))
+    val r = transport.send(
+      HttpCall("GET", api(s"/git/ref/heads/${encPath(branch)}"), headers))
     if (r.status == 404) throw GitHubError(s"Branch not found: $branch")
     if (r.status >= 300) throw GitHubError(s"GET ref failed: ${r.status} ${r.body}")
     mapper.readTree(r.body).path("object").path("sha").asText()
@@ -68,7 +78,7 @@ class GitHubClient(
 
   def getFileShaIfExists(path: String, branch: String): Option[String] = {
     val r = transport.send(
-      HttpCall("GET", api(s"/contents/$path?ref=$branch"), headers))
+      HttpCall("GET", api(s"/contents/${encPath(path)}?ref=${enc(branch)}"), headers))
     if (r.status == 404) None
     else if (r.status >= 300)
       throw GitHubError(s"GET contents failed: ${r.status} ${r.body}")
@@ -89,7 +99,7 @@ class GitHubClient(
     committer.put("name", authorName)
     committer.put("email", authorEmail)
     getFileShaIfExists(path, branch).foreach(o.put("sha", _))
-    val r = transport.send(HttpCall("PUT", api(s"/contents/$path"), headers,
+    val r = transport.send(HttpCall("PUT", api(s"/contents/${encPath(path)}"), headers,
       Some(mapper.writeValueAsString(o))))
     if (r.status != 200 && r.status != 201)
       throw GitHubError(s"Upsert file failed: ${r.status} ${r.body}")

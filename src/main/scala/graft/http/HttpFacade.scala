@@ -46,6 +46,11 @@ class HttpFacade(
   private val mapper = new ObjectMapper()
   private lazy val schemaDocs = SchemaDocs.buildMarkdown(spark)
   private lazy val agent = new Agent(spark, provider, schemaDocs, rowLimit)
+  // One dbt project root per facade (resolved once): repeated
+  // /dbt/generate writes must overwrite into the SAME project, the
+  // reference's regenerate semantics — not scatter one temp dir per
+  // request.
+  private lazy val resolvedDbtRoot: Path = dbtRoot()
 
   private var server: HttpServer = _
 
@@ -187,18 +192,25 @@ class HttpFacade(
       .map(it => Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq)
       .getOrElse(Nil)
       .map(parseRule)
-    val df = sampled(in, "sample_limit")
-    val report = DqEngine.runChecks(df, rules,
-      limit = 200000 /* already clamped by sampled() */ )
-    val results = arr(report.results.map(r => obj(
-      "rule" -> r.rule, "column" -> r.column, "passed" -> r.passed,
-      "details" -> obj(r.details.toSeq.sortBy(_._1).map {
-        case (k, v) => k -> (v: Any)
-      }: _*))))
-    okJson(obj(
-      "passed" -> report.passed, "results" -> results,
-      "markdown_report" -> report.markdown,
-      "sample_rows" -> rawRows(df.limit(50).toJSON.collect().toSeq)))
+    // Cache for the whole request: the rule evaluation and the
+    // returned sample_rows must come from the SAME materialized sample
+    // — an uncached limit() over a multi-file table returns whichever
+    // partitions answer first, so a second scan could hand back rows
+    // that were never checked.
+    val df = sampled(in, "sample_limit").cache()
+    try {
+      val report = DqEngine.runChecks(df, rules,
+        limit = 200000 /* already clamped by sampled() */ )
+      val results = arr(report.results.map(r => obj(
+        "rule" -> r.rule, "column" -> r.column, "passed" -> r.passed,
+        "details" -> obj(r.details.toSeq.sortBy(_._1).map {
+          case (k, v) => k -> (v: Any)
+        }: _*))))
+      okJson(obj(
+        "passed" -> report.passed, "results" -> results,
+        "markdown_report" -> report.markdown,
+        "sample_rows" -> rawRows(df.limit(50).toJSON.collect().toSeq)))
+    } finally df.unpersist()
   }
 
   /** Reference `DQRule` dict → [[Rule]] ADT (`src/dq.py:159-170`). */
@@ -226,7 +238,7 @@ class HttpFacade(
       "model_name" -> model.modelName,
       "files" -> obj(model.files.toSeq.map { case (k, v) => k -> (v: Any) }: _*))
     if (optBool(in, "write").getOrElse(false)) {
-      val written = DbtGenerator.materialize(dbtRoot(), model)
+      val written = DbtGenerator.materialize(resolvedDbtRoot, model)
       out.set[ObjectNode]("written_paths",
         obj(written.toSeq.map { case (k, v) => k -> (v: Any) }: _*))
     } else out.putNull("written_paths")
@@ -275,8 +287,9 @@ class HttpFacade(
         val e = e0.asInstanceOf[java.util.Map.Entry[String, JsonNode]]
         e.getKey -> (e.getValue match {
           case v if v.isInt => v.asInt(): Any
+          case v if v.isIntegralNumber => v.asLong(): Any
           case v if v.isBoolean => v.asBoolean(): Any
-          case v if v.isDouble => v.asDouble(): Any
+          case v if v.isFloatingPointNumber => v.asDouble(): Any
           case v => v.asText(): Any
         })
       }.toMap

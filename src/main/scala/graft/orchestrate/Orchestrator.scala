@@ -9,8 +9,16 @@ import graft.net.{HttpCall, HttpTransport}
 /** Prefect-style orchestration proxy (reference
   * `src/orchestrator.py:22-61`): start a flow run through a
   * deployment — auto-discovering the first deployment of the flow
-  * when none is named — and poll run status. The Prefect 2 REST
-  * shapes are public API; the wire call is behind [[HttpTransport]].
+  * when none is named — and poll run status.
+  *
+  * Parity note: the request shapes here mirror the REFERENCE's client
+  * verbatim (its filter body and name-based create_flow_run route),
+  * because the reference is the behavioral spec being rebuilt. Where
+  * a live Prefect server's canonical API differs from what the
+  * reference sends (e.g. id-based create_flow_run, enum sort values),
+  * that divergence exists in the reference too; adapting to a
+  * specific server version is a transport-level concern for a real
+  * deployment, not parity. The wire call is behind [[HttpTransport]].
   */
 object Orchestrator {
   final case class OrchestratorError(message: String)
@@ -90,16 +98,18 @@ object DailySalesFlow {
   def extract(spark: SparkSession, dir: String, daysBack: Int = 1): Payload = {
     val orders = graft.sources.Tables.table(spark, dir, "orders")
     val row = orders
-      .agg(max(col("o_orderdate")).as("mx"))
-      .select(
-        col("mx").cast("string").as("date"),
-        lit(daysBack).as("db"))
+      .agg(max(col("o_orderdate")).cast("string").as("mx"))
       .collect()(0)
-    val mx = row.getAs[String]("date")
-    val n = orders
-      .where(col("o_orderdate") >= expr(s"timestamp'$mx' - INTERVAL $daysBack DAYS"))
-      .count()
-    Payload(rows = n, date = mx)
+    // An empty orders table has no max date: a clean zero-row payload,
+    // not a timestamp-parse crash on an interpolated null.
+    if (row.isNullAt(0)) Payload(rows = 0L, date = "")
+    else {
+      val mx = row.getString(0)
+      val n = orders
+        .where(col("o_orderdate") >= expr(s"timestamp'$mx' - INTERVAL $daysBack DAYS"))
+        .count()
+      Payload(rows = n, date = mx)
+    }
   }
 
   def transform(p: Payload): Payload = p.copy(rowsTransformed = p.rows * 2)

@@ -109,9 +109,13 @@ object TextPipeline extends graft.Registry {
     * ([[graft.streaming.DocStreams.qualityFilter]]). */
   private[graft] def scoreQuality(d: DataFrame): DataFrame = {
     val inList = Stopwords.map(w => s"'$w'").mkString(", ")
-    // columns beyond the scored triple ride through unchanged (a
-    // streaming ingest keeps its event-time column for watermarking)
-    val extras = d.columns.toSeq.diff(Seq("doc_id", "lang", "text")).map(col)
+    // every column except the scored pair rides through unchanged —
+    // including `text` itself: a streaming ingest must keep the
+    // document body (it is the payload being landed) and its
+    // event-time column (for watermarking). Batch declared queries
+    // select their exact columns afterwards, so the ride-through does
+    // not change any oracle-compared output.
+    val extras = d.columns.toSeq.diff(Seq("doc_id", "lang")).map(col)
     d
       .select(Seq(
         col("doc_id"), col("lang"),

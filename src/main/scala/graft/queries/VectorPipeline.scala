@@ -41,19 +41,40 @@ object VectorPipeline extends graft.Registry {
   private val NumSeeds = 8 // IVF coarse centroids (first 8 vectors)
   private val NProbe = 2 // IVF lists probed per query
   // Near-dup LSH banding: 32 hyperplanes in 8 bands of 4. Two vectors
-  // are candidates iff some band's 4 sign bits all agree. Recall at a
-  // similarity s is 1-(1-p^4)^8 with p = 1 - acos(s)/π: ≈1.0 for true
-  // near-duplicates (cos ≥ 0.9), ~0.55 at the weak 0.4 threshold
-  // boundary (measured on testdata) — the standard LSH trade: band
-  // width buys candidate pruning, band count buys recall, and the
-  // plan stays a shuffle-friendly equijoin at any corpus size.
+  // are candidates iff some band's 4 sign bits all agree. With
+  // INDEPENDENT planes, recall at similarity s is 1-(1-p^4)^8 with
+  // p = 1 - acos(s)/π: ≈1.0 for true near-duplicates (cos ≥ 0.9),
+  // measured 0.80 on testdata at the weak 0.4 threshold boundary —
+  // the standard LSH trade: band width buys candidate pruning, band
+  // count buys recall, and the plan stays a shuffle-friendly equijoin
+  // at any corpus size. Independence is why [[ndPlane]] hashes: the
+  // affine [[plane]] formula has period 11 in p, so 32 of those would
+  // collapse to 11 distinct planes with heavily-correlated bands
+  // (measured recall 0.55 instead of 0.80).
   private val NdPlanes = 32
   private val NdBands = 8
   private val NdRows = NdPlanes / NdBands
 
-  /** Fixed pseudo-random integer hyperplanes w(p,i) ∈ [-5,5]. */
+  /** Fixed pseudo-random integer hyperplanes w(p,i) ∈ [-5,5] (the
+    * v02 bucket signature; p < 8 stays under the formula's period). */
   private def plane(p: Int): IndexedSeq[Int] =
     (0 until Dim).map(i => ((p * 7 + i * 13) % 11) - 5)
+
+  /** Murmur3-finalizer integer mix: the nonlinearity that an affine
+    * mod-11 formula lacks (any `(a·p + b·i) mod 11` repeats with
+    * period ≤ 11 in p). Frozen — it parameterizes v03 and its oracle. */
+  private def mix(x0: Int): Int = {
+    var x = x0
+    x ^= x >>> 16; x *= 0x85ebca6b
+    x ^= x >>> 13; x *= 0xc2b2ae35
+    x ^= x >>> 16
+    x
+  }
+
+  /** Near-dup hyperplanes: 32 genuinely distinct pseudo-random integer
+    * vectors, w(p,i) ∈ [-5,5]. */
+  private def ndPlane(p: Int): IndexedSeq[Int] =
+    (0 until Dim).map(i => math.floorMod(mix(p * Dim + i), 11) - 5)
 
   /** Ordered-fold dot product via the codegen'd native expression
     * ([[graft.functions.FloatVecDot]]) — same IEEE fold as the DuckDB
@@ -72,18 +93,20 @@ object VectorPipeline extends graft.Registry {
     * time per query. Small integer weights are exact as floats, so
     * vec_dot's float→double widening reproduces the integer product.
     */
-  private def projCol(p: Int): Column =
-    call_function("vec_dot", col("embedding"), typedlit(plane(p).map(_.toFloat)))
+  private def projColOf(w: IndexedSeq[Int]): Column =
+    call_function("vec_dot", col("embedding"), typedlit(w.map(_.toFloat)))
+
+  private def projCol(p: Int): Column = projColOf(plane(p))
 
   private def bucketCol: Column =
     (0 until NumPlanes)
       .map(p => when(projCol(p) > 0, 1 << p).otherwise(0))
       .reduce(_ + _)
 
-  private def projDuck(p: Int): String = {
-    val w = plane(p).mkString(", ")
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(embedding, [$w]), p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, v) -> acc + v)"
-  }
+  private def projDuckOf(w: IndexedSeq[Int]): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip(embedding, [${w.mkString(", ")}]), p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, v) -> acc + v)"
+
+  private def projDuck(p: Int): String = projDuckOf(plane(p))
 
   private def bucketDuck: String =
     (0 until NumPlanes)
@@ -194,13 +217,14 @@ object VectorPipeline extends graft.Registry {
     * sign bits packed into an int. */
   private def ndBandKey(j: Int): Column =
     (0 until NdRows)
-      .map(k => when(projCol(j * NdRows + k) > 0, 1 << k).otherwise(0))
+      .map(k => when(projColOf(ndPlane(j * NdRows + k)) > 0, 1 << k).otherwise(0))
       .reduce(_ + _)
 
   /** Same band key in DuckDB SQL. */
   private def ndBandKeyDuck(j: Int): String =
     (0 until NdRows)
-      .map(k => s"(CASE WHEN ${projDuck(j * NdRows + k)} > 0 THEN ${1 << k} ELSE 0 END)")
+      .map(k =>
+        s"(CASE WHEN ${projDuckOf(ndPlane(j * NdRows + k))} > 0 THEN ${1 << k} ELSE 0 END)")
       .mkString(" + ")
 
   /** Cosine near-duplicate pairs (cos > 0.4) via banded hyperplane

@@ -110,6 +110,11 @@ class PipelineSpec extends SparkSpec {
       assert(brute(key) === r.getAs[Double]("cos"))
     }
     assert(lsh.length <= brute.size)
+    // recall floor: hashed (genuinely independent) planes measure ~0.8
+    // at the weak 0.4 boundary; a regression to correlated planes
+    // (e.g. the affine formula's period-11 collapse) drops below this
+    assert(lsh.length >= (0.6 * brute.size).toInt,
+      s"LSH recall too low: ${lsh.length}/${brute.size}")
   }
 
   test("jaccard df-cap drops hot shingles from the candidate join") {

@@ -56,7 +56,9 @@ class DocStreamsSpec extends SparkSpec {
       q.processAllAvailable()
       val rows = spark.table("doc_quality").collect()
       assert(rows.map(_.getAs[Long]("doc_id")).toSeq === Seq(10L))
-      // the event-time column rode through the scoring transform
+      // the payload and event-time columns rode through the scoring
+      // transform — a gated ingest must still LAND the document body
+      assert(rows.head.getAs[String]("text") === good)
       assert(rows.head.getAs[Timestamp]("ingest_ts") === ts(0))
       // score equals the batch expression evaluated on the same text
       val batchScore = graft.queries.TextPipeline.scoreQuality(
