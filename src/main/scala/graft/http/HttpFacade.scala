@@ -41,7 +41,8 @@ class HttpFacade(
     orchestrator: Option[graft.orchestrate.Orchestrator] = None,
     dbtRoot: () => Path = () => Files.createTempDirectory("graft-dbt"),
     schemaDocsPath: String = "db/schema_docs.md",
-    rowLimit: Int = 200) {
+    rowLimit: Int = 200,
+    dq: graft.DataQualityConfig = graft.DataQualityConfig()) {
 
   private val mapper = new ObjectMapper()
   private lazy val schemaDocs = SchemaDocs.buildMarkdown(spark)
@@ -166,8 +167,8 @@ class HttpFacade(
     * optional predicate and clamped limit bound the scan. */
   private def sampled(in: JsonNode, limitField: String): DataFrame = {
     val table = reqString(in, "table")
-    val limit = optInt(in, limitField).getOrElse(10000)
-    val clamped = math.max(1, math.min(limit, 200000))
+    val limit = optInt(in, limitField).getOrElse(dq.defaultLimit)
+    val clamped = math.max(1, math.min(limit, dq.maxLimit))
     val base = spark.table(table)
     optString(in, "where").foldLeft(base)((d, p) => d.where(p)).limit(clamped)
   }
@@ -224,7 +225,7 @@ class HttpFacade(
       case "freshness" =>
         FreshnessRule(col, optDouble(n, "max_age_hours").getOrElse(24.0))
       case "anomaly" =>
-        AnomalyRule(col, optDouble(n, "sigma").getOrElse(3.0))
+        AnomalyRule(col, optDouble(n, "sigma").getOrElse(dq.defaultSigma))
       case other => UnknownRule(other, col)
     }
   }

@@ -1,0 +1,84 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Config surface (reference `src/config.py` sections + defaults) and
+  * the config→facade assembly path.
+  */
+class GraftConfigSpec extends SparkSpec {
+
+  test("defaults match the reference's .env.example values") {
+    val c = GraftConfig.fromMap(Map.empty)
+    assert(c.sql.rowLimit === 200)
+    assert(c.sql.queryTimeoutMs === 8000L)
+    assert(c.llm.provider === "openai")
+    assert(c.llm.model === "gpt-4o-mini")
+    assert(c.llm.ollamaBaseUrl === "http://localhost:11434")
+    assert(c.server.port === 8000)
+    assert(c.git.defaultBranch === "main")
+    assert(c.dataQuality.defaultLimit === 10000)
+    assert(c.dataQuality.maxLimit === 200000)
+    assert(c.dataQuality.defaultSigma === 3.0)
+    assert(c.orchestration.prefectApi === "http://localhost:4200/api")
+  }
+
+  test("dotted keys and GRAFT_ env names override defaults") {
+    val c = GraftConfig.fromMap(Map(
+      "sql.row_limit" -> "50",
+      "llm.provider" -> "ollama",
+      "data_quality.default_sigma" -> "2.5",
+      "git.github_token" -> "tok",
+      "git.github_repo" -> "o/r"))
+    assert(c.sql.rowLimit === 50)
+    assert(c.llm.provider === "ollama")
+    assert(c.dataQuality.defaultSigma === 2.5)
+    assert(c.git.githubToken === Some("tok"))
+
+    val e = GraftConfig.fromEnv(Map(
+      "GRAFT_SQL_ROW_LIMIT" -> "77",
+      "GRAFT_DATA_QUALITY_MAX_LIMIT" -> "5000",
+      "GRAFT_ORCHESTRATION_PREFECT_API" -> "http://p:4200/api",
+      "UNRELATED" -> "x"))
+    assert(e.sql.rowLimit === 77)
+    assert(e.dataQuality.maxLimit === 5000)
+    assert(e.orchestration.prefectApi === "http://p:4200/api")
+  }
+
+  test("buildFacade assembles a serving app from config (stub provider path)") {
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val dbtDir = Files.createTempDirectory("graft-cfg-dbt")
+    // no LLM keys → stub provider; no github creds → /dbt/pr unconfigured
+    val facade = GraftConfig.fromMap(Map(
+      "sql.row_limit" -> "5",
+      "git.dbt_dir" -> dbtDir.toString)).buildFacade(spark)
+    facade.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val mapper = new ObjectMapper()
+      val chat = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${facade.port}/chat"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"question": "how many orders"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(chat.statusCode() === 200)
+      assert(mapper.readTree(chat.body()).get("rows").size() === 1)
+      // orchestrator is always wired (prefect url from config) but the
+      // transport will fail fast against the unreachable default — the
+      // endpoint must exist (not 400-unconfigured, not 404)
+      val orch = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${facade.port}/orchestrate/status/x"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(orch.statusCode() === 500) // connection refused → 500 detail
+    } finally facade.stop()
+  }
+
+  test("startup check retries with bounded backoff and then succeeds") {
+    val t0 = System.nanoTime()
+    Lifespan.startupCheck(spark, attempts = 3, minWaitMs = 1, maxWaitMs = 5)
+    assert((System.nanoTime() - t0) / 1e9 < 30)
+  }
+}
