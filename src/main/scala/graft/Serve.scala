@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Service entry point (reference `src/main.py` + its uvicorn/granian
+  * launch): build config from the environment, bring up the engine
+  * session, run the startup connection check, register the testdata
+  * (or `GRAFT_DATA_DIR`) tables, and serve the HTTP façade until
+  * terminated.
+  *
+  * `sbt "runMain graft.Serve"` — port from `GRAFT_SERVER_PORT`
+  * (default 8000).
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val cfg = GraftConfig.fromEnv()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Lifespan.startupCheck(spark)
+    sys.env.get("GRAFT_DATA_DIR").orElse(Some("/root/testdata/sf0.001"))
+      .filter(d => new java.io.File(d).isDirectory)
+      .foreach(d => sources.Tables.registerAll(spark, d))
+    val facade = cfg.buildFacade(spark)
+    facade.start(cfg.server.port)
+    println(s"graft facade serving on port ${facade.port}")
+    // serve until the process is terminated (reference: 1 ASGI worker)
+    Thread.currentThread().join()
+  }
+}

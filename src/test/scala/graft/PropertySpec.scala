@@ -42,4 +42,33 @@ object GuardProperties extends Properties("graft") {
         "(?i)LIMIT".r.findAllIn(out).size == 1
     }
   }
+
+  property("dbt model names sanitize to valid snake_case, idempotently") =
+    forAll(anyString) { s =>
+      val n = graft.dbt.DbtGenerator.sanitizeModelName(s)
+      Prop.all(
+        Prop(n.nonEmpty) :| "nonempty",
+        Prop(n.matches("[a-z0-9]([a-z0-9_]*[a-z0-9])?|[a-z0-9]") ||
+          n == "generated_model") :| s"snake_case: $n",
+        Prop(!n.contains("__")) :| "no collapsed runs",
+        Prop(graft.dbt.DbtGenerator.sanitizeModelName(n) == n) :| "idempotent")
+    }
+
+  property("extractBlock finds exactly what a two-block response contains") =
+    forAll(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.alphaNumStr.suchThat(_.nonEmpty)) { (sqlBody, yamlBody) =>
+      val md = s"```sql\n$sqlBody\n```\nprose\n```yaml\n$yamlBody\n```"
+      graft.dbt.DbtGenerator.extractBlock(md, "sql").contains(sqlBody) &&
+        graft.dbt.DbtGenerator.extractBlock(md, "yaml").contains(yamlBody) &&
+        graft.dbt.DbtGenerator.extractBlock(sqlBody, "sql").isEmpty
+    }
+
+  property("config round-trips every dotted override through fromMap") =
+    forAll(Gen.choose(1, 100000), Gen.choose(1, 100000)) { (a, b) =>
+      val c = GraftConfig.fromMap(Map(
+        "sql.row_limit" -> a.toString,
+        "data_quality.max_limit" -> b.toString))
+      c.sql.rowLimit == a && c.dataQuality.maxLimit == b
+    }
 }
