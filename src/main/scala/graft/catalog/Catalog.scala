@@ -163,31 +163,46 @@ class Catalog(
   /** C5 + S1: validate the CSV (`.csv`, ≤50 MB, non-empty, not already
     * loaded), ingest with header + schema inference, save as a
     * parquet-backed catalog table, stamp file metadata. */
-  def loadCsv(tableId: Long, csvPath: String): TableEntry = synchronized {
-    val entry = tables.find(_.id == tableId)
-      .getOrElse(throw new IllegalArgumentException(s"table $tableId not found"))
-    require(!entry.isLoaded, s"table ${entry.tableName} already loaded")
-    require(csvPath.endsWith(".csv"), "Only CSV files are allowed")
-    val p = Paths.get(csvPath)
-    require(Files.exists(p), s"no such file: $csvPath")
-    val size = Files.size(p)
-    require(size > 0, "File is empty")
-    require(size <= MaxCsvBytes,
-      f"File too large: ${size / 1048576.0}%.1f MB. Maximum allowed: 50.0 MB")
-    val ns = namespaces.find(_.id == entry.namespaceId).get
-    spark.read
-      .option("header", "true")
-      .option("inferSchema", "true")
-      .csv(csvPath)
-      .write.mode(SaveMode.Overwrite)
-      .saveAsTable(s"`${ns.schemaName}`.`${entry.tableName}`")
-    val updated = entry.copy(
-      fileName = p.getFileName.toString, fileSize = size,
-      isLoaded = true, updatedAt = now())
-    tables = tables.map(t => if (t.id == tableId) updated else t)
-    persist()
-    updated
-  }
+  def loadCsv(tableId: Long, csvPath: String): TableEntry =
+    ingest(tableId, csvPath, Seq(".csv"), "Only CSV files are allowed",
+      p => spark.read
+        .option("header", "true")
+        .option("inferSchema", "true")
+        .csv(p))
+
+  /** JSON-lines variant of [[loadCsv]] (same validators and metadata
+    * stamping; schema inferred by the JSON reader — nested fields
+    * arrive as struct columns, which Spark tables store natively). */
+  def loadJson(tableId: Long, jsonPath: String): TableEntry =
+    ingest(tableId, jsonPath, Seq(".json", ".jsonl"),
+      "Only JSON-lines files are allowed",
+      p => spark.read.json(p))
+
+  private def ingest(tableId: Long, path: String, exts: Seq[String],
+      extMessage: String,
+      read: String => org.apache.spark.sql.DataFrame): TableEntry =
+    synchronized {
+      val entry = tables.find(_.id == tableId)
+        .getOrElse(throw new IllegalArgumentException(s"table $tableId not found"))
+      require(!entry.isLoaded, s"table ${entry.tableName} already loaded")
+      require(exts.exists(path.endsWith), extMessage)
+      val p = Paths.get(path)
+      require(Files.exists(p), s"no such file: $path")
+      val size = Files.size(p)
+      require(size > 0, "File is empty")
+      require(size <= MaxCsvBytes,
+        f"File too large: ${size / 1048576.0}%.1f MB. Maximum allowed: 50.0 MB")
+      val ns = namespaces.find(_.id == entry.namespaceId).get
+      read(path)
+        .write.mode(SaveMode.Overwrite)
+        .saveAsTable(s"`${ns.schemaName}`.`${entry.tableName}`")
+      val updated = entry.copy(
+        fileName = p.getFileName.toString, fileSize = size,
+        isLoaded = true, updatedAt = now())
+      tables = tables.map(t => if (t.id == tableId) updated else t)
+      persist()
+      updated
+    }
 
   /** C6 (documented intent; the reference's implementation has latent
     * NameErrors): bulk-load every CSV in a directory into a

@@ -103,6 +103,7 @@ class HttpFacade(
 
   private val NamespaceId = "^/namespace/(\\d+)$".r
   private val NamespaceTables = "^/namespace/(\\d+)/table$".r
+  private val TableUpload = "^/namespace/\\d+/table/(\\d+)/upload$".r
   private val OrchestrateStatus = "^/orchestrate/status/([^/]+)$".r
 
   private def route(method: String, path: String,
@@ -134,6 +135,7 @@ class HttpFacade(
     case ("DELETE", NamespaceId(id)) => nsDelete(id.toLong)
     case ("GET", NamespaceTables(id)) => nsTables(id.toLong)
     case ("POST", NamespaceTables(id)) => nsCreateTable(id.toLong, parse(body))
+    case ("POST", TableUpload(tid)) => tableUpload(tid.toLong, parse(body))
     case _ => (404, "application/json", detail("Not Found"))
   }
 
@@ -357,6 +359,19 @@ class HttpFacade(
 
   private def nsCreateTable(id: Long, in: JsonNode): (Int, String, String) =
     okJson(tblJson(cat.createTable(id, reqString(in, "name"))))
+
+  /** C5/S1 over HTTP: ingest a server-local data file into the table
+    * entry (the reference uploads multipart bytes,
+    * `namespace_table.py:88-114`; a path keeps the façade
+    * framework-free while exercising the same validate→ingest→stamp
+    * path — JSON-lines files route through [[Catalog.loadJson]]). */
+  private def tableUpload(tableId: Long, in: JsonNode): (Int, String, String) = {
+    val path = reqString(in, "path")
+    okJson(tblJson(
+      if (path.endsWith(".jsonl") || path.endsWith(".json"))
+        cat.loadJson(tableId, path)
+      else cat.loadCsv(tableId, path)))
+  }
 
   // ---------------------------------------------------------- JSON helpers
 

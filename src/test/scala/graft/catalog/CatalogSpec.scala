@@ -81,6 +81,28 @@ class CatalogSpec extends SparkSpec {
     cat.deleteNamespace(ns.id)
   }
 
+  test("JSON-lines ingest: inference (incl. nested), validators, metadata") {
+    val (cat, _) = freshCatalog()
+    val ns = cat.createNamespace("Json NS")
+    val entry = cat.createTable(ns.id, "Events J")
+    val jl = Files.createTempFile("events", ".jsonl")
+    Files.writeString(jl,
+      """{"id": 1, "tags": {"k": "a"}, "v": 1.5}
+        |{"id": 2, "tags": {"k": "b"}, "v": 2.5}
+        |""".stripMargin)
+    val loaded = cat.loadJson(entry.id, jl.toString)
+    assert(loaded.isLoaded)
+    val df = spark.table("json_ns.events_j")
+    assert(df.count() === 2)
+    assert(df.schema("tags").dataType.typeName === "struct")
+    // validators shared with the CSV path
+    intercept[IllegalArgumentException](cat.loadJson(entry.id, jl.toString))
+    val e2 = cat.createTable(ns.id, "Other J")
+    val csv = Files.createTempFile("x", ".csv")
+    intercept[IllegalArgumentException](cat.loadJson(e2.id, csv.toString))
+    cat.deleteNamespace(ns.id)
+  }
+
   test("metadata persists across catalog instances") {
     val (cat, dir) = freshCatalog()
     val ns = cat.createNamespace("Persist NS")

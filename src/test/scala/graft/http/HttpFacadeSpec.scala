@@ -165,6 +165,27 @@ class HttpFacadeSpec extends SparkSpec {
     assert(get(s"/namespace/$id").statusCode() === 404)
   }
 
+  test("table upload over HTTP ingests a server-local CSV (C5/S1 shape)") {
+    val ns = mapper.readTree(post("/namespace",
+      """{"name": "Upload NS"}""").body())
+    val nsId = ns.get("id").asLong()
+    val tbl = mapper.readTree(post(s"/namespace/$nsId/table",
+      """{"name": "people"}""").body())
+    val csv = Files.createTempFile("people_http", ".csv")
+    Files.writeString(csv, "id,name\n1,ann\n2,bob\n")
+    val up = post(s"/namespace/$nsId/table/${tbl.get("id").asLong()}/upload",
+      s"""{"path": "$csv"}""")
+    assert(up.statusCode() === 200)
+    val n = mapper.readTree(up.body())
+    assert(n.get("is_loaded").asBoolean())
+    assert(n.get("file_size").asLong() > 0)
+    assert(spark.table("upload_ns.people").count() === 2)
+    // re-upload of a loaded table is a 400, like the reference
+    assert(post(s"/namespace/$nsId/table/${tbl.get("id").asLong()}/upload",
+      s"""{"path": "$csv"}""").statusCode() === 400)
+    delete(s"/namespace/$nsId")
+  }
+
   test("GET /metrics exports prometheus text incl. the reference counters") {
     val r = get("/metrics")
     assert(r.statusCode() === 200)
