@@ -2,8 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming document ingest for the `documents` table shape — the
   * live half of the training-data pipeline (batch forms:
@@ -45,4 +46,114 @@ object DocStreams {
   def qualityFilter(docs: DataFrame, minScore: Double = 0.5): DataFrame =
     graft.queries.TextPipeline.scoreQuality(docs)
       .where(col("quality_score") >= minScore)
+
+  /** A near-dup hit: the arriving doc vs an already-ingested one. */
+  final case class NearDupPair(docA: Long, docB: Long, estSim: Double)
+
+  private[streaming] final case class BucketDoc(docId: Long, sig: Seq[Long])
+  private[streaming] final case class BucketState(
+      docs: Seq[BucketDoc], lastMs: Long)
+
+  /** Streaming MinHash near-dup detection: flags each arriving
+    * document against everything already ingested, at ingest time —
+    * the streaming counterpart of the batch td07 query, built from the
+    * SAME frozen constants ([[graft.pipeline.TextPrep.MinHashAB]]), so
+    * the pairs it emits are a subset of what the batch pass finds.
+    *
+    * Scale design:
+    *  - The 16-hash signature is computed with ROW-LOCAL expressions
+    *    (shingle → h32 → per-permutation `array_min`), no shuffle
+    *    before the keyed state — each document is one row until
+    *    banding.
+    *  - Banding explodes each doc into [[graft.queries]]-style
+    *    (band, band-key) rows; state lives per bucket via
+    *    `flatMapGroupsWithState`, hash-distributed across executors
+    *    exactly like the batch bucket join.
+    *  - State is bounded two ways: at most `maxBucketDocs` recent docs
+    *    per bucket (near-dup buckets are small by construction — a
+    *    bucket that overflows is boilerplate, exactly what the batch
+    *    df-cap drops), and an event-time timeout evicts buckets idle
+    *    past the watermark TTL.
+    *
+    * Output pairs can surface once per matching band; downstream
+    * consumers (or the test) de-duplicate — the standard at-least-once
+    * LSH emission.
+    */
+  def nearDupMinHash(docs: DataFrame,
+      watermark: String = "1 hour",
+      estSimThreshold: Double = 0.5,
+      maxBucketDocs: Int = 64): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.pipeline.TextPrep.{MinHashAB, MinHashP}
+
+    val NumHashes = MinHashAB.size
+    val Bands = 4
+    val Rows = NumHashes / Bands
+    val minMatches = math.ceil(estSimThreshold * NumHashes).toInt
+
+    // Row-local signature: distinct word 3-grams → 32-bit md5-prefix
+    // hash → min over each frozen permutation. Mirrors TextPrep
+    // exactly; every step is a codegen'd array expression.
+    val shingled = docs
+      .withColumn("t", split(col("text"), " "))
+      .where(size(col("t")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(t) - 2), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
+      .withColumn("hs", expr(
+        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
+    val sigCols = MinHashAB.zipWithIndex.map { case ((a, b), i) =>
+      expr(s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % ${MinHashP}L))")
+        .as(s"mh$i")
+    }
+    val sig = shingled.select(
+      Seq(col("doc_id"), col("ingest_ts")) ++ sigCols: _*)
+      .withColumn("sig", array((0 until NumHashes).map(i => col(s"mh$i")): _*))
+
+    // One row per band, keyed by the band's hash slice.
+    val banded = (0 until Bands).map { j =>
+      sig.select(
+        col("doc_id"), col("ingest_ts"), col("sig"),
+        concat_ws(":",
+          lit(j) +: (0 until Rows).map(k => col(s"mh${j * Rows + k}")): _*)
+          .as("bucket"))
+    }.reduce(_ unionAll _)
+
+    banded
+      .withWatermark("ingest_ts", watermark)
+      .as[(Long, Timestamp, Seq[Long], String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it: Iterator[(Long, Timestamp, Seq[Long], String)],
+            state: GroupState[BucketState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = it.toVector.sortBy(d => (d._2.getTime, d._1))
+            var known = state.getOption.map(_.docs).getOrElse(Seq.empty)
+            var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
+            val out = Vector.newBuilder[NearDupPair]
+            for ((docId, ts, sigArr, _) <- arrivals) {
+              if (!known.exists(_.docId == docId)) {
+                for (k <- known) {
+                  val matches = k.sig.iterator.zip(sigArr.iterator)
+                    .count { case (x, y) => x == y }
+                  if (matches >= minMatches)
+                    out += NearDupPair(
+                      math.min(k.docId, docId), math.max(k.docId, docId),
+                      matches.toDouble / NumHashes)
+                }
+                known = (known :+ BucketDoc(docId, sigArr)).takeRight(maxBucketDocs)
+              }
+              lastMs = math.max(lastMs, ts.getTime)
+            }
+            state.update(BucketState(known, lastMs))
+            // evict the bucket once the watermark passes its TTL
+            state.setTimeoutTimestamp(lastMs, watermark)
+            out.result().iterator
+          }
+      }
+  }
 }

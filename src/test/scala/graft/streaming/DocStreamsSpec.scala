@@ -41,6 +41,57 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup agrees with the batch td07 pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the full sf0.001 corpus, streamed in arrival order
+    val corpus = graft.sources.Tables.table(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+      .map(r => Doc(r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[String]("text"),
+        ts(r.getAs[Long]("doc_id"))))
+    val src = MemoryStream[Doc]
+    val q = nearDupMinHash(snake(src.toDF()), maxBucketDocs = 1000)
+      .writeStream.format("memory").queryName("stream_neardup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(corpus.toSeq)
+      q.processAllAvailable()
+      val streamPairs = spark.table("stream_neardup").collect()
+        .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB"))).toSet
+      val batchPairs = graft.queries.TextPipeline.dedupMinHash(spark, dir)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // same constants, same banding, same threshold → same pair set
+      assert(streamPairs === batchPairs)
+      assert(streamPairs.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup state is bounded per bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Doc]
+    // identical docs land in the same buckets; cap 2 keeps only the
+    // latest two per bucket, so doc 4 pairs with at most 2 others
+    val q = nearDupMinHash(snake(src.toDF()), maxBucketDocs = 2)
+      .writeStream.format("memory").queryName("stream_neardup_cap")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val text = "alpha beta gamma delta epsilon zeta eta theta"
+      src.addData((1L to 3L).map(i => doc(i, text, i)))
+      q.processAllAvailable()
+      src.addData(doc(4, text, 10))
+      q.processAllAvailable()
+      val partners = spark.table("stream_neardup_cap").collect()
+        .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB"))).toSet
+        .filter(_._2 == 4L).map(_._1)
+      assert(partners === Set(2L, 3L), s"cap 2 must keep only docs 2,3: $partners")
+    } finally q.stop()
+  }
+
   test("streaming quality gate scores with the batch td02 expressions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
