@@ -70,4 +70,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftAnti, BuildRight"),
       "df-cap filter must broadcast the (tiny) hot-shingle list")
   }
+
+  test("minhash/simhash (td07/td08): candidates come from band equijoins") {
+    for (q <- Seq(TextPipeline.dedupMinHash _, TextPipeline.dedupSimHash _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "band candidate generation must never fall back to all-pairs")
+    }
+  }
 }
