@@ -151,11 +151,25 @@ object VectorPipeline extends graft.Registry {
     * vectors whose 8-bit hyperplane signature matches — an equijoin on
     * bucket instead of a full scan per query. Recall is approximate by
     * design; ranking within candidates is exact. */
+  /** The stored LSH index: corpus + norm + 8-plane sign bucket.
+    * Shared by the batch ANN query and the streaming similarity
+    * search ([[graft.streaming.VectorStreams]]). */
+  private[graft] def bucketedCorpus(s: SparkSession, dir: String): DataFrame =
+    withNorm(s, dir).withColumn("bucket", bucketCol)
+
+  /** Norm + bucket expressions over an `embedding` column, for query
+    * frames that are not the stored corpus (e.g. a live query
+    * stream); registers the native kernel on the session first. */
+  private[graft] def normAndBucket(s: SparkSession): (Column, Column) = {
+    graft.functions.Functions.register(s)
+    (expr(s"sqrt(${dotSql("embedding", "embedding")})"), bucketCol)
+  }
+
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     // Materialize the bucketed index once (at scale this is the
     // stored LSH index build); both the query and corpus sides read
     // it, so the 8 projection folds are evaluated a single time.
-    val e = withNorm(s, dir).withColumn("bucket", bucketCol).cache()
+    val e = bucketedCorpus(s, dir).cache()
     val q = e.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
