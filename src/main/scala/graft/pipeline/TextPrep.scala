@@ -60,6 +60,18 @@ object TextPrep {
   def h32Sql(e: String): String =
     s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
 
+  /** Second independent 32-bit hash word: md5 hex chars 9-16. Used
+    * where an operator needs more than 32 hash bits per value (the
+    * 64-bit SimHash takes bits 0-31 from [[h32]] and 32-63 from
+    * here); md5 output words are independent, so the pair behaves as
+    * one uniform 64-bit hash on both engines. */
+  def h32b(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  /** Same second hash word in DuckDB SQL over expression `e`. */
+  def h32bSql(e: String): String =
+    s"(('0x' || substr(md5($e), 9, 8))::BIGINT)"
+
   /** MinHash permutation i applied to hash column `h` (Spark side). */
   def perm(i: Int, h: Column): Column = {
     val (a, b) = MinHashAB(i)

@@ -33,14 +33,22 @@ object TextPipeline extends graft.Registry {
   private val NumHashes = 16 // minhash signature length
   private val Bands = 4 // LSH bands (4 rows each): ~0.7 similarity knee
   private val Rows = NumHashes / Bands
-  // SimHash calibration: on ~50-90-shingle docs, bit-vote margins are
-  // O(√shingles), so a 1-3-shingle diff flips several borderline bits;
-  // measured on testdata: planted (jaccard ≥ 0.8) pairs land at
-  // hamming ≤ 7 of 32 while the background pair mean is ~16. 8 nibble
-  // bands give a pigeonhole recall guarantee for d ≤ 7 (at web scale:
-  // 64-bit simhash, 16-bit bands, same plan shape).
-  private val SimBits = 32
-  private val MaxHamming = 7
+  // SimHash calibration: 64-bit signature, 8 bands of 8 bits, exact
+  // Hamming ≤ 7 — the Manku et al. (WWW'07, "Detecting near-duplicates
+  // for web crawling") operating point (64-bit fingerprints, small
+  // Hamming radius, banded index). Pigeonhole: d ≤ 7 flipped bits
+  // cannot touch all 8 bands, so every true pair shares a clean band —
+  // recall is guaranteed, not probabilistic. The 8-bit band key gives
+  // 256 buckets/band (vs 16 for the old 32-bit/4-bit layout), so
+  // random-pair candidates drop ~n²/4 → ~n²/64: the bucket join stays
+  // subquadratic at corpus scale. Measured on testdata: true
+  // (jaccard ≥ 0.8) pairs land at hamming ≤ 7 of 64 at sf0.01 (max 10
+  // at sf0.001 — d ≤ 7 over 64 bits is a slightly TIGHTER similarity
+  // bar than jaccard 0.8, by design), background pairs ≥ 17.
+  private[graft] val SimBits = 64
+  private[graft] val SimBands = 8
+  private[graft] val SimBandBits = SimBits / SimBands
+  private[graft] val MaxHamming = 7
   private val JaccardThreshold = 0.8
   private val EstSimThreshold = 0.5
   // Document-frequency cap for the Jaccard candidate join: a shingle
@@ -314,31 +322,50 @@ object TextPipeline extends graft.Registry {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup pairs: 32-bit signature (sign of per-bit vote
-    * sums over distinct shingle hashes), banded into 8 nibbles —
-    * pigeonhole guarantees any pair within Hamming distance 7 shares a
-    * clean nibble — then exact Hamming ≤ 7 via bit_count(xor). */
-  def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
-    val votes = (0 until SimBits).map(b =>
-      sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1")).as(s"s$b"))
-    val sig = shingleIndex(s, dir)
+  /** 64-bit SimHash signature over a `(doc_id, h, h2)` shingle-hash
+    * frame: sign of per-bit vote sums — bits 0-31 vote from `h`,
+    * 32-63 from `h2` (two independent md5 words = one uniform 64-bit
+    * shingle hash). Bit 63's weight is Long.MinValue: the terms are
+    * distinct powers of two, so the sum is exactly the bitwise OR and
+    * never overflows (partial sums of bits 0-62 stay < 2^63; adding
+    * the negative bit-63 term cannot overflow either). Shared by the
+    * batch query below and the streaming near-dup detector
+    * ([[graft.streaming.DocStreams]]), so both paths produce
+    * bit-identical signatures. */
+  private[graft] def simhashSig(shingleHashes: DataFrame): DataFrame = {
+    val votes = (0 until SimBits).map { b =>
+      val (src, bit) = if (b < 32) ("h", b) else ("h2", b - 32)
+      sum(expr(s"(shiftright($src, $bit) & 1) * 2 - 1")).as(s"s$b")
+    }
+    shingleHashes
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(
         col("doc_id"),
         (0 until SimBits)
-          .map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
+          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature (sign of per-bit vote
+    * sums over distinct shingle hashes), banded into 8 bytes —
+    * pigeonhole guarantees any pair within Hamming distance 7 shares a
+    * clean byte band — then exact Hamming ≤ 7 via bit_count(xor). */
+  def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSig(
+      shingleIndex(s, dir).withColumn("h2", h32b(col("shingle"))))
       .cache()
-    // Single bucket join keyed on (band, nibble) with the signature
+    // Single bucket join keyed on (band, byte) with the signature
     // riding along: Hamming is computed and filtered inside the join,
     // so the cross-band distinct sees only true near-dups, with ONE
-    // shuffle over the banded rows.
-    val bands = (0 until SimBits / 4)
+    // shuffle over the banded rows. shiftright is arithmetic, but the
+    // & 255 mask keeps only the 8 extracted bits, so the sign bit
+    // never leaks into a band key.
+    val bands = (0 until SimBands)
       .map { j =>
         sig.select(
           col("doc_id"), lit(j).as("band"),
-          expr(s"shiftright(simhash, ${4 * j}) & 15").as("nib"),
+          expr(s"shiftright(simhash, ${SimBandBits * j}) & 255").as("nib"),
           col("simhash"))
       }
       .reduce(_ unionAll _)
@@ -684,19 +711,29 @@ object TextPipeline extends graft.Registry {
          |ORDER BY component, doc_id""".stripMargin,
     "td08_dedup_simhash" -> {
       val votes = (0 until SimBits)
-        .map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b")
+        .map { b =>
+          val (src, bit) = if (b < 32) ("h", b) else ("h2", b - 32)
+          s"SUM((($src >> $bit) & 1) * 2 - 1) AS s$b"
+        }
         .mkString(",\n         ")
+      // bit 63's weight is Long.MinValue; spelled (-(2^63-1) - 1) so the
+      // literal parses as BIGINT arithmetic (a bare -9223372036854775808
+      // would momentarily be a HUGEINT literal and widen the whole sum)
       val combine = (0 until SimBits)
-        .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .map { b =>
+          val w = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+          s"(CASE WHEN s$b > 0 THEN $w ELSE 0 END)"
+        }
         .mkString(" + ")
-      val bandSelects = (0 until SimBits / 4).map { j =>
-        s"SELECT doc_id, $j AS band, (simhash >> ${4 * j}) & 15 AS nib FROM sig"
+      val bandSelects = (0 until SimBands).map { j =>
+        s"SELECT doc_id, $j AS band, (simhash >> ${SimBandBits * j}) & 255 AS nib FROM sig"
       }.mkString("\n  UNION ALL\n  ")
       s"""WITH $shingleHashesSqlCte,
+         |shh2 AS (SELECT doc_id, h, ${h32bSql("shingle")} AS h2 FROM shh),
          |v AS (
          |  SELECT doc_id,
          |         $votes
-         |  FROM shh GROUP BY doc_id),
+         |  FROM shh2 GROUP BY doc_id),
          |sig AS (
          |  SELECT doc_id, $combine AS simhash FROM v),
          |bands AS (

@@ -29,7 +29,7 @@ import graft.sources.Tables
   * collide on one of [[NdBands]] hyperplane-sign bands) so its plan is
   * a bucket equijoin, never a nested-loop cross join; the brute-force
   * all-pairs variant is retained ONLY as a test oracle for recall
-  * cross-checks at tiny scale (see VectorPipelineSpec).
+  * cross-checks at tiny scale (see PipelineSpec).
   */
 object VectorPipeline extends graft.Registry {
 
@@ -37,21 +37,29 @@ object VectorPipeline extends graft.Registry {
   private val NumQueries = 10 // vec_id < 10 are the query vectors
   private val NumPlanes = 8
   private val Dim = 64
-  private val NearDupCos = 0.4
   private val NumSeeds = 8 // IVF coarse centroids (first 8 vectors)
   private val NProbe = 2 // IVF lists probed per query
-  // Near-dup LSH banding: 32 hyperplanes in 8 bands of 4. Two vectors
-  // are candidates iff some band's 4 sign bits all agree. With
-  // INDEPENDENT planes, recall at similarity s is 1-(1-p^4)^8 with
-  // p = 1 - acos(s)/π: ≈1.0 for true near-duplicates (cos ≥ 0.9),
-  // measured 0.80 on testdata at the weak 0.4 threshold boundary —
-  // the standard LSH trade: band width buys candidate pruning, band
-  // count buys recall, and the plan stays a shuffle-friendly equijoin
-  // at any corpus size. Independence is why [[ndPlane]] hashes: the
-  // affine [[plane]] formula has period 11 in p, so 32 of those would
-  // collapse to 11 distinct planes with heavily-correlated bands
-  // (measured recall 0.55 instead of 0.80).
-  private val NdPlanes = 32
+  // Near-dup declaration: cos ≥ 0.8 — a TRUE near-duplicate bar. The
+  // earlier cos ≥ 0.4 declaration was a weak-similarity search in
+  // near-dup clothing: at s = 0.4 a random pair agrees with a
+  // hyperplane w.p. ~0.63 per bit, so NO band layout can combine high
+  // recall with real pruning (recall ≥ 0.95 there needs ~46 four-bit
+  // bands ⇒ ~36% of ALL pairs become candidates — O(n²)). At 0.8 the
+  // regime flips: per-plane agreement for a qualifying pair is
+  // p = 1 - acos(s)/π ≥ 0.795, an 8-plane band collides w.p. p⁸ ≥
+  // 0.16, and 8 bands give recall 1-(1-p⁸)⁸ ≥ 0.75 at the 0.8
+  // boundary and ≥ 0.99 for genuine near-dups (cos ≥ 0.95) — while a
+  // random pair collides w.p. only 8·2⁻⁸ ≈ 3% (measured < 5% on
+  // testdata; asserted by PipelineSpec's candidate-fraction
+  // floor). Weak-similarity workloads belong on the IVF route
+  // ([[annIvf]]), not on a near-dup pair scan.
+  private val NearDupCos = 0.8
+  // 64 hyperplanes in 8 bands of 8. Independence is why [[ndPlane]]
+  // hashes: the affine [[plane]] formula has period 11 in p, so 64 of
+  // those would collapse to 11 distinct planes with heavily-correlated
+  // bands (measured recall 0.55 instead of 0.80 in the 32-plane
+  // predecessor).
+  private val NdPlanes = 64
   private val NdBands = 8
   private val NdRows = NdPlanes / NdBands
 
@@ -71,8 +79,8 @@ object VectorPipeline extends graft.Registry {
     x
   }
 
-  /** Near-dup hyperplanes: 32 genuinely distinct pseudo-random integer
-    * vectors, w(p,i) ∈ [-5,5]. */
+  /** Near-dup hyperplanes: [[NdPlanes]] genuinely distinct
+    * pseudo-random integer vectors, w(p,i) ∈ [-5,5]. */
   private def ndPlane(p: Int): IndexedSeq[Int] =
     (0 until Dim).map(i => math.floorMod(mix(p * Dim + i), 11) - 5)
 
@@ -241,24 +249,39 @@ object VectorPipeline extends graft.Registry {
         s"(CASE WHEN ${projDuckOf(ndPlane(j * NdRows + k))} > 0 THEN ${1 << k} ELSE 0 END)")
       .mkString(" + ")
 
-  /** Cosine near-duplicate pairs (cos > 0.4) via banded hyperplane
-    * LSH: the signature is computed once per vector (cached), each
-    * vector emits one row per band keyed by that band's sign nibble,
-    * and candidates come from a self-equijoin on (band, bkey) — the
-    * shuffle distributes on the band key, so the plan survives any
-    * corpus size (no BroadcastNestedLoopJoin; pinned by
-    * PlanQualitySpec). Exact cosine is computed inside the join and
-    * filtered before the cross-band distinct, so only true near-dups
-    * reach the final shuffle. */
-  def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Banded rows of a norm'd frame: one row per (vector, band), keyed
+    * by that band's 8 sign bits; the signature columns are computed
+    * once (cached) before the per-band union. */
+  private def ndBandedRows(e: DataFrame): DataFrame = {
     val sigCols = (0 until NdBands).map(j => ndBandKey(j).as(s"bk$j"))
-    val sig = withNorm(s, dir)
+    val sig = e
       .select(col("vec_id") +: col("embedding") +: col("nrm") +: sigCols: _*)
       .cache()
-    val bands = (0 until NdBands).map { j =>
+    (0 until NdBands).map { j =>
       sig.select(col("vec_id"), lit(j).as("band"), col(s"bk$j").as("bkey"),
         col("embedding"), col("nrm"))
     }.reduce(_ unionAll _)
+  }
+
+  /** LSH candidate pairs of a norm'd frame — the band-equijoin output
+    * BEFORE the exact-cosine filter, exposed so tests can assert the
+    * candidate fraction stays far below all-pairs (the whole point of
+    * banding). */
+  private[queries] def ndCandidates(e: DataFrame): DataFrame = {
+    val bands = ndBandedRows(e)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** [[nearDupLsh]] over an arbitrary norm'd `(vec_id, embedding,
+    * nrm)` frame — the declared query binds it to the stored corpus;
+    * tests bind it to planted near-dup corpora. */
+  private[queries] def nearDupLshOn(e: DataFrame): DataFrame = {
+    val bands = ndBandedRows(e)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -272,14 +295,27 @@ object VectorPipeline extends graft.Registry {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Cosine near-duplicate pairs (cos > 0.4), brute-force all-pairs
-    * baseline with exact fold arithmetic. O(n²) BY DESIGN — the
-    * exactness yardstick for [[nearDupLsh]]'s recall in tests at tiny
-    * scale factors; NOT a declared query (the all-pairs `<` join
-    * plans as BroadcastNestedLoopJoin, which does not survive scale).
-    */
-  def nearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, dir)
+  /** Cosine near-duplicate pairs (cos > 0.8) via banded hyperplane
+    * LSH: the signature is computed once per vector (cached), each
+    * vector emits one row per band keyed by that band's 8 sign bits,
+    * and candidates come from a self-equijoin on (band, bkey) — the
+    * shuffle distributes on the band key, so the plan survives any
+    * corpus size (no BroadcastNestedLoopJoin; pinned by
+    * PlanQualitySpec). Exact cosine is computed inside the join and
+    * filtered before the cross-band distinct, so only true near-dups
+    * reach the final shuffle. The testdata corpus contains no true
+    * embedding near-dups (max pairwise cos ≈ 0.51 at every SF), so
+    * the declared result is legitimately empty there; recall and
+    * pruning are proven on planted corpora in PipelineSpec. */
+  def nearDupLsh(s: SparkSession, dir: String): DataFrame =
+    nearDupLshOn(withNorm(s, dir))
+
+  /** Brute-force near-dup baseline over an arbitrary norm'd frame:
+    * exact fold arithmetic, O(n²) BY DESIGN — the exactness yardstick
+    * for [[nearDupLshOn]]'s recall in tests at tiny scale; NOT a
+    * declared query (the all-pairs `<` join plans as
+    * BroadcastNestedLoopJoin, which does not survive scale). */
+  private[queries] def nearDupOn(e: DataFrame): DataFrame = {
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -290,6 +326,18 @@ object VectorPipeline extends graft.Registry {
         (expr(dotSql("ea", "eb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") > NearDupCos)
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Brute-force near-dup pairs of the stored corpus (test-only). */
+  def nearDup(s: SparkSession, dir: String): DataFrame =
+    nearDupOn(withNorm(s, dir))
+
+  /** Norm'd frame for an ad-hoc `(vec_id, embedding)` corpus (test
+    * entry point for planted near-dup data). */
+  private[queries] def normed(s: SparkSession, df: DataFrame): DataFrame = {
+    graft.functions.Functions.register(s)
+    df.select(col("vec_id"), col("embedding"),
+      expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

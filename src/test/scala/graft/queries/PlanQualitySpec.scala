@@ -78,4 +78,13 @@ class PlanQualitySpec extends SparkSpec {
         "band candidate generation must never fall back to all-pairs")
     }
   }
+
+  test("simhash (td08): band key is the full 8-bit byte, not a nibble") {
+    val p = plan(TextPipeline.dedupSimHash(spark, dir))
+    // 256 buckets per band keeps the bucket self-join subquadratic; a
+    // regression to the old 4-bit mask (16 buckets/band ⇒ ~n²/64
+    // candidate pairs) must fail here before it reaches a cluster
+    assert(p.contains("& 255"), "td08 band key must mask 8 bits")
+    assert(!p.contains("& 15"), "td08 band key regressed to a 4-bit nibble")
+  }
 }
