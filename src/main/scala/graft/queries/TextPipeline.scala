@@ -25,7 +25,9 @@ import graft.sources.Tables
   *     index, LSH bands, SimHash bands) — never an O(n²) cross join —
   *     so the same plans hold on a 1000-executor cluster.
   *   - The per-(lang, token) document-frequency table used by
-  *     language-ID is vocabulary-sized, hence broadcast.
+  *     language-ID carries no broadcast hint: the planner broadcasts
+  *     it when its measured size fits and shuffle-joins on `tok`
+  *     when a web-scale vocabulary doesn't.
   */
 object TextPipeline extends graft.Registry {
   import TextPrep._
@@ -168,9 +170,13 @@ object TextPipeline extends graft.Registry {
     * doc d for language L = sum over d's distinct tokens of the number
     * of L-labeled docs containing that token; prediction = argmax
     * (ties → alphabetical). Output is the lang × predicted confusion
-    * matrix. All-integer scoring → deterministic. The df table is
-    * vocab×langs-sized and broadcast; the only wide shuffle keys on
-    * doc_id.
+    * matrix. All-integer scoring → deterministic. The (token, lang)
+    * df table joins WITHOUT a broadcast hint: a web-scale corpus has
+    * 10⁸-10⁹ distinct tokens (typos, code, URLs), which would OOM the
+    * executors if forced to broadcast — Catalyst's size statistics
+    * pick broadcast when the vocabulary actually fits (as it does on
+    * testdata) and a `tok`-keyed shuffle join when it doesn't. The
+    * wide shuffles key on tok and doc_id.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
@@ -181,7 +187,7 @@ object TextPipeline extends graft.Registry {
       .groupBy(col("tok"), col("lang").as("df_lang"))
       .agg(count(lit(1)).as("df"))
     val scored = toks
-      .join(broadcast(df), "tok")
+      .join(df, "tok")
       .groupBy("doc_id", "lang", "df_lang")
       .agg(sum("df").as("score"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("df_lang"))
@@ -440,18 +446,32 @@ object TextPipeline extends graft.Registry {
     * small, and the result is exact once converged regardless of
     * extra rounds. */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairGraph(s, dir).select("doc_a", "doc_b")
+    val (labels, _) =
+      connectedComponents(jaccardPairGraph(s, dir).select("doc_a", "doc_b"))
+    labels
+      .select(col("root").as("component"), col("node").as("doc_id"),
+        (col("node") =!= col("root")).as("is_duplicate"))
+      .orderBy("component", "doc_id")
+  }
+
+  /** Min-label connected components over an undirected pair list
+    * (`doc_a`, `doc_b`): each round propagates the min label across
+    * edges, then POINTER-JUMPS (root ← root-of-root) — composing the
+    * label map with itself halves the remaining chain depth, so a
+    * path of length L converges in O(log L) rounds instead of O(L)
+    * (the Pregel/shortcutting pattern; labels only ever decrease, so
+    * an unchanged label sum means the exact fixpoint was reached).
+    * sum() over an empty frame is null → 0 (an empty pair graph is a
+    * legal input and must yield an empty, not crashed, result).
+    * Returns (labels(node, root), rounds used). */
+  private[queries] def connectedComponents(
+      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("root", col("node"))
       .localCheckpoint()
-    // Iterate to fixpoint: labels only ever decrease, so an unchanged
-    // label sum means convergence — rounds used ≈ component diameter
-    // (small for near-dup clusters) instead of a fixed worst case.
-    // sum() over an empty frame is null → 0 (empty pair graph is a
-    // legal input and must yield an empty, not crashed, result).
     def labelSum(): Long = {
       val v = labels.agg(sum("root")).first()
       if (v.isNullAt(0)) 0L else v.getLong(0)
@@ -459,29 +479,36 @@ object TextPipeline extends graft.Registry {
     var prevSum = labelSum()
     var converged = labels.head(1).isEmpty
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       rounds += 1
       val prop = edges
         .join(labels, edges("doc_b") === labels("node"))
         .groupBy(col("doc_a").as("pnode"))
         .agg(min("root").as("proot"))
-      labels = labels
+      val stepped = labels
         .join(prop, col("node") === col("pnode"), "left")
         .select(col("node"),
           least(col("root"), coalesce(col("proot"), col("root"))).as("root"))
+      // Pointer-jumping: every root is itself a node id (labels start
+      // as self and only take mins of existing labels), so looking the
+      // root up in the same map is total; the left join + coalesce is
+      // belt-and-braces for the empty frame.
+      val rootOf = stepped
+        .select(col("node").as("rnode"), col("root").as("rroot"))
+      labels = stepped
+        .join(rootOf, stepped("root") === rootOf("rnode"), "left")
+        .select(stepped("node"),
+          coalesce(col("rroot"), stepped("root")).as("root"))
         .localCheckpoint() // truncate the iterative lineage
       val s = labelSum()
       converged = s == prevSum
       prevSum = s
     }
-    // Fail loudly rather than emit partial (wrong) components: a
-    // >50-hop near-dup chain means the corpus needs pointer-jumping,
-    // not silent acceptance.
+    // Fail loudly rather than emit partial (wrong) components: with
+    // pointer-jumping, maxRounds = 50 covers component diameters up
+    // to ~2^50 — non-convergence means something is broken, not big.
     require(converged, s"component propagation did not converge in $rounds rounds")
-    labels
-      .select(col("root").as("component"), col("node").as("doc_id"),
-        (col("node") =!= col("root")).as("is_duplicate"))
-      .orderBy("component", "doc_id")
+    (labels, rounds)
   }
 
   // -------------------------------------------------------------- registry

@@ -82,6 +82,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("components pointer-jump: a 200-link chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // worst case for plain min-label propagation: one long path, whose
+    // diameter (200) would need 200 rounds without pointer-jumping
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = TextPipeline.connectedComponents(chain)
+    assert(rounds < 15, s"pointer-jumping should converge in ~log2(200) rounds, took $rounds")
+    val byNode = labels.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("root")).toMap
+    assert(byNode.size === 201)
+    assert(byNode.values.toSet === Set(0L), "all chain nodes must share root 0")
+  }
+
   test("exact dedup reports a full-corpus summary") {
     val r = TextPipeline.dedupExact(spark, dir).collect()(0)
     assert(r.getAs[Long]("n_docs") === 500L)

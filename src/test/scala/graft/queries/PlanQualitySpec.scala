@@ -79,6 +79,23 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("lang-id (td03): vocabulary join carries no broadcast hint") {
+    // a web-scale (token, lang) df table is NOT broadcastable; the
+    // planner must stay free to pick a tok-keyed shuffle join from
+    // size statistics. With auto-broadcast disabled the join must
+    // still plan (as SMJ) — a forced broadcast hint would override
+    // the threshold and OOM real executors.
+    val analyzed = TextPipeline.langId(spark, dir).queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), "td03 must not force a broadcast")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(TextPipeline.langId(spark, dir))
+      assert(p.contains("SortMergeJoin"),
+        "vocabulary join must degrade to a shuffle join when too big to broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("simhash (td08): band key is the full 8-bit byte, not a nibble") {
     val p = plan(TextPipeline.dedupSimHash(spark, dir))
     // 256 buckets per band keeps the bucket self-join subquadratic; a
