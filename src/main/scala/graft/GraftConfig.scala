@@ -87,6 +87,8 @@ final case class GraftConfig(
         p
       },
       rowLimit = sql.rowLimit,
+      queryTimeoutMs = sql.queryTimeoutMs,
+      bindHost = server.host,
       dq = dataQuality)
   }
 }

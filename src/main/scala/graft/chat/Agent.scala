@@ -61,9 +61,10 @@ class Agent(
     spark: SparkSession,
     provider: NlToSql,
     schemaDocs: String,
-    rowLimit: Int = 200) {
+    rowLimit: Int = 200,
+    queryTimeoutMs: Long = 0) {
 
-  private val runner = new QueryRunner(spark, rowLimit)
+  private val runner = new QueryRunner(spark, rowLimit, queryTimeoutMs = queryTimeoutMs)
 
   /** Regenerate with feedback appended (reference `chain.py:42-55`;
     * the reduced row limit 100 is the reference's constant). */

@@ -42,11 +42,19 @@ class HttpFacade(
     dbtRoot: () => Path = () => Files.createTempDirectory("graft-dbt"),
     schemaDocsPath: String = "db/schema_docs.md",
     rowLimit: Int = 200,
+    queryTimeoutMs: Long = 0,
+    bindHost: String = "127.0.0.1",
     dq: graft.DataQualityConfig = graft.DataQualityConfig()) {
 
   private val mapper = new ObjectMapper()
   private lazy val schemaDocs = SchemaDocs.buildMarkdown(spark)
-  private lazy val agent = new Agent(spark, provider, schemaDocs, rowLimit)
+  private lazy val agent =
+    new Agent(spark, provider, schemaDocs, rowLimit, queryTimeoutMs)
+  // Every served execution path shares the V8 caps: the agent's runner
+  // above and this one for /dbt/preview both carry the configured
+  // timeout, so no route can run an unbounded query.
+  private lazy val previewRunner =
+    new graft.sql.QueryRunner(spark, rowLimit, queryTimeoutMs = queryTimeoutMs)
   // One dbt project root per facade (resolved once): repeated
   // /dbt/generate writes must overwrite into the SAME project, the
   // reference's regenerate semantics — not scatter one temp dir per
@@ -58,9 +66,12 @@ class HttpFacade(
   /** Bound port after [[start]] (useful with port=0 in tests). */
   def port: Int = server.getAddress.getPort
 
+  /** Bind [[bindHost]] (reference `server.host`, default loopback here
+    * — binding wider is an explicit config decision, `main.py` runs
+    * uvicorn on `settings.server.host`). */
   def start(portWanted: Int = 0): Unit = synchronized {
     require(server == null, "already started")
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", portWanted), 0)
+    server = HttpServer.create(new InetSocketAddress(bindHost, portWanted), 0)
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.setExecutor(null) // single-threaded like the reference's 1 worker
     server.start()
@@ -251,7 +262,7 @@ class HttpFacade(
   /** `POST /dbt/preview` → `{plan, rows}` (reference `chat.py:226-236`). */
   private def dbtPreview(in: JsonNode): (Int, String, String) = {
     val res = DbtGenerator.preview(spark, reqString(in, "model_sql"),
-      optInt(in, "limit_override"))
+      optInt(in, "limit_override"), previewRunner)
     okJson(obj("plan" -> res.plan, "rows" -> rawRows(res.rows)))
   }
 

@@ -31,6 +31,12 @@ class Orchestrator(transport: HttpTransport,
 
   private val mapper = new ObjectMapper()
 
+  /** Percent-encode one URL path segment (flow/deployment names are
+    * user input and may carry spaces, '/', '?' — same treatment as
+    * [[graft.git.GitHubClient]]'s path encoding). */
+  private def enc(segment: String): String =
+    java.net.URLEncoder.encode(segment, "UTF-8").replace("+", "%20")
+
   private def checked(r: graft.net.HttpReply, what: String): JsonNode = {
     if (r.status >= 300) throw OrchestratorError(s"$what -> ${r.status}: ${r.body}")
     mapper.readTree(r.body)
@@ -68,7 +74,8 @@ class Orchestrator(transport: HttpTransport,
       case (k, v: Boolean) => p.put(k, v)
       case (k, v) => p.put(k, String.valueOf(v))
     }
-    val url = s"$apiBase/deployments/name/$flowName/$deployment/create_flow_run"
+    val url =
+      s"$apiBase/deployments/name/${enc(flowName)}/${enc(deployment)}/create_flow_run"
     checked(
       transport.send(HttpCall("POST", url,
         Map("Content-Type" -> "application/json"),
@@ -78,7 +85,7 @@ class Orchestrator(transport: HttpTransport,
 
   /** Reference `get_status`: fetch a flow run by id. */
   def getStatus(flowRunId: String): JsonNode = {
-    val url = s"$apiBase/flow_runs/$flowRunId"
+    val url = s"$apiBase/flow_runs/${enc(flowRunId)}"
     checked(transport.send(HttpCall("GET", url)), s"GET $url")
   }
 }

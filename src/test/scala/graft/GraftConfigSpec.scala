@@ -76,6 +76,29 @@ class GraftConfigSpec extends SparkSpec {
     } finally facade.stop()
   }
 
+  test("buildFacade threads sql.query_timeout_ms into every served runner") {
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    spark.range(300L * 1000 * 1000).createOrReplaceTempView("slow_cfg_src")
+    val facade = GraftConfig.fromMap(Map(
+      "sql.query_timeout_ms" -> "1500")).buildFacade(spark)
+    facade.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val mapper = new ObjectMapper()
+      // /dbt/preview executes arbitrary validated SELECTs — without the
+      // timeout threaded through, this cartesian square would run for
+      // minutes; with it, the watchdog cancels at the configured ms.
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${facade.port}/dbt/preview"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"model_sql": "SELECT COUNT(*) AS n FROM slow_cfg_src a, slow_cfg_src b"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 500)
+      assert(mapper.readTree(r.body()).get("detail").asText()
+        .contains("exceeded 1500ms"))
+    } finally facade.stop()
+  }
+
   test("startup check retries with bounded backoff and then succeeds") {
     val t0 = System.nanoTime()
     Lifespan.startupCheck(spark, attempts = 3, minWaitMs = 1, maxWaitMs = 5)

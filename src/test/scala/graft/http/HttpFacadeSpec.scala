@@ -186,6 +186,43 @@ class HttpFacadeSpec extends SparkSpec {
     delete(s"/namespace/$nsId")
   }
 
+  test("served facade enforces the configured query timeout on /chat (V8)") {
+    // provider that emits a cartesian square far too big for 1.5s
+    spark.range(300L * 1000 * 1000).createOrReplaceTempView("slow_http_src")
+    val slowProvider = new graft.chat.NlToSql {
+      override def complete(question: String, rowLimit: Int): String =
+        "```sql\nSELECT COUNT(*) AS n FROM slow_http_src a, slow_http_src b\n```"
+    }
+    val f2 = new HttpFacade(spark, provider = slowProvider,
+      queryTimeoutMs = 1500)
+    f2.start()
+    try {
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f2.port}/chat"))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"question": "anything"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 500)
+      assert(mapper.readTree(r.body()).get("detail").asText()
+        .contains("exceeded 1500ms"))
+      // the server must keep serving after the cancellation
+      val h = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f2.port}/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(h.statusCode() === 200)
+    } finally f2.stop()
+  }
+
+  test("bindHost is honored: 0.0.0.0 serves on loopback too") {
+    val f2 = new HttpFacade(spark, bindHost = "0.0.0.0")
+    f2.start()
+    try {
+      val h = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f2.port}/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(h.statusCode() === 200)
+    } finally f2.stop()
+  }
+
   test("GET /metrics exports prometheus text incl. the reference counters") {
     val r = get("/metrics")
     assert(r.statusCode() === 200)

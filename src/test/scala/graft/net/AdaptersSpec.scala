@@ -196,4 +196,16 @@ class AdaptersSpec extends AnyFunSuite {
     val err = intercept[OrchestratorError](empty.runFlow("ghost"))
     assert(err.getMessage.contains("No deployments found"))
   }
+
+  test("orchestrator: flow/deployment/run-id path segments are percent-encoded") {
+    val t = new FakeTransport(
+      HttpReply(201, """{"id":"run-3"}"""),
+      HttpReply(200, """{"id":"run x/y","state":{"type":"COMPLETED"}}"""))
+    val o = new Orchestrator(t, apiBase = "http://prefect:4200/api")
+    o.runFlow("daily sales/v2", Some("depl?one"))
+    assert(t.calls(0).url ===
+      "http://prefect:4200/api/deployments/name/daily%20sales%2Fv2/depl%3Fone/create_flow_run")
+    o.getStatus("run x/y")
+    assert(t.calls(1).url === "http://prefect:4200/api/flow_runs/run%20x%2Fy")
+  }
 }
