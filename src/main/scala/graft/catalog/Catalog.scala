@@ -84,6 +84,22 @@ class Catalog(
   private def nextId(ids: Seq[Long]): Long =
     if (ids.isEmpty) 1L else ids.max + 1L
 
+  /** Managed-table hygiene: when the catalog has NO table `schema.table`
+    * but its managed warehouse location still holds files (orphans left
+    * by a previous session's metastore — the warehouse outlives an
+    * ephemeral catalog), `saveAsTable` fails with
+    * LOCATION_ALREADY_EXISTS. The catalog is the source of truth, so an
+    * unregistered location is garbage: delete it (Hadoop FS API — works
+    * for any scheme, local or distributed). */
+  private def clearOrphanLocation(schema: String, table: String): Unit =
+    if (!spark.catalog.tableExists(s"$schema.$table")) {
+      val dbLoc = spark.sessionState.catalog.getDatabaseMetadata(schema).locationUri
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dbLoc), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
   // ------------------------------------------------------------- namespaces
 
   /** C1: create namespace — normalize display name, `CREATE DATABASE
@@ -160,6 +176,42 @@ class Catalog(
   def getTable(id: Long): Option[TableEntry] =
     synchronized(tables.find(_.id == id))
 
+  /** Edit a table's display name (RETURNING semantics, like
+    * [[updateNamespace]]). The reference's edit route
+    * (`namespace_table.py:124-135`) operates on the wrong model — this
+    * is its documented intent. The physical `tableName` is fixed at
+    * create time (normalized identifier backing a real Spark table),
+    * so only the display name moves. */
+  def updateTable(id: Long, name: Option[String] = None): Option[TableEntry] =
+    synchronized {
+      tables.find(_.id == id).map { t =>
+        val updated = t.copy(
+          name = name.getOrElse(t.name),
+          updatedAt = now())
+        tables = tables.map(x => if (x.id == id) updated else x)
+        persist()
+        updated
+      }
+    }
+
+  /** Delete one table: drop the physical Spark table when loaded, then
+    * remove the metadata row (the reference's delete route intent,
+    * `namespace_table.py:138-144` — its implementation deletes by
+    * namespace id). */
+  def deleteTable(id: Long): Boolean = synchronized {
+    tables.find(_.id == id) match {
+      case None => false
+      case Some(t) =>
+        if (t.isLoaded)
+          namespaces.find(_.id == t.namespaceId).foreach { ns =>
+            spark.sql(s"DROP TABLE IF EXISTS `${ns.schemaName}`.`${t.tableName}`")
+          }
+        tables = tables.filterNot(_.id == id)
+        persist()
+        true
+    }
+  }
+
   /** C5 + S1: validate the CSV (`.csv`, ≤50 MB, non-empty, not already
     * loaded), ingest with header + schema inference, save as a
     * parquet-backed catalog table, stamp file metadata. */
@@ -193,6 +245,7 @@ class Catalog(
       require(size <= MaxCsvBytes,
         f"File too large: ${size / 1048576.0}%.1f MB. Maximum allowed: 50.0 MB")
       val ns = namespaces.find(_.id == entry.namespaceId).get
+      clearOrphanLocation(ns.schemaName, entry.tableName)
       read(path)
         .write.mode(SaveMode.Overwrite)
         .saveAsTable(s"`${ns.schemaName}`.`${entry.tableName}`")
@@ -206,16 +259,25 @@ class Catalog(
 
   /** C6 (documented intent; the reference's implementation has latent
     * NameErrors): bulk-load every CSV in a directory into a
-    * `demo_dataset` namespace, one table per file. */
+    * `demo_dataset` namespace, one table per file. Replace semantics
+    * per the reference route's own description
+    * (`namespace.py:95-97` "(replace)"): an existing namespace of the
+    * same schema name is dropped first, so re-upload refreshes the
+    * demo data instead of erroring. */
   def loadDemoDataset(dir: String,
-      namespaceName: String = "Demo Dataset"): Seq[TableEntry] = {
+      namespaceName: String = "Demo Dataset"): (Namespace, Seq[TableEntry]) = {
+    val schema = Names.normalizeSchemaName(namespaceName)
+    synchronized {
+      namespaces.find(_.schemaName == schema).foreach(ns => deleteNamespace(ns.id))
+    }
     val ns = createNamespace(namespaceName, "bulk-loaded demo data")
     val csvs = Files.list(Paths.get(dir)).toArray.map(_.toString)
       .filter(_.endsWith(".csv")).sorted
-    csvs.map { path =>
+    val entries = csvs.map { path =>
       val base = Paths.get(path).getFileName.toString.stripSuffix(".csv")
       val entry = createTable(ns.id, base)
       loadCsv(entry.id, path)
     }.toSeq
+    (ns, entries)
   }
 }

@@ -41,6 +41,7 @@ class HttpFacade(
     orchestrator: Option[graft.orchestrate.Orchestrator] = None,
     dbtRoot: () => Path = () => Files.createTempDirectory("graft-dbt"),
     schemaDocsPath: String = "db/schema_docs.md",
+    demoDataDir: String = "demo_data",
     rowLimit: Int = 200,
     queryTimeoutMs: Long = 0,
     bindHost: String = "127.0.0.1",
@@ -114,6 +115,7 @@ class HttpFacade(
 
   private val NamespaceId = "^/namespace/(\\d+)$".r
   private val NamespaceTables = "^/namespace/(\\d+)/table$".r
+  private val NamespaceTable = "^/namespace/(\\d+)/table/(\\d+)$".r
   private val TableUpload = "^/namespace/\\d+/table/(\\d+)/upload$".r
   private val OrchestrateStatus = "^/orchestrate/status/([^/]+)$".r
 
@@ -142,10 +144,15 @@ class HttpFacade(
     case ("GET", OrchestrateStatus(id)) => orchestrateStatus(id)
     case ("GET", "/namespace") => nsList()
     case ("POST", "/namespace") => nsCreate(parse(body))
+    case ("POST", "/namespace/demo-upload") => demoUpload()
     case ("GET", NamespaceId(id)) => nsGet(id.toLong)
+    case ("PUT", NamespaceId(id)) => nsUpdate(id.toLong, parse(body))
     case ("DELETE", NamespaceId(id)) => nsDelete(id.toLong)
     case ("GET", NamespaceTables(id)) => nsTables(id.toLong)
     case ("POST", NamespaceTables(id)) => nsCreateTable(id.toLong, parse(body))
+    case ("GET", NamespaceTable(ns, t)) => tblGet(ns.toLong, t.toLong)
+    case ("PUT", NamespaceTable(ns, t)) => tblUpdate(ns.toLong, t.toLong, parse(body))
+    case ("DELETE", NamespaceTable(ns, t)) => tblDelete(ns.toLong, t.toLong)
     case ("POST", TableUpload(tid)) => tableUpload(tid.toLong, parse(body))
     case _ => (404, "application/json", detail("Not Found"))
   }
@@ -357,6 +364,21 @@ class HttpFacade(
       case None => (404, "application/json", detail(s"namespace $id not found"))
     }
 
+  /** `PUT /namespace/{id}` (reference `namespace.py:63-74`): edit the
+    * display name/description; an unchanged body returns the existing
+    * row without touching updatedAt, the reference's equality
+    * short-circuit. The schema_name stays fixed — it backs a real
+    * database. */
+  private def nsUpdate(id: Long, in: JsonNode): (Int, String, String) =
+    cat.getNamespace(id) match {
+      case None => (404, "application/json", detail(s"namespace $id not found"))
+      case Some(ns) =>
+        val name = reqString(in, "name")
+        val desc = optString(in, "description")
+        if (name == ns.name && desc.forall(_ == ns.description)) okJson(nsJson(ns))
+        else okJson(nsJson(cat.updateNamespace(id, Some(name), desc).get))
+    }
+
   private def nsDelete(id: Long): (Int, String, String) =
     if (cat.deleteNamespace(id)) okJson(obj("message" -> "OK"))
     else (404, "application/json", detail(s"namespace $id not found"))
@@ -370,6 +392,67 @@ class HttpFacade(
 
   private def nsCreateTable(id: Long, in: JsonNode): (Int, String, String) =
     okJson(tblJson(cat.createTable(id, reqString(in, "name"))))
+
+  /** Namespace-scoped table lookup: 404 when the namespace is missing
+    * or the table does not belong to it (reference
+    * `get_table_depends`, `namespace_table.py:33-46`). */
+  private def scopedTable(nsId: Long, tableId: Long)
+      : Either[(Int, String, String), graft.catalog.TableEntry] =
+    if (cat.getNamespace(nsId).isEmpty)
+      Left((404, "application/json", detail(s"namespace $nsId not found")))
+    else cat.getTable(tableId).filter(_.namespaceId == nsId) match {
+      case Some(t) => Right(t)
+      case None =>
+        Left((404, "application/json", detail(s"table $tableId not found")))
+    }
+
+  /** `GET /namespace/{id}/table/{table_id}` — the reference route
+    * (`namespace_table.py:117-120`) returns the namespace by mistake;
+    * implemented as its intent: the table row. */
+  private def tblGet(nsId: Long, tableId: Long): (Int, String, String) =
+    scopedTable(nsId, tableId).fold(identity, t => okJson(tblJson(t)))
+
+  /** `PUT .../table/{table_id}` intent (`namespace_table.py:123-135`):
+    * edit the display name; unchanged body short-circuits. */
+  private def tblUpdate(nsId: Long, tableId: Long,
+      in: JsonNode): (Int, String, String) =
+    scopedTable(nsId, tableId).fold(identity, { t =>
+      val name = reqString(in, "name")
+      if (name == t.name) okJson(tblJson(t))
+      else okJson(tblJson(cat.updateTable(tableId, Some(name)).get))
+    })
+
+  /** `DELETE .../table/{table_id}` intent (`namespace_table.py:138-144`
+    * deletes by the wrong id): drop the physical table + metadata row,
+    * return the reference's Message shape. */
+  private def tblDelete(nsId: Long, tableId: Long): (Int, String, String) =
+    scopedTable(nsId, tableId).fold(identity, { t =>
+      cat.deleteTable(t.id)
+      okJson(obj("message" -> s"The table:ID:${t.id} is removed"))
+    })
+
+  /** `POST /namespace/demo-upload` (reference `namespace.py:95-192`):
+    * bulk-load every CSV under [[demoDataDir]] into the "Demo Dataset"
+    * namespace (replace), mirroring the DemoUploadResponse shape. */
+  private def demoUpload(): (Int, String, String) = {
+    val dir = java.nio.file.Paths.get(demoDataDir)
+    if (!Files.isDirectory(dir))
+      return (404, "application/json",
+        detail(s"Demo data directory not found: $demoDataDir"))
+    val csvStream = Files.list(dir)
+    val hasCsv =
+      try csvStream.anyMatch(p => p.toString.endsWith(".csv"))
+      finally csvStream.close()
+    if (!hasCsv)
+      return (404, "application/json", detail(s"No CSV files found in $demoDataDir"))
+    val (ns, ts) = cat.loadDemoDataset(demoDataDir)
+    okJson(obj(
+      "message" ->
+        s"Successfully uploaded ${ts.length} demo tables to namespace '${ns.name}'",
+      "namespace" -> nsJson(ns),
+      "tables" -> arr(ts.map(tblJson)),
+      "files_processed" -> ts.length))
+  }
 
   /** C5/S1 over HTTP: ingest a server-local data file into the table
     * entry (the reference uploads multipart bytes,

@@ -116,10 +116,37 @@ class CatalogSpec extends SparkSpec {
     val dir = Files.createTempDirectory("demo_csvs")
     Files.writeString(dir.resolve("aa.csv"), "x\n1\n")
     Files.writeString(dir.resolve("bb.csv"), "y\n2\n")
-    val entries = cat.loadDemoDataset(dir.toString, "Bulk NS X")
+    val (ns, entries) = cat.loadDemoDataset(dir.toString, "Bulk NS X")
+    assert(ns.schemaName === "bulk_ns_x")
     assert(entries.length === 2 && entries.forall(_.isLoaded))
     assert(spark.table("bulk_ns_x.aa").count() === 1)
-    cat.deleteNamespace(cat.listNamespaces().head.id)
+    // replace semantics: a second load drops and recreates, not errors
+    val (ns2, entries2) = cat.loadDemoDataset(dir.toString, "Bulk NS X")
+    assert(cat.listNamespaces().count(_.schemaName === "bulk_ns_x") === 1)
+    assert(entries2.length === 2)
+    assert(spark.table("bulk_ns_x.aa").count() === 1)
+    cat.deleteNamespace(ns2.id)
+  }
+
+  test("table edit + delete (reference route intent, models unswapped)") {
+    val (cat, _) = freshCatalog()
+    val ns = cat.createNamespace("Edit NS")
+    val t = cat.createTable(ns.id, "People")
+    val renamed = cat.updateTable(t.id, name = Some("Folks")).get
+    assert(renamed.name === "Folks")
+    assert(renamed.tableName === "people") // physical name is stable
+    assert(renamed.updatedAt.after(t.updatedAt) || renamed.updatedAt.equals(t.updatedAt))
+    assert(cat.updateTable(999L).isEmpty)
+
+    val csv = Files.createTempFile("cat_del", ".csv")
+    Files.writeString(csv, "a\n1\n")
+    cat.loadCsv(t.id, csv.toString)
+    assert(spark.catalog.tableExists("edit_ns.people"))
+    assert(cat.deleteTable(t.id))
+    assert(!spark.catalog.tableExists("edit_ns.people"))
+    assert(cat.getTable(t.id).isEmpty)
+    assert(!cat.deleteTable(t.id))
+    cat.deleteNamespace(ns.id)
   }
 }
 

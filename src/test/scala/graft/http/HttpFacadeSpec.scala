@@ -165,6 +165,102 @@ class HttpFacadeSpec extends SparkSpec {
     assert(get(s"/namespace/$id").statusCode() === 404)
   }
 
+  private def put(path: String, json: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url(path)))
+      .header("Content-Type", "application/json")
+      .method("PUT", HttpRequest.BodyPublishers.ofString(json)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("PUT /namespace/{id} edits name+description (reference namespace.py:63-74)") {
+    val ns = mapper.readTree(post("/namespace",
+      """{"name": "Edit Me", "description": "before"}""").body())
+    val id = ns.get("id").asLong()
+    val edited = put(s"/namespace/$id",
+      """{"name": "Edited", "description": "after"}""")
+    assert(edited.statusCode() === 200)
+    val e = mapper.readTree(edited.body())
+    assert(e.get("name").asText() === "Edited")
+    assert(e.get("description").asText() === "after")
+    // schema_name backs a real database and must not move on edit
+    assert(e.get("schema_name").asText() === "edit_me")
+    // unchanged body short-circuits: same updated_at as the last edit
+    val same = mapper.readTree(put(s"/namespace/$id",
+      """{"name": "Edited", "description": "after"}""").body())
+    assert(same.get("updated_at").asText() === e.get("updated_at").asText())
+    assert(put("/namespace/999999", """{"name": "x"}""").statusCode() === 404)
+    delete(s"/namespace/$id")
+  }
+
+  test("GET/PUT/DELETE /namespace/{id}/table/{table_id} (route intent, models unswapped)") {
+    val nsId = mapper.readTree(post("/namespace",
+      """{"name": "Tbl Routes NS"}""").body()).get("id").asLong()
+    val tbl = mapper.readTree(post(s"/namespace/$nsId/table",
+      """{"name": "Original"}""").body())
+    val tid = tbl.get("id").asLong()
+
+    val got = mapper.readTree(get(s"/namespace/$nsId/table/$tid").body())
+    assert(got.get("id").asLong() === tid)
+    assert(got.get("table_name").asText() === "original")
+
+    val renamed = mapper.readTree(put(s"/namespace/$nsId/table/$tid",
+      """{"name": "Renamed"}""").body())
+    assert(renamed.get("name").asText() === "Renamed")
+    assert(renamed.get("table_name").asText() === "original")
+
+    // scoping: the table is not reachable through another namespace
+    val otherNs = mapper.readTree(post("/namespace",
+      """{"name": "Other Scope NS"}""").body()).get("id").asLong()
+    assert(get(s"/namespace/$otherNs/table/$tid").statusCode() === 404)
+    assert(get(s"/namespace/999999/table/$tid").statusCode() === 404)
+
+    val del = delete(s"/namespace/$nsId/table/$tid")
+    assert(del.statusCode() === 200)
+    assert(mapper.readTree(del.body()).get("message").asText()
+      === s"The table:ID:$tid is removed")
+    assert(get(s"/namespace/$nsId/table/$tid").statusCode() === 404)
+    delete(s"/namespace/$nsId")
+    delete(s"/namespace/$otherNs")
+  }
+
+  test("POST /namespace/demo-upload bulk-loads CSVs (DemoUploadResponse shape)") {
+    val dir = Files.createTempDirectory("graft-demo-data")
+    Files.writeString(dir.resolve("pets.csv"), "id,kind\n1,cat\n2,dog\n")
+    Files.writeString(dir.resolve("toys.csv"), "id\n1\n")
+    Files.writeString(dir.resolve("notes.txt"), "ignored")
+    val metaDir = Files.createTempDirectory("graft-demo-meta").toString
+    val f2 = new HttpFacade(spark,
+      catalog = Some(new Catalog(spark, metaDir)),
+      demoDataDir = dir.toString)
+    f2.start()
+    try {
+      def demoPost() = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f2.port}/namespace/demo-upload"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val r = demoPost()
+      assert(r.statusCode() === 200)
+      val n = mapper.readTree(r.body())
+      assert(n.get("files_processed").asInt() === 2)
+      assert(n.get("namespace").get("schema_name").asText() === "demo_dataset")
+      assert(n.get("tables").size() === 2)
+      assert(n.get("message").asText().contains("Successfully uploaded 2"))
+      assert(spark.table("demo_dataset.pets").count() === 2)
+      // replace semantics: run it again, same result, no 400
+      assert(demoPost().statusCode() === 200)
+      assert(spark.table("demo_dataset.pets").count() === 2)
+      // missing demo dir is the reference's 404
+      val f3 = new HttpFacade(spark,
+        catalog = Some(new Catalog(spark, metaDir)),
+        demoDataDir = "/nonexistent/demo_data")
+      f3.start()
+      try assert(client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f3.port}/namespace/demo-upload"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() === 404)
+      finally f3.stop()
+    } finally f2.stop()
+  }
+
   test("table upload over HTTP ingests a server-local CSV (C5/S1 shape)") {
     val ns = mapper.readTree(post("/namespace",
       """{"name": "Upload NS"}""").body())
