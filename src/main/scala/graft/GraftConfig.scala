@@ -21,7 +21,14 @@ final case class LlmConfig(
     openrouterApiKey: Option[String] = None,
     ollamaBaseUrl: String = "http://localhost:11434")
 
-final case class ServerConfig(host: String = "0.0.0.0", port: Int = 8000)
+/** `upload_dir` and `demo_data_dir` are engine-side extensions (the
+  * reference hardcodes `demo_data` and takes uploads as request
+  * bytes): an unset upload_dir disables path-based table upload. */
+final case class ServerConfig(
+    host: String = "0.0.0.0",
+    port: Int = 8000,
+    uploadDir: Option[String] = None,
+    demoDataDir: String = "demo_data")
 
 final case class GitConfig(
     dbtDir: String = "dbt",
@@ -86,6 +93,8 @@ final case class GraftConfig(
         Files.createDirectories(p)
         p
       },
+      demoDataDir = server.demoDataDir,
+      uploadRoot = server.uploadDir.map(Paths.get(_)),
       rowLimit = sql.rowLimit,
       queryTimeoutMs = sql.queryTimeoutMs,
       bindHost = server.host,
@@ -115,7 +124,9 @@ object GraftConfig {
         ollamaBaseUrl = s("llm.ollama_base_url", "http://localhost:11434")),
       server = ServerConfig(
         host = s("server.host", "0.0.0.0"),
-        port = i("server.port", 8000)),
+        port = i("server.port", 8000),
+        uploadDir = opt("server.upload_dir"),
+        demoDataDir = s("server.demo_data_dir", "demo_data")),
       git = GitConfig(
         dbtDir = s("git.dbt_dir", "dbt"),
         githubToken = opt("git.github_token"),

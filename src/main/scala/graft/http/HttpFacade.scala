@@ -42,6 +42,7 @@ class HttpFacade(
     dbtRoot: () => Path = () => Files.createTempDirectory("graft-dbt"),
     schemaDocsPath: String = "db/schema_docs.md",
     demoDataDir: String = "demo_data",
+    uploadRoot: Option[Path] = None,
     rowLimit: Int = 200,
     queryTimeoutMs: Long = 0,
     bindHost: String = "127.0.0.1",
@@ -454,18 +455,54 @@ class HttpFacade(
       "files_processed" -> ts.length))
   }
 
-  /** C5/S1 over HTTP: ingest a server-local data file into the table
-    * entry (the reference uploads multipart bytes,
-    * `namespace_table.py:88-114`; a path keeps the façade
-    * framework-free while exercising the same validate→ingest→stamp
-    * path — JSON-lines files route through [[Catalog.loadJson]]). */
-  private def tableUpload(tableId: Long, in: JsonNode): (Int, String, String) = {
-    val path = reqString(in, "path")
-    okJson(tblJson(
-      if (path.endsWith(".jsonl") || path.endsWith(".json"))
-        cat.loadJson(tableId, path)
-      else cat.loadCsv(tableId, path)))
-  }
+  /** C5/S1 over HTTP (reference uploads multipart bytes,
+    * `namespace_table.py:88-114`): two ingestion modes, both through
+    * the same validate→ingest→stamp path.
+    *
+    *  - `{file_name, content}` — content in the request body like the
+    *    reference; spooled to a private temp file, ingested, removed.
+    *  - `{path}` — server-local file, ONLY under the configured
+    *    [[uploadRoot]] (resolved real path, prefix-checked). Without a
+    *    root this mode is rejected: an unrestricted path parameter is
+    *    an arbitrary-file-read primitive the moment the facade binds
+    *    beyond loopback.
+    */
+  private def tableUpload(tableId: Long, in: JsonNode): (Int, String, String) =
+    optString(in, "content") match {
+      case Some(content) =>
+        val fileName = reqString(in, "file_name")
+        if (fileName.contains("/") || fileName.contains("\\"))
+          throw new IllegalArgumentException("file_name must be a bare file name")
+        val tmpDir = Files.createTempDirectory("graft-upload")
+        val tmp = tmpDir.resolve(fileName)
+        try {
+          Files.writeString(tmp, content)
+          okJson(tblJson(ingestByExt(tableId, tmp.toString)))
+        } finally {
+          Files.deleteIfExists(tmp)
+          Files.deleteIfExists(tmpDir)
+        }
+      case None =>
+        val path = reqString(in, "path")
+        val root = uploadRoot.getOrElse(throw new IllegalArgumentException(
+          "path-based upload requires a configured upload root; " +
+            "send {file_name, content} instead"))
+        val real =
+          try java.nio.file.Paths.get(path).toRealPath()
+          catch {
+            case _: java.io.IOException =>
+              throw new IllegalArgumentException(s"no such file: $path")
+          }
+        if (!real.startsWith(root.toRealPath()))
+          throw new IllegalArgumentException(
+            s"upload path must be under the configured upload root")
+        okJson(tblJson(ingestByExt(tableId, real.toString)))
+    }
+
+  private def ingestByExt(tableId: Long, path: String): graft.catalog.TableEntry =
+    if (path.endsWith(".jsonl") || path.endsWith(".json"))
+      cat.loadJson(tableId, path)
+    else cat.loadCsv(tableId, path)
 
   // ---------------------------------------------------------- JSON helpers
 

@@ -32,9 +32,13 @@ class GraftConfigSpec extends SparkSpec {
       "llm.provider" -> "ollama",
       "data_quality.default_sigma" -> "2.5",
       "git.github_token" -> "tok",
-      "git.github_repo" -> "o/r"))
+      "git.github_repo" -> "o/r",
+      "server.upload_dir" -> "/srv/uploads",
+      "server.demo_data_dir" -> "/srv/demo"))
     assert(c.sql.rowLimit === 50)
     assert(c.llm.provider === "ollama")
+    assert(c.server.uploadDir === Some("/srv/uploads"))
+    assert(c.server.demoDataDir === "/srv/demo")
     assert(c.dataQuality.defaultSigma === 2.5)
     assert(c.git.githubToken === Some("tok"))
 

@@ -19,11 +19,14 @@ class HttpFacadeSpec extends SparkSpec {
   private val mapper = new ObjectMapper()
   private val client = HttpClient.newHttpClient()
 
+  private lazy val uploadRootDir = Files.createTempDirectory("graft-upload-root")
+
   private lazy val facade: HttpFacade = {
     graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
     val metaDir = Files.createTempDirectory("graft-http-meta").toString
     val f = new HttpFacade(spark,
       catalog = Some(new Catalog(spark, metaDir)),
+      uploadRoot = Some(uploadRootDir),
       schemaDocsPath =
         Files.createTempDirectory("graft-http-docs").resolve("schema_docs.md").toString)
     f.start()
@@ -267,7 +270,7 @@ class HttpFacadeSpec extends SparkSpec {
     val nsId = ns.get("id").asLong()
     val tbl = mapper.readTree(post(s"/namespace/$nsId/table",
       """{"name": "people"}""").body())
-    val csv = Files.createTempFile("people_http", ".csv")
+    val csv = Files.createTempFile(uploadRootDir, "people_http", ".csv")
     Files.writeString(csv, "id,name\n1,ann\n2,bob\n")
     val up = post(s"/namespace/$nsId/table/${tbl.get("id").asLong()}/upload",
       s"""{"path": "$csv"}""")
@@ -279,6 +282,61 @@ class HttpFacadeSpec extends SparkSpec {
     // re-upload of a loaded table is a 400, like the reference
     assert(post(s"/namespace/$nsId/table/${tbl.get("id").asLong()}/upload",
       s"""{"path": "$csv"}""").statusCode() === 400)
+    delete(s"/namespace/$nsId")
+  }
+
+  test("content-in-body upload spools and ingests like the reference multipart") {
+    val nsId = mapper.readTree(post("/namespace",
+      """{"name": "Content NS"}""").body()).get("id").asLong()
+    val tid = mapper.readTree(post(s"/namespace/$nsId/table",
+      """{"name": "inline"}""").body()).get("id").asLong()
+    val up = post(s"/namespace/$nsId/table/$tid/upload",
+      """{"file_name": "inline.csv", "content": "a,b\n1,x\n2,y\n3,z\n"}""")
+    assert(up.statusCode() === 200)
+    val n = mapper.readTree(up.body())
+    assert(n.get("is_loaded").asBoolean())
+    assert(n.get("file_name").asText() === "inline.csv")
+    assert(spark.table("content_ns.inline").count() === 3)
+    // traversal in file_name is rejected
+    val tid2 = mapper.readTree(post(s"/namespace/$nsId/table",
+      """{"name": "evil"}""").body()).get("id").asLong()
+    assert(post(s"/namespace/$nsId/table/$tid2/upload",
+      """{"file_name": "../../etc/x.csv", "content": "a\n1\n"}""").statusCode() === 400)
+    delete(s"/namespace/$nsId")
+  }
+
+  test("path upload outside the upload root is rejected (arbitrary-read guard)") {
+    val nsId = mapper.readTree(post("/namespace",
+      """{"name": "Guard NS"}""").body()).get("id").asLong()
+    val tid = mapper.readTree(post(s"/namespace/$nsId/table",
+      """{"name": "guarded"}""").body()).get("id").asLong()
+    val outside = Files.createTempFile("outside_root", ".csv")
+    Files.writeString(outside, "a\n1\n")
+    val r = post(s"/namespace/$nsId/table/$tid/upload",
+      s"""{"path": "$outside"}""")
+    assert(r.statusCode() === 400)
+    assert(mapper.readTree(r.body()).get("detail").asText()
+      .contains("upload root"))
+    // ../ escape from inside the root is caught by real-path resolution
+    val sneaky = uploadRootDir.resolve("..").resolve(outside.getFileName.toString)
+    assert(post(s"/namespace/$nsId/table/$tid/upload",
+      s"""{"path": "$sneaky"}""").statusCode() === 400)
+    // a facade with NO upload root rejects path mode entirely
+    val f2 = new HttpFacade(spark,
+      catalog = Some(new Catalog(spark,
+        Files.createTempDirectory("graft-noroot-meta").toString)))
+    f2.start()
+    try {
+      val inRoot = Files.createTempFile(uploadRootDir, "in_root", ".csv")
+      Files.writeString(inRoot, "a\n1\n")
+      val resp = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f2.port}/namespace/1/table/1/upload"))
+        .POST(HttpRequest.BodyPublishers.ofString(s"""{"path": "$inRoot"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 400)
+      assert(mapper.readTree(resp.body()).get("detail").asText()
+        .contains("requires a configured upload root"))
+    } finally f2.stop()
     delete(s"/namespace/$nsId")
   }
 
