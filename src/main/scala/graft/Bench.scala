@@ -83,15 +83,30 @@ object Bench {
           }
         }
       }
-      name -> (if (failed) None else Some(times.sorted.apply(times.size / 2)))
+      (name,
+        if (failed) None else Some(times.sorted.apply(times.size / 2)),
+        times)
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+      .map { case (k, v, _) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+      .mkString("{", ",", "}")
+    // Per-run arrays alongside the medians: a single noisy run on a
+    // shared host swings ±30%+, and medians alone cannot show whether a
+    // cross-round delta is regression or contention — the spread makes
+    // it adjudicable from the artifact itself. first_run_total isolates
+    // the cold pass (index/cache materialization).
+    val runsJson = results
+      .map { case (k, _, ts) =>
+        "\"" + k + "\":" + ts.map(_.toString).mkString("[", ",", "]")
+      }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
+    val firstRunTotal = results.collect {
+      case (_, Some(_), ts) if ts.nonEmpty => ts.head
+    }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs_per_query":$Runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"first_run_total":$firstRunTotal,"errors":$errJson,"runs_per_query":$Runs,"sf":"$sfDir"}"""
     // stdout (unprefixed — build.sbt routes forked stdout verbatim);
     // mirrored to a file when SPARK_GRAFT_BENCH_OUT is set so the
     // driver can read the result without scraping logs at all.
