@@ -69,14 +69,20 @@ final case class GraftConfig(
       case "ollama" => true
       case _ => false
     }
+    val llmCfg = graft.chat.Providers.LlmConfig(llm.provider, llm.model,
+      llm.openaiApiKey, llm.openrouterApiKey, llm.ollamaBaseUrl)
     val nlToSql: graft.chat.NlToSql =
       if (providerConfigured)
-        new graft.chat.ProviderNlToSql(
-          graft.chat.Providers.LlmConfig(llm.provider, llm.model,
-            llm.openaiApiKey, llm.openrouterApiKey, llm.ollamaBaseUrl),
-          transport,
+        new graft.chat.ProviderNlToSql(llmCfg, transport,
           graft.catalog.SchemaDocs.buildMarkdown(spark))
       else new graft.chat.StubNlToSql
+    // the reference backs /dbt/generate with the same provider stack
+    // (`dbt_generator.py:97` → `provider.complete`); stub only when no
+    // provider is configured
+    val dbtGen: graft.dbt.DbtModelGen =
+      if (providerConfigured)
+        new graft.dbt.ProviderDbtModelGen(llmCfg, transport)
+      else new graft.dbt.StubDbtModelGen
     val github = for {
       token <- git.githubToken.filter(_.nonEmpty)
       repo <- git.githubRepo.filter(_.nonEmpty)
@@ -84,6 +90,7 @@ final case class GraftConfig(
       git.defaultBranch, git.authorName, git.authorEmail)
     new graft.http.HttpFacade(spark,
       provider = nlToSql,
+      dbtGen = dbtGen,
       catalog = catalog,
       github = github,
       orchestrator =

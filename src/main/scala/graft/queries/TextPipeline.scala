@@ -334,10 +334,11 @@ object TextPipeline extends graft.Registry {
     * shingle hash). Bit 63's weight is Long.MinValue: the terms are
     * distinct powers of two, so the sum is exactly the bitwise OR and
     * never overflows (partial sums of bits 0-62 stay < 2^63; adding
-    * the negative bit-63 term cannot overflow either). Shared by the
-    * batch query below and the streaming near-dup detector
-    * ([[graft.streaming.DocStreams]]), so both paths produce
-    * bit-identical signatures. */
+    * the negative bit-63 term cannot overflow either). The streaming
+    * near-dup detector ([[graft.streaming.DocStreams.nearDupSimHash]])
+    * computes the SAME per-bit votes row-locally via [[simhashLocal]];
+    * over the same distinct-shingle set the two forms produce
+    * bit-identical signatures (pinned by DocStreamsSpec). */
   private[graft] def simhashSig(shingleHashes: DataFrame): DataFrame = {
     val votes = (0 until SimBits).map { b =>
       val (src, bit) = if (b < 32) ("h", b) else ("h2", b - 32)
@@ -351,6 +352,22 @@ object TextPipeline extends graft.Registry {
         (0 until SimBits)
           .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+  }
+
+  /** Row-local form of [[simhashSig]] for the streaming path: the same
+    * per-bit vote arithmetic folded over a row's shingle-hash ARRAYS
+    * (`hsCol` = [[graft.pipeline.TextPrep.h32]] values, `hs2Col` =
+    * `h32b` values) instead of grouped rows — no shuffle, so it
+    * composes with downstream stateful operators. Vote sums, sign
+    * rule and bit weights are identical by construction. */
+  private[graft] def simhashLocal(hsCol: String, hs2Col: String): org.apache.spark.sql.Column = {
+    (0 until SimBits).map { b =>
+      val (src, bit) = if (b < 32) (hsCol, b) else (hs2Col, b - 32)
+      when(
+        expr(s"aggregate($src, CAST(0 AS BIGINT), " +
+          s"(acc, h) -> acc + (shiftright(h, $bit) & 1) * 2 - 1)") > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** SimHash near-dup pairs: 64-bit signature (sign of per-bit vote

@@ -235,8 +235,8 @@ object VectorPipeline extends graft.Registry {
       .orderBy("query_id", "rnk")
   }
 
-  /** Sign-band key of near-dup band `j` (Spark side): 4 hyperplane
-    * sign bits packed into an int. */
+  /** Sign-band key of near-dup band `j` (Spark side): [[NdRows]]
+    * hyperplane sign bits packed into an int. */
   private def ndBandKey(j: Int): Column =
     (0 until NdRows)
       .map(k => when(projColOf(ndPlane(j * NdRows + k)) > 0, 1 << k).otherwise(0))

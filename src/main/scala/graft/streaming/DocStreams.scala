@@ -79,6 +79,96 @@ object DocStreams {
     * consumers (or the test) de-duplicate — the standard at-least-once
     * LSH emission.
     */
+  /** A SimHash near-dup hit with its exact Hamming distance. */
+  final case class SimDupPair(docA: Long, docB: Long, hamming: Long)
+
+  private[streaming] final case class SimBucketDoc(docId: Long, sig: Long)
+  private[streaming] final case class SimBucketState(
+      docs: Seq[SimBucketDoc], lastMs: Long)
+
+  /** Streaming SimHash near-dup detection — the streaming counterpart
+    * of the batch td08 query, built from the SAME frozen constants
+    * ([[graft.queries.TextPipeline.SimBits]]/`SimBands`/`MaxHamming`)
+    * and the same per-bit vote arithmetic
+    * ([[graft.queries.TextPipeline.simhashLocal]]), so the signature
+    * of a document is bit-identical in both halves and the emitted
+    * pair set matches the batch pass on the same corpus
+    * (pinned in DocStreamsSpec).
+    *
+    * Scale design mirrors [[nearDupMinHash]]: the 64-bit signature is
+    * computed with row-local array expressions (no shuffle before the
+    * keyed state); each doc explodes into 8 (band, byte) rows;
+    * per-bucket state via `flatMapGroupsWithState` is bounded by
+    * `maxBucketDocs` and evicted by event-time timeout. Candidates
+    * within a bucket are confirmed by exact Hamming ≤
+    * [[graft.queries.TextPipeline.MaxHamming]] (64-bit xor popcount —
+    * integer-exact on any engine). */
+  def nearDupSimHash(docs: DataFrame,
+      watermark: String = "1 hour",
+      maxBucketDocs: Int = 64): Dataset[SimDupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.queries.TextPipeline.{MaxHamming, SimBandBits, SimBands}
+
+    // Row-local distinct shingles and both md5 hash words (TextPrep.h32
+    // / h32b over the array form — same bytes, same arithmetic).
+    val sig = docs
+      .withColumn("t", split(col("text"), " "))
+      .where(size(col("t")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(t) - 2), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
+      .withColumn("hs", expr(
+        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("hs2", expr(
+        "transform(sh, s -> CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), col("ingest_ts"),
+        graft.queries.TextPipeline.simhashLocal("hs", "hs2").as("simhash"))
+
+    // One row per byte band, bucket key = (band, extracted byte) —
+    // the streaming form of the batch (band, nib) equijoin key.
+    val banded = (0 until SimBands).map { j =>
+      sig.select(
+        col("doc_id"), col("ingest_ts"), col("simhash"),
+        concat_ws(":", lit(j),
+          expr(s"shiftright(simhash, ${SimBandBits * j}) & 255")).as("bucket"))
+    }.reduce(_ unionAll _)
+
+    banded
+      .withWatermark("ingest_ts", watermark)
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[SimBucketState, SimDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it: Iterator[(Long, Timestamp, Long, String)],
+            state: GroupState[SimBucketState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = it.toVector.sortBy(d => (d._2.getTime, d._1))
+            var known = state.getOption.map(_.docs).getOrElse(Seq.empty)
+            var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
+            val out = Vector.newBuilder[SimDupPair]
+            for ((docId, ts, sigVal, _) <- arrivals) {
+              if (!known.exists(_.docId == docId)) {
+                for (k <- known) {
+                  val hamming = java.lang.Long.bitCount(k.sig ^ sigVal)
+                  if (hamming <= MaxHamming)
+                    out += SimDupPair(
+                      math.min(k.docId, docId), math.max(k.docId, docId),
+                      hamming.toLong)
+                }
+                known = (known :+ SimBucketDoc(docId, sigVal)).takeRight(maxBucketDocs)
+              }
+              lastMs = math.max(lastMs, ts.getTime)
+            }
+            state.update(SimBucketState(known, lastMs))
+            state.setTimeoutTimestamp(lastMs, watermark)
+            out.result().iterator
+          }
+      }
+  }
+
   def nearDupMinHash(docs: DataFrame,
       watermark: String = "1 hour",
       estSimThreshold: Double = 0.5,

@@ -197,6 +197,28 @@ class AdaptersSpec extends AnyFunSuite {
     assert(err.getMessage.contains("No deployments found"))
   }
 
+  test("ProviderDbtModelGen sends the dbt prompt and feeds generate()") {
+    val two =
+      "```sql\nSELECT o_orderkey AS order_id FROM orders\n```\n" +
+        "```yaml\nversion: 2\nmodels:\n  - name: mart_orders\n    columns:\n" +
+        "      - name: order_id\n        tests: [not_null]\n```"
+    val t = new FakeTransport(chatReply(two))
+    val gen = new graft.dbt.ProviderDbtModelGen(cfg, t)
+    val model = graft.dbt.DbtGenerator.generate(gen, "orders mart",
+      Some("mart_orders"), schemaDocs = "## orders\n| col | type |")
+    assert(model.modelName === "mart_orders")
+    assert(model.modelSql.contains("o_orderkey"))
+    assert(model.schemaYml.contains("name: mart_orders"))
+    val p = mapper.readTree(t.calls.head.body.get)
+    val sys = p.get("messages").get(0).get("content").asText()
+    // schema docs survive verbatim (stripMargin must not eat '|' rows)
+    assert(sys.contains("| col | type |"))
+    assert(sys.contains("Suggested model_name: \"mart_orders\""))
+    assert(sys.contains("senior Analytics Engineer"))
+    assert(p.get("messages").get(1).get("content").asText()
+      .contains("exactly as specified"))
+  }
+
   test("orchestrator: flow/deployment/run-id path segments are percent-encoded") {
     val t = new FakeTransport(
       HttpReply(201, """{"id":"run-3"}"""),

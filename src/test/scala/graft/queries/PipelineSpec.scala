@@ -143,6 +143,48 @@ class PipelineSpec extends SparkSpec {
   // vectors (uniform [-1,1] per dim via a murmur-finalizer mix) plus
   // 40 noisy copies at ~0.95 cosine to their base. The REAL testdata
   // embeddings contain no pairs above cos 0.51, so near-dup recall
+  test("jaccard dedup survives a planted Zipf hot shingle (df cap kills the hot key)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Zipf head: one 12-word boilerplate sentence in EVERY doc (10
+    // shingles at df = 400, way past the cap); Zipf tail: 10 unique
+    // words per doc (df-1 shingles). 10 planted dup pairs share tails.
+    val boiler = (0 until 12).map(w => s"b$w").mkString(" ")
+    def tail(seed: Int) = (0 until 10).map(w => s"u${seed}_$w").mkString(" ")
+    val docs = (0 until 400).map(i => (i.toLong, "en", "src0", s"$boiler ${tail(i)}")) ++
+      (0 until 10).map(i => (400L + i, "en", "src0", s"$boiler ${tail(i)}"))
+    val dir = java.nio.file.Files.createTempDirectory("zipf_docs").toString
+    docs.toDF("doc_id", "lang", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val dfCap = 50L
+    val pairs = TextPipeline.dedupJaccard(spark, dir, dfCap)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0 until 10).map(i => (i.toLong, 400L + i)).toSet)
+
+    // Mechanism evidence, measured on the same corpus: candidate-pair
+    // work is Σ df·(df−1)/2 over shingles entering the self-join.
+    val sh = graft.pipeline.TextPrep.shingles(
+      graft.sources.Tables.table(spark, dir, "documents"))
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    def pairWork(d: org.apache.spark.sql.DataFrame): Long = d
+      .agg(sum(expr("df * (df - 1) DIV 2"))).collect()(0).getLong(0)
+    val uncapped = pairWork(dfs)
+    val capped = pairWork(dfs.where(col("df") <= dfCap))
+    // without the cap the hot boilerplate shingles alone contribute
+    // 10 × C(410,2) ≈ 840k candidate pairs — the n² melt
+    assert(uncapped > 800000L, s"planted skew too weak: $uncapped")
+    // with the cap, only the planted tails survive: tiny and flat
+    assert(capped < 200L, s"df cap failed to bound candidates: $capped")
+    // and no surviving join key exceeds the cap, so no hash partition
+    // can receive more than dfCap² work from any single shingle —
+    // per-key input is bounded wherever the key lands
+    val maxDf = dfs.where(col("df") <= dfCap)
+      .agg(max(col("df"))).collect()(0).getLong(0)
+    assert(maxDf <= dfCap)
+  }
+
   // can only be proven on planted structure.
   private def mix(x0: Int): Int = {
     var x = x0

@@ -101,7 +101,13 @@ class PlanQualitySpec extends SparkSpec {
     // 256 buckets per band keeps the bucket self-join subquadratic; a
     // regression to the old 4-bit mask (16 buckets/band ⇒ ~n²/64
     // candidate pairs) must fail here before it reaches a cluster
-    assert(p.contains("& 255"), "td08 band key must mask 8 bits")
-    assert(!p.contains("& 15"), "td08 band key regressed to a 4-bit nibble")
+    // anchor both assertions to the simhash shift-and-mask expression
+    // itself (a bare "& 15" could appear in unrelated hash/partition
+    // expressions and fail spuriously)
+    val bandExpr = "(?s)shiftright\\(simhash[^)]*\\)\\s*&\\s*(\\d+)".r
+    val masks = bandExpr.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(masks.contains("255"), s"td08 band key must mask 8 bits, saw $masks")
+    assert(!masks.contains("15"),
+      s"td08 band key regressed to a 4-bit nibble, saw $masks")
   }
 }

@@ -70,6 +70,36 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash near-dup agrees with the batch td08 pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables.table(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+      .map(r => Doc(r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[String]("text"),
+        ts(r.getAs[Long]("doc_id"))))
+    val src = MemoryStream[Doc]
+    val q = nearDupSimHash(snake(src.toDF()), maxBucketDocs = 1000)
+      .writeStream.format("memory").queryName("stream_simdup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(corpus.toSeq)
+      q.processAllAvailable()
+      val streamPairs = spark.table("stream_simdup").collect()
+        .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB"),
+          r.getAs[Long]("hamming"))).toSet
+      val batchPairs = graft.queries.TextPipeline.dedupSimHash(spark, dir)
+        .select("doc_a", "doc_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // same frozen constants, bit-identical signatures, same banding
+      // and Hamming cut → identical pair set INCLUDING distances
+      assert(streamPairs === batchPairs)
+      assert(streamPairs.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming near-dup state is bounded per bucket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
