@@ -199,6 +199,58 @@ object TextPipeline extends graft.Registry {
       .orderBy("lang", "predicted_lang")
   }
 
+  /** Repetition metrics per document (the Gopher/MassiveText-style
+    * repetition quality signals): unique-token ratio, top-token
+    * fraction (most frequent token's share), duplicate-3-gram fraction
+    * (1 − distinct/total word 3-grams), plus a 0/1 repetitive flag at
+    * the classic top-gram 0.2 / dup-gram 0.3 operating points.
+    *
+    * Scale design: everything is explode → groupBy keyed on
+    * `(doc_id, token)` then `doc_id` — per-key input is bounded by
+    * document length, there is NO per-document quadratic array scan
+    * (an `array_max(transform(...filter...))` formulation would be
+    * O(L²) per doc and melt on book-length documents). The two
+    * aggregates both end hash-partitioned on doc_id, so the final
+    * join reuses the partitioning instead of adding a shuffle.
+    * All ratios are BIGINT-over-BIGINT IEEE double divisions —
+    * bit-identical across engines, so the flag thresholds compare
+    * identically too. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("t"))
+    val perDoc = base
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_uniq"),
+        max("c").as("top_c"))
+    val triDoc = base
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .as("g"))
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tri"), count(lit(1)).as("n_tri_uniq"))
+    perDoc.join(triDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        expr("CAST(n_uniq AS DOUBLE) / n_tokens").as("uniq_token_ratio"),
+        expr("CAST(top_c AS DOUBLE) / n_tokens").as("top_token_frac"),
+        expr("COALESCE(CAST(n_tri - n_tri_uniq AS DOUBLE) / n_tri, CAST(0 AS DOUBLE))")
+          .as("dup_3gram_frac"))
+      .withColumn("is_repetitive", expr(
+        "CAST(CASE WHEN top_token_frac > CAST(0.2 AS DOUBLE) " +
+          "OR dup_3gram_frac > CAST(0.3 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
   /** Document fingerprint: bottom-3 sketch of the shingle-hash set
     * (winnowing-style content signature; equal fingerprints ⇒ likely
     * near-dup). One shuffle on doc_id. */
@@ -542,7 +594,8 @@ object TextPipeline extends graft.Registry {
     "td09_dedup_components" -> dedupComponents,
     "td10_sample_strata" -> sampleStrata,
     "td11_mixture" -> mixture,
-    "td12_decontaminate" -> decontaminate
+    "td12_decontaminate" -> decontaminate,
+    "td13_repetition" -> repetition
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -597,6 +650,41 @@ object TextPipeline extends graft.Registry {
          |       $scoreExpr AS quality_score
          |FROM r ORDER BY doc_id LIMIT 200""".stripMargin
     },
+    "td13_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+        |  GROUP BY doc_id, tok),
+        |pd AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(*) AS BIGINT) AS n_uniq,
+        |         CAST(MAX(c) AS BIGINT) AS top_c
+        |  FROM tc GROUP BY doc_id),
+        |tg AS (
+        |  SELECT doc_id, g, COUNT(*) AS c
+        |  FROM (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |        FROM base, LATERAL unnest(generate_series(1, len(t) - 2)) AS u(i)
+        |        WHERE len(t) >= 3)
+        |  GROUP BY doc_id, g),
+        |td AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
+        |         CAST(COUNT(*) AS BIGINT) AS n_tri_uniq
+        |  FROM tg GROUP BY doc_id),
+        |r AS (
+        |  SELECT pd.doc_id, pd.n_tokens,
+        |         CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_token_ratio,
+        |         CAST(top_c AS DOUBLE) / n_tokens AS top_token_frac,
+        |         COALESCE(CAST(n_tri - n_tri_uniq AS DOUBLE) / n_tri,
+        |                  CAST(0 AS DOUBLE)) AS dup_3gram_frac
+        |  FROM pd LEFT JOIN td ON pd.doc_id = td.doc_id)
+        |SELECT doc_id, n_tokens, uniq_token_ratio, top_token_frac,
+        |       dup_3gram_frac,
+        |       CAST(CASE WHEN top_token_frac > CAST(0.2 AS DOUBLE)
+        |                   OR dup_3gram_frac > CAST(0.3 AS DOUBLE)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+        |FROM r ORDER BY doc_id LIMIT 200""".stripMargin,
     "td03_lang_id" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, lang,

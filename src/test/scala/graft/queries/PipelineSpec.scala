@@ -185,6 +185,34 @@ class PipelineSpec extends SparkSpec {
     assert(maxDf <= dfCap)
   }
 
+  test("repetition metrics flag planted loops and clear diverse text (td13)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "src0", Seq.fill(40)("spam").mkString(" ")), // one token looped
+      (2L, "en", "src0", ((0 until 10).map(i => s"w$i") ++ (0 until 10).map(i => s"w$i")
+        ++ (0 until 10).map(i => s"w$i")).mkString(" ")), // phrase looped 3x
+      (3L, "en", "src0", (0 until 40).map(i => s"uniq$i").mkString(" ")), // diverse
+      (4L, "en", "src0", "just two")) // < 3 tokens: no trigram metrics
+    val dir = java.nio.file.Files.createTempDirectory("rep_docs").toString
+    docs.toDF("doc_id", "lang", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextPipeline.repetition(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Double]("top_token_frac") === 1.0)
+    assert(rows(1L).getAs[Double]("dup_3gram_frac") > 0.9)
+    assert(rows(1L).getAs[Long]("is_repetitive") === 1L)
+    // looped phrase: every token appears 3x, and 2 of every 3 trigram
+    // instances are repeats of an earlier one
+    assert(rows(2L).getAs[Double]("uniq_token_ratio") < 0.4)
+    assert(rows(2L).getAs[Long]("is_repetitive") === 1L)
+    assert(rows(3L).getAs[Double]("uniq_token_ratio") === 1.0)
+    assert(rows(3L).getAs[Double]("dup_3gram_frac") === 0.0)
+    assert(rows(3L).getAs[Long]("is_repetitive") === 0L)
+    // short doc still present, trigram metric defaults to 0
+    assert(rows(4L).getAs[Long]("n_tokens") === 2L)
+    assert(rows(4L).getAs[Double]("dup_3gram_frac") === 0.0)
+  }
+
   // can only be proven on planted structure.
   private def mix(x0: Int): Int = {
     var x = x0
