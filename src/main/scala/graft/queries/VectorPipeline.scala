@@ -340,14 +340,60 @@ object VectorPipeline extends graft.Registry {
       expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"))
   }
 
+  /** Embedding-corpus health stats — the DQ pass a vector corpus gets
+    * before any index build: corpus size, dimension bounds (a mixed-dim
+    * corpus breaks every downstream kernel), zero-norm and non-finite
+    * counts, and the norm distribution (min / exact median / max,
+    * non-finite rows excluded). Every output is an integer count or an
+    * ORDER-FREE aggregate over per-row deterministic norms — no
+    * cross-row float summation anywhere, because a cross-row double
+    * SUM depends on aggregation order on any engine and would break
+    * both the oracle hash and run-to-run reproducibility at scale.
+    * One scan, partial aggregation, a 1-row result. */
+  def embeddingStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Functions.register(s)
+    Tables.table(s, dir, "embeddings")
+      .select(
+        size(col("embedding")).cast("long").as("dim"),
+        expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"),
+        expr("CAST(exists(embedding, x -> isnan(x) " +
+          "OR x = CAST('Infinity' AS FLOAT) OR x = CAST('-Infinity' AS FLOAT)) AS INT)")
+          .as("bad"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min("dim").as("dim_min"),
+        max("dim").as("dim_max"),
+        sum(expr("CAST(nrm = CAST(0 AS DOUBLE) AS INT)")).cast("long").as("n_zero"),
+        sum("bad").cast("long").as("n_nonfinite"),
+        min(when(col("bad") === 0, col("nrm"))).as("min_norm"),
+        max(when(col("bad") === 0, col("nrm"))).as("max_norm"),
+        percentile(when(col("bad") === 0, col("nrm")), lit(0.5)).as("p50_norm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_ann_cosine_topk" -> annBrute,
     "v02_ann_lsh_topk" -> annLsh,
     "v03_embedding_neardup" -> nearDupLsh,
-    "v04_ann_ivf_topk" -> annIvf
+    "v04_ann_ivf_topk" -> annIvf,
+    "v05_embedding_stats" -> embeddingStats
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v05_embedding_stats" ->
+      s"""WITH e AS (
+         |  SELECT CAST(len(embedding) AS BIGINT) AS dim,
+         |         sqrt(${dotDuck("embedding", "embedding")}) AS nrm,
+         |         CAST(len(list_filter(embedding,
+         |               x -> isnan(x) OR isinf(x))) > 0 AS INT) AS bad
+         |  FROM embeddings)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+         |       CAST(SUM(CAST(nrm = CAST(0 AS DOUBLE) AS INT)) AS BIGINT) AS n_zero,
+         |       CAST(SUM(bad) AS BIGINT) AS n_nonfinite,
+         |       MIN(CASE WHEN bad = 0 THEN nrm END) AS min_norm,
+         |       MAX(CASE WHEN bad = 0 THEN nrm END) AS max_norm,
+         |       quantile_cont(CASE WHEN bad = 0 THEN nrm END, 0.5) AS p50_norm
+         |FROM e""".stripMargin,
     "v01_ann_cosine_topk" ->
       s"""WITH $normDuckCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn

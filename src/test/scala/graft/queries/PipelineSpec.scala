@@ -213,6 +213,28 @@ class PipelineSpec extends SparkSpec {
     assert(rows(4L).getAs[Double]("dup_3gram_frac") === 0.0)
   }
 
+  test("embedding stats flag zero/non-finite vectors and dim drift (v05)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array.fill(4)(1.0f)), // norm 2
+      (2L, Array.fill(4)(0.0f)), // zero vector
+      (3L, Array(1.0f, Float.NaN, 0f, 0f)), // NaN element
+      (4L, Array(1.0f, Float.PositiveInfinity, 0f, 0f)), // inf element
+      (5L, Array(3.0f, 4.0f))) // dim drift, norm 5
+    val dir = java.nio.file.Files.createTempDirectory("emb_stats").toString
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val r = VectorPipeline.embeddingStats(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_vecs") === 5L)
+    assert(r.getAs[Long]("dim_min") === 2L)
+    assert(r.getAs[Long]("dim_max") === 4L)
+    assert(r.getAs[Long]("n_zero") === 1L)
+    assert(r.getAs[Long]("n_nonfinite") === 2L)
+    // norm stats exclude the non-finite rows but keep the zero vector
+    assert(r.getAs[Double]("min_norm") === 0.0)
+    assert(r.getAs[Double]("max_norm") === 5.0)
+    assert(r.getAs[Double]("p50_norm") === 2.0)
+  }
+
   // can only be proven on planted structure.
   private def mix(x0: Int): Int = {
     var x = x0
