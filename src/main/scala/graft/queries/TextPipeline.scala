@@ -251,6 +251,35 @@ object TextPipeline extends graft.Registry {
       .limit(200)
   }
 
+  /** Cross-source content-overlap matrix: for every source pair, how
+    * many distinct bottom-sketch fingerprints (td04's `fp1` = min
+    * shingle hash per doc — a 1/|shingles| sample of content identity)
+    * appear in BOTH sources. The provenance question behind
+    * deduplication: which corpus slices feed each other duplicated or
+    * templated content.
+    *
+    * Scale shape: fingerprint = one `doc_id`-keyed aggregation over
+    * the shared shingle index; the pair join keys on `fp1`, and
+    * sketches hotter than `dfCap` docs are dropped first via the same
+    * broadcast anti-join as td06 — a viral template's sketch cannot
+    * concentrate df² pair rows on one partition. Output is
+    * |sources|² at most — tiny. */
+  def sourceOverlap(s: SparkSession, dir: String,
+      dfCap: Long = MaxShingleDf): DataFrame = {
+    val fp = shingleIndex(s, dir).groupBy("doc_id").agg(min("h").as("fp1"))
+    val hot = fp.groupBy("fp1").agg(count(lit(1)).as("n"))
+      .where(col("n") > dfCap).select("fp1")
+    val j = fp.join(broadcast(hot), Seq("fp1"), "left_anti")
+      .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+      .select("fp1", "source")
+    j.as("a")
+      .join(j.as("b"),
+        col("a.fp1") === col("b.fp1") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(countDistinct(col("a.fp1")).as("n_shared_sketches"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Document fingerprint: bottom-3 sketch of the shingle-hash set
     * (winnowing-style content signature; equal fingerprints ⇒ likely
     * near-dup). One shuffle on doc_id. */
@@ -595,7 +624,8 @@ object TextPipeline extends graft.Registry {
     "td10_sample_strata" -> sampleStrata,
     "td11_mixture" -> mixture,
     "td12_decontaminate" -> decontaminate,
-    "td13_repetition" -> repetition
+    "td13_repetition" -> repetition,
+    "td14_source_overlap" -> ((s, dir) => sourceOverlap(s, dir))
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -650,6 +680,19 @@ object TextPipeline extends graft.Registry {
          |       $scoreExpr AS quality_score
          |FROM r ORDER BY doc_id LIMIT 200""".stripMargin
     },
+    "td14_source_overlap" ->
+      s"""WITH $shingleHashesSqlCte,
+         |f AS (SELECT doc_id, MIN(h) AS fp1 FROM shh GROUP BY doc_id),
+         |hot AS (SELECT fp1 FROM f GROUP BY fp1 HAVING COUNT(*) > $MaxShingleDf),
+         |j AS (
+         |  SELECT f.fp1, d.source
+         |  FROM f JOIN documents d USING (doc_id)
+         |  WHERE f.fp1 NOT IN (SELECT fp1 FROM hot))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(COUNT(DISTINCT a.fp1) AS BIGINT) AS n_shared_sketches
+         |FROM j a JOIN j b ON a.fp1 = b.fp1 AND a.source < b.source
+         |GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
     "td13_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

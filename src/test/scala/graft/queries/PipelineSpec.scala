@@ -213,6 +213,25 @@ class PipelineSpec extends SparkSpec {
     assert(rows(4L).getAs[Double]("dup_3gram_frac") === 0.0)
   }
 
+  test("source overlap counts shared sketches across sources; cap drops viral templates (td14)") {
+    import spark.implicits._
+    val t1 = (0 until 10).map(i => s"one$i").mkString(" ")
+    val t2 = (0 until 10).map(i => s"two$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", "src_a", t1), (2L, "en", "src_b", t1), // shared sketch 1
+      (3L, "en", "src_a", t2), (4L, "en", "src_b", t2), // shared sketch 2
+      (5L, "en", "src_c", (0 until 10).map(i => s"three$i").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("overlap_docs").toString
+    docs.toDF("doc_id", "lang", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextPipeline.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows === Map(("src_a", "src_b") -> 2L))
+    // a sketch present in more docs than the cap is a viral template:
+    // dropped before the pair join, so the overlap disappears
+    assert(TextPipeline.sourceOverlap(spark, dir, dfCap = 1).isEmpty)
+  }
+
   test("embedding stats flag zero/non-finite vectors and dim drift (v05)") {
     import spark.implicits._
     val vecs = Seq(
