@@ -269,14 +269,19 @@ object TextPipeline extends graft.Registry {
     val fp = shingleIndex(s, dir).groupBy("doc_id").agg(min("h").as("fp1"))
     val hot = fp.groupBy("fp1").agg(count(lit(1)).as("n"))
       .where(col("n") > dfCap).select("fp1")
+    // Dedupe (fp1, source) BEFORE the pair join: k docs with the same
+    // sketch in one source collapse to one row, so the self-join input
+    // (and its per-key df) shrinks at the source, and the counting
+    // aggregate needs no DISTINCT afterwards.
     val j = fp.join(broadcast(hot), Seq("fp1"), "left_anti")
       .join(docs(s, dir).select("doc_id", "source"), "doc_id")
       .select("fp1", "source")
+      .distinct()
     j.as("a")
       .join(j.as("b"),
         col("a.fp1") === col("b.fp1") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .agg(countDistinct(col("a.fp1")).as("n_shared_sketches"))
+      .agg(count(lit(1)).as("n_shared_sketches"))
       .orderBy("source_a", "source_b")
   }
 
@@ -685,11 +690,11 @@ object TextPipeline extends graft.Registry {
          |f AS (SELECT doc_id, MIN(h) AS fp1 FROM shh GROUP BY doc_id),
          |hot AS (SELECT fp1 FROM f GROUP BY fp1 HAVING COUNT(*) > $MaxShingleDf),
          |j AS (
-         |  SELECT f.fp1, d.source
+         |  SELECT DISTINCT f.fp1, d.source
          |  FROM f JOIN documents d USING (doc_id)
          |  WHERE f.fp1 NOT IN (SELECT fp1 FROM hot))
          |SELECT a.source AS source_a, b.source AS source_b,
-         |       CAST(COUNT(DISTINCT a.fp1) AS BIGINT) AS n_shared_sketches
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared_sketches
          |FROM j a JOIN j b ON a.fp1 = b.fp1 AND a.source < b.source
          |GROUP BY source_a, source_b
          |ORDER BY source_a, source_b""".stripMargin,
