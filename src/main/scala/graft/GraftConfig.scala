@@ -23,9 +23,16 @@ final case class LlmConfig(
 
 /** `upload_dir` and `demo_data_dir` are engine-side extensions (the
   * reference hardcodes `demo_data` and takes uploads as request
-  * bytes): an unset upload_dir disables path-based table upload. */
+  * bytes): an unset upload_dir disables path-based table upload.
+  *
+  * `host` deliberately deviates from the reference's `0.0.0.0`
+  * default (`src/config.py:139`, a containerized-deployment value):
+  * these routes execute SQL and drop databases with no
+  * authentication, so the out-of-the-box bind is loopback and
+  * exposing the facade wider is an explicit config decision
+  * (`server.host` / `GRAFT_SERVER_HOST=0.0.0.0`). */
 final case class ServerConfig(
-    host: String = "0.0.0.0",
+    host: String = "127.0.0.1",
     port: Int = 8000,
     uploadDir: Option[String] = None,
     demoDataDir: String = "demo_data")
@@ -130,7 +137,7 @@ object GraftConfig {
         openrouterApiKey = opt("llm.openrouter_api_key"),
         ollamaBaseUrl = s("llm.ollama_base_url", "http://localhost:11434")),
       server = ServerConfig(
-        host = s("server.host", "0.0.0.0"),
+        host = s("server.host", "127.0.0.1"),
         port = i("server.port", 8000),
         uploadDir = opt("server.upload_dir"),
         demoDataDir = s("server.demo_data_dir", "demo_data")),

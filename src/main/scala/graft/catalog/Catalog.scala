@@ -266,13 +266,26 @@ class Catalog(
     * demo data instead of erroring. */
   def loadDemoDataset(dir: String,
       namespaceName: String = "Demo Dataset"): (Namespace, Seq[TableEntry]) = {
+    // Validate the source BEFORE destroying anything: the replace only
+    // begins once the directory exists and holds loadable CSVs, so a
+    // bad path or an all-invalid directory cannot cascade away the
+    // previous demo data and leave nothing behind. Files that would
+    // fail loadCsv's validators (empty, oversized) are skipped — the
+    // reference's per-file `continue` — rather than aborting mid-load.
+    val p = Paths.get(dir)
+    require(Files.isDirectory(p), s"no such demo data directory: $dir")
+    val csvs = Files.list(p).toArray.map(_.toString)
+      .filter(_.endsWith(".csv")).sorted
+      .filter { f =>
+        val size = Files.size(Paths.get(f))
+        size > 0 && size <= MaxCsvBytes
+      }
+    require(csvs.nonEmpty, s"no loadable CSV files in $dir")
     val schema = Names.normalizeSchemaName(namespaceName)
     synchronized {
       namespaces.find(_.schemaName == schema).foreach(ns => deleteNamespace(ns.id))
     }
     val ns = createNamespace(namespaceName, "bulk-loaded demo data")
-    val csvs = Files.list(Paths.get(dir)).toArray.map(_.toString)
-      .filter(_.endsWith(".csv")).sorted
     val entries = csvs.map { path =>
       val base = Paths.get(path).getFileName.toString.stripSuffix(".csv")
       val entry = createTable(ns.id, base)

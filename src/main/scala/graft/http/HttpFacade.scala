@@ -52,9 +52,10 @@ class HttpFacade(
   private lazy val schemaDocs = SchemaDocs.buildMarkdown(spark)
   private lazy val agent =
     new Agent(spark, provider, schemaDocs, rowLimit, queryTimeoutMs)
-  // Every served execution path shares the V8 caps: the agent's runner
-  // above and this one for /dbt/preview both carry the configured
-  // timeout, so no route can run an unbounded query.
+  // Both SQL-executing routes (/chat* via the agent's runner, and
+  // /dbt/preview via this one) carry the configured V8 timeout. The
+  // DQ routes are bounded differently: their scans are row-clamped by
+  // sampled() to dq.maxLimit before any work runs.
   private lazy val previewRunner =
     new graft.sql.QueryRunner(spark, rowLimit, queryTimeoutMs = queryTimeoutMs)
   // One dbt project root per facade (resolved once): repeated
@@ -117,7 +118,7 @@ class HttpFacade(
   private val NamespaceId = "^/namespace/(\\d+)$".r
   private val NamespaceTables = "^/namespace/(\\d+)/table$".r
   private val NamespaceTable = "^/namespace/(\\d+)/table/(\\d+)$".r
-  private val TableUpload = "^/namespace/\\d+/table/(\\d+)/upload$".r
+  private val TableUpload = "^/namespace/(\\d+)/table/(\\d+)/upload$".r
   private val OrchestrateStatus = "^/orchestrate/status/([^/]+)$".r
 
   private def route(method: String, path: String,
@@ -154,7 +155,8 @@ class HttpFacade(
     case ("GET", NamespaceTable(ns, t)) => tblGet(ns.toLong, t.toLong)
     case ("PUT", NamespaceTable(ns, t)) => tblUpdate(ns.toLong, t.toLong, parse(body))
     case ("DELETE", NamespaceTable(ns, t)) => tblDelete(ns.toLong, t.toLong)
-    case ("POST", TableUpload(tid)) => tableUpload(tid.toLong, parse(body))
+    case ("POST", TableUpload(ns, tid)) =>
+      tableUpload(ns.toLong, tid.toLong, parse(body))
     case _ => (404, "application/json", detail("Not Found"))
   }
 
@@ -270,7 +272,7 @@ class HttpFacade(
   /** `POST /dbt/preview` → `{plan, rows}` (reference `chat.py:226-236`). */
   private def dbtPreview(in: JsonNode): (Int, String, String) = {
     val res = DbtGenerator.preview(spark, reqString(in, "model_sql"),
-      optInt(in, "limit_override"), previewRunner)
+      optInt(in, "limit_override"), Some(previewRunner))
     okJson(obj("plan" -> res.plan, "rows" -> rawRows(res.rows)))
   }
 
@@ -467,8 +469,13 @@ class HttpFacade(
     *    an arbitrary-file-read primitive the moment the facade binds
     *    beyond loopback.
     */
-  private def tableUpload(tableId: Long, in: JsonNode): (Int, String, String) =
-    optString(in, "content") match {
+  private def tableUpload(nsId: Long, tableId: Long,
+      in: JsonNode): (Int, String, String) = scopedTable(nsId, tableId) match {
+    // same namespace-membership 404s as the sibling table routes
+    // (reference validates both dependencies on upload too,
+    // `namespace_table.py:90-93`)
+    case Left(notFound) => notFound
+    case Right(_) => optString(in, "content") match {
       case Some(content) =>
         val fileName = reqString(in, "file_name")
         if (fileName.contains("/") || fileName.contains("\\"))
@@ -498,6 +505,7 @@ class HttpFacade(
             s"upload path must be under the configured upload root")
         okJson(tblJson(ingestByExt(tableId, real.toString)))
     }
+  }
 
   private def ingestByExt(tableId: Long, path: String): graft.catalog.TableEntry =
     if (path.endsWith(".jsonl") || path.endsWith(".json"))

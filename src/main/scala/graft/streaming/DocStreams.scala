@@ -54,6 +54,44 @@ object DocStreams {
   private[streaming] final case class BucketState(
       docs: Seq[BucketDoc], lastMs: Long)
 
+  /** One micro-batch step of a banded near-dup bucket: compare each
+    * first-seen arrival against the bucket's known docs (oldest event
+    * first, doc_id tiebreak), emit what `emit` accepts, cap retained
+    * docs at `maxBucketDocs`, advance the bucket clock. The state
+    * machine is shared by the MinHash and SimHash detectors — one
+    * place to fix, two signature types. Returns (emitted, retained
+    * docs, new bucket clock). */
+  private def bucketStep[Sig, Out](
+      arrivals: Vector[(Long, Timestamp, Sig, String)],
+      known0: Seq[(Long, Sig)],
+      lastMs0: Long,
+      maxBucketDocs: Int,
+      emit: (Long, Sig, Long, Sig) => Option[Out]): (Vector[Out], Seq[(Long, Sig)], Long) = {
+    var known = known0
+    var lastMs = lastMs0
+    val out = Vector.newBuilder[Out]
+    for ((docId, ts, sig, _) <- arrivals.sortBy(d => (d._2.getTime, d._1))) {
+      if (!known.exists(_._1 == docId)) {
+        for ((kid, ksig) <- known; o <- emit(kid, ksig, docId, sig)) out += o
+        known = (known :+ (docId -> sig)).takeRight(maxBucketDocs)
+      }
+      lastMs = math.max(lastMs, ts.getTime)
+    }
+    (out.result(), known, lastMs)
+  }
+
+  /** Schedule the bucket's eviction one TTL past its clock, clamped to
+    * the current watermark. Defensive: setTimeoutTimestamp throws if
+    * the resulting timestamp is not past the watermark, which an
+    * unclamped `lastMs` could violate if a late row ever reached the
+    * operator (Spark 4 filters late input ahead of
+    * flatMapGroupsWithState — DocStreamsSpec pins the no-crash
+    * behavior either way). */
+  private def scheduleEviction[S](state: GroupState[S], lastMs: Long,
+      ttl: String): Unit =
+    state.setTimeoutTimestamp(
+      math.max(lastMs, state.getCurrentWatermarkMs()), ttl)
+
   /** Streaming MinHash near-dup detection: flags each arriving
     * document against everything already ingested, at ingest time —
     * the streaming counterpart of the batch td07 query, built from the
@@ -67,8 +105,9 @@ object DocStreams {
     *    banding.
     *  - Banding explodes each doc into [[graft.queries]]-style
     *    (band, band-key) rows; state lives per bucket via
-    *    `flatMapGroupsWithState`, hash-distributed across executors
-    *    exactly like the batch bucket join.
+    *    [[bucketStep]] under `flatMapGroupsWithState`,
+    *    hash-distributed across executors exactly like the batch
+    *    bucket join.
     *  - State is bounded two ways: at most `maxBucketDocs` recent docs
     *    per bucket (near-dup buckets are small by construction — a
     *    bucket that overflows is boilerplate, exactly what the batch
@@ -79,96 +118,6 @@ object DocStreams {
     * consumers (or the test) de-duplicate — the standard at-least-once
     * LSH emission.
     */
-  /** A SimHash near-dup hit with its exact Hamming distance. */
-  final case class SimDupPair(docA: Long, docB: Long, hamming: Long)
-
-  private[streaming] final case class SimBucketDoc(docId: Long, sig: Long)
-  private[streaming] final case class SimBucketState(
-      docs: Seq[SimBucketDoc], lastMs: Long)
-
-  /** Streaming SimHash near-dup detection — the streaming counterpart
-    * of the batch td08 query, built from the SAME frozen constants
-    * ([[graft.queries.TextPipeline.SimBits]]/`SimBands`/`MaxHamming`)
-    * and the same per-bit vote arithmetic
-    * ([[graft.queries.TextPipeline.simhashLocal]]), so the signature
-    * of a document is bit-identical in both halves and the emitted
-    * pair set matches the batch pass on the same corpus
-    * (pinned in DocStreamsSpec).
-    *
-    * Scale design mirrors [[nearDupMinHash]]: the 64-bit signature is
-    * computed with row-local array expressions (no shuffle before the
-    * keyed state); each doc explodes into 8 (band, byte) rows;
-    * per-bucket state via `flatMapGroupsWithState` is bounded by
-    * `maxBucketDocs` and evicted by event-time timeout. Candidates
-    * within a bucket are confirmed by exact Hamming ≤
-    * [[graft.queries.TextPipeline.MaxHamming]] (64-bit xor popcount —
-    * integer-exact on any engine). */
-  def nearDupSimHash(docs: DataFrame,
-      watermark: String = "1 hour",
-      maxBucketDocs: Int = 64): Dataset[SimDupPair] = {
-    import docs.sparkSession.implicits._
-    import graft.queries.TextPipeline.{MaxHamming, SimBandBits, SimBands}
-
-    // Row-local distinct shingles and both md5 hash words (TextPrep.h32
-    // / h32b over the array form — same bytes, same arithmetic).
-    val sig = docs
-      .withColumn("t", split(col("text"), " "))
-      .where(size(col("t")) >= 3)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, size(t) - 2), " +
-          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
-      .withColumn("hs", expr(
-        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
-      .withColumn("hs2", expr(
-        "transform(sh, s -> CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))"))
-      .select(col("doc_id"), col("ingest_ts"),
-        graft.queries.TextPipeline.simhashLocal("hs", "hs2").as("simhash"))
-
-    // One row per byte band, bucket key = (band, extracted byte) —
-    // the streaming form of the batch (band, nib) equijoin key.
-    val banded = (0 until SimBands).map { j =>
-      sig.select(
-        col("doc_id"), col("ingest_ts"), col("simhash"),
-        concat_ws(":", lit(j),
-          expr(s"shiftright(simhash, ${SimBandBits * j}) & 255")).as("bucket"))
-    }.reduce(_ unionAll _)
-
-    banded
-      .withWatermark("ingest_ts", watermark)
-      .as[(Long, Timestamp, Long, String)]
-      .groupByKey(_._4)
-      .flatMapGroupsWithState[SimBucketState, SimDupPair](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_, it: Iterator[(Long, Timestamp, Long, String)],
-            state: GroupState[SimBucketState]) =>
-          if (it.isEmpty && state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val arrivals = it.toVector.sortBy(d => (d._2.getTime, d._1))
-            var known = state.getOption.map(_.docs).getOrElse(Seq.empty)
-            var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
-            val out = Vector.newBuilder[SimDupPair]
-            for ((docId, ts, sigVal, _) <- arrivals) {
-              if (!known.exists(_.docId == docId)) {
-                for (k <- known) {
-                  val hamming = java.lang.Long.bitCount(k.sig ^ sigVal)
-                  if (hamming <= MaxHamming)
-                    out += SimDupPair(
-                      math.min(k.docId, docId), math.max(k.docId, docId),
-                      hamming.toLong)
-                }
-                known = (known :+ SimBucketDoc(docId, sigVal)).takeRight(maxBucketDocs)
-              }
-              lastMs = math.max(lastMs, ts.getTime)
-            }
-            state.update(SimBucketState(known, lastMs))
-            state.setTimeoutTimestamp(lastMs, watermark)
-            out.result().iterator
-          }
-      }
-  }
-
   def nearDupMinHash(docs: DataFrame,
       watermark: String = "1 hour",
       estSimThreshold: Double = 0.5,
@@ -221,28 +170,109 @@ object DocStreams {
             state.remove()
             Iterator.empty
           } else {
-            val arrivals = it.toVector.sortBy(d => (d._2.getTime, d._1))
-            var known = state.getOption.map(_.docs).getOrElse(Seq.empty)
-            var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
-            val out = Vector.newBuilder[NearDupPair]
-            for ((docId, ts, sigArr, _) <- arrivals) {
-              if (!known.exists(_.docId == docId)) {
-                for (k <- known) {
-                  val matches = k.sig.iterator.zip(sigArr.iterator)
-                    .count { case (x, y) => x == y }
-                  if (matches >= minMatches)
-                    out += NearDupPair(
-                      math.min(k.docId, docId), math.max(k.docId, docId),
-                      matches.toDouble / NumHashes)
-                }
-                known = (known :+ BucketDoc(docId, sigArr)).takeRight(maxBucketDocs)
-              }
-              lastMs = math.max(lastMs, ts.getTime)
-            }
-            state.update(BucketState(known, lastMs))
-            // evict the bucket once the watermark passes its TTL
-            state.setTimeoutTimestamp(lastMs, watermark)
-            out.result().iterator
+            val (out, known, lastMs) = bucketStep[Seq[Long], NearDupPair](
+              it.toVector,
+              state.getOption.map(_.docs.map(d => d.docId -> d.sig)).getOrElse(Seq.empty),
+              state.getOption.map(_.lastMs).getOrElse(0L),
+              maxBucketDocs,
+              (kid, ksig, id, sig) => {
+                val matches = ksig.iterator.zip(sig.iterator)
+                  .count { case (x, y) => x == y }
+                if (matches >= minMatches)
+                  Some(NearDupPair(math.min(kid, id), math.max(kid, id),
+                    matches.toDouble / NumHashes))
+                else None
+              })
+            state.update(BucketState(
+              known.map { case (i, s) => BucketDoc(i, s) }, lastMs))
+            scheduleEviction(state, lastMs, watermark)
+            out.iterator
+          }
+      }
+  }
+
+  /** A SimHash near-dup hit with its exact Hamming distance. */
+  final case class SimDupPair(docA: Long, docB: Long, hamming: Long)
+
+  private[streaming] final case class SimBucketDoc(docId: Long, sig: Long)
+  private[streaming] final case class SimBucketState(
+      docs: Seq[SimBucketDoc], lastMs: Long)
+
+  /** Streaming SimHash near-dup detection — the streaming counterpart
+    * of the batch td08 query, built from the SAME frozen constants
+    * ([[graft.queries.TextPipeline.SimBits]]/`SimBands`/`MaxHamming`)
+    * and the same per-bit vote arithmetic
+    * ([[graft.queries.TextPipeline.simhashLocal]]), so the signature
+    * of a document is bit-identical in both halves and the emitted
+    * pair set matches the batch pass on the same corpus
+    * (pinned in DocStreamsSpec).
+    *
+    * Scale design mirrors [[nearDupMinHash]]: the 64-bit signature is
+    * computed with row-local array expressions (no shuffle before the
+    * keyed state); each doc explodes into 8 (band, byte) rows;
+    * per-bucket state via [[bucketStep]] is bounded by `maxBucketDocs`
+    * and evicted by event-time timeout. Candidates within a bucket are
+    * confirmed by exact Hamming ≤
+    * [[graft.queries.TextPipeline.MaxHamming]] (64-bit xor popcount —
+    * integer-exact on any engine). */
+  def nearDupSimHash(docs: DataFrame,
+      watermark: String = "1 hour",
+      maxBucketDocs: Int = 64): Dataset[SimDupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.queries.TextPipeline.{MaxHamming, SimBandBits, SimBands}
+
+    // Row-local distinct shingles and both md5 hash words (TextPrep.h32
+    // / h32b over the array form — same bytes, same arithmetic).
+    val sig = docs
+      .withColumn("t", split(col("text"), " "))
+      .where(size(col("t")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(t) - 2), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
+      .withColumn("hs", expr(
+        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("hs2", expr(
+        "transform(sh, s -> CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), col("ingest_ts"),
+        graft.queries.TextPipeline.simhashLocal("hs", "hs2").as("simhash"))
+
+    // One row per byte band, bucket key = (band, extracted byte) —
+    // the streaming form of the batch (band, nib) equijoin key.
+    val banded = (0 until SimBands).map { j =>
+      sig.select(
+        col("doc_id"), col("ingest_ts"), col("simhash"),
+        concat_ws(":", lit(j),
+          expr(s"shiftright(simhash, ${SimBandBits * j}) & 255")).as("bucket"))
+    }.reduce(_ unionAll _)
+
+    banded
+      .withWatermark("ingest_ts", watermark)
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[SimBucketState, SimDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it: Iterator[(Long, Timestamp, Long, String)],
+            state: GroupState[SimBucketState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (out, known, lastMs) = bucketStep[Long, SimDupPair](
+              it.toVector,
+              state.getOption.map(_.docs.map(d => d.docId -> d.sig)).getOrElse(Seq.empty),
+              state.getOption.map(_.lastMs).getOrElse(0L),
+              maxBucketDocs,
+              (kid, ksig, id, sig) => {
+                val hamming = java.lang.Long.bitCount(ksig ^ sig)
+                if (hamming <= MaxHamming)
+                  Some(SimDupPair(math.min(kid, id), math.max(kid, id),
+                    hamming.toLong))
+                else None
+              })
+            state.update(SimBucketState(
+              known.map { case (i, s) => SimBucketDoc(i, s) }, lastMs))
+            scheduleEviction(state, lastMs, watermark)
+            out.iterator
           }
       }
   }

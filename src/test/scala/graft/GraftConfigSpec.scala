@@ -19,6 +19,9 @@ class GraftConfigSpec extends SparkSpec {
     assert(c.llm.model === "gpt-4o-mini")
     assert(c.llm.ollamaBaseUrl === "http://localhost:11434")
     assert(c.server.port === 8000)
+    // deliberate deviation: the reference defaults 0.0.0.0 (container
+    // deployment); unauthenticated SQL routes default to loopback here
+    assert(c.server.host === "127.0.0.1")
     assert(c.git.defaultBranch === "main")
     assert(c.dataQuality.defaultLimit === 10000)
     assert(c.dataQuality.maxLimit === 200000)

@@ -321,23 +321,38 @@ class HttpFacadeSpec extends SparkSpec {
     val sneaky = uploadRootDir.resolve("..").resolve(outside.getFileName.toString)
     assert(post(s"/namespace/$nsId/table/$tid/upload",
       s"""{"path": "$sneaky"}""").statusCode() === 400)
+    // upload is namespace-scoped like the sibling table routes: a
+    // wrong or nonexistent namespace in the path 404s before any file
+    // handling
+    val otherNs = mapper.readTree(post("/namespace",
+      """{"name": "Guard Other NS"}""").body()).get("id").asLong()
+    assert(post(s"/namespace/$otherNs/table/$tid/upload",
+      s"""{"path": "$outside"}""").statusCode() === 404)
+    assert(post(s"/namespace/999999/table/$tid/upload",
+      s"""{"path": "$outside"}""").statusCode() === 404)
     // a facade with NO upload root rejects path mode entirely
     val f2 = new HttpFacade(spark,
       catalog = Some(new Catalog(spark,
         Files.createTempDirectory("graft-noroot-meta").toString)))
     f2.start()
     try {
+      def p2(path: String, json: String) = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f2.port}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val ns2 = mapper.readTree(
+        p2("/namespace", """{"name": "NoRoot NS"}""").body()).get("id").asLong()
+      val t2 = mapper.readTree(
+        p2(s"/namespace/$ns2/table", """{"name": "t"}""").body()).get("id").asLong()
       val inRoot = Files.createTempFile(uploadRootDir, "in_root", ".csv")
       Files.writeString(inRoot, "a\n1\n")
-      val resp = client.send(HttpRequest.newBuilder(
-        URI.create(s"http://127.0.0.1:${f2.port}/namespace/1/table/1/upload"))
-        .POST(HttpRequest.BodyPublishers.ofString(s"""{"path": "$inRoot"}"""))
-        .build(), HttpResponse.BodyHandlers.ofString())
+      val resp = p2(s"/namespace/$ns2/table/$t2/upload", s"""{"path": "$inRoot"}""")
       assert(resp.statusCode() === 400)
       assert(mapper.readTree(resp.body()).get("detail").asText()
         .contains("requires a configured upload root"))
     } finally f2.stop()
     delete(s"/namespace/$nsId")
+    delete(s"/namespace/$otherNs")
   }
 
   test("served facade enforces the configured query timeout on /chat (V8)") {

@@ -100,6 +100,30 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-only arrivals into an expired bucket do not crash the query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val q = nearDupSimHash(snake(src.toDF()), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("stream_simdup_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val text = "alpha beta gamma delta epsilon zeta eta theta"
+      src.addData(doc(1, text, 0))
+      q.processAllAvailable()
+      // advance the watermark far past doc 1's buckets' TTL
+      src.addData(doc(2, "totally different words entirely in here now", 500))
+      q.processAllAvailable()
+      // a LATE row aimed at those buckets: Spark 4 filters late input
+      // ahead of flatMapGroupsWithState (verified: the unclamped
+      // variant also survives), and scheduleEviction's watermark clamp
+      // defends the query if that pre-filter ever changes
+      src.addData(doc(3, text, 1))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming near-dup state is bounded per bucket") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
