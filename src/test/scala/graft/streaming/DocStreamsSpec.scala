@@ -146,6 +146,41 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup state survives a checkpointed query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup-ckpt").toString
+    // the memory sink cannot recover from a checkpoint; a file sink is
+    // the fault-tolerant path a production ingest would land into
+    val outDir = java.nio.file.Files.createTempDirectory("dedup-out").toString
+    def start() = dedupExact(snake(src.toDF()), watermark = "2 hours")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      src.addData(doc(1, "the quick brown fox", 0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the same checkpoint: the per-hash state written by
+    // the first incarnation must still dedupe — this is the recovery
+    // path a production ingest relies on after any executor/driver loss
+    val q2 = start()
+    try {
+      src.addData(
+        doc(2, "the quick brown fox", 5), // dup of a PRE-restart doc
+        doc(3, "a different text entirely", 6))
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(outDir).select("doc_id").collect()
+        .map(_.getLong(0)).sorted
+      assert(ids === Array(1L, 3L), s"post-restart dedupe broken: ${ids.toSeq}")
+    } finally q2.stop()
+  }
+
   test("streaming quality gate scores with the batch td02 expressions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
