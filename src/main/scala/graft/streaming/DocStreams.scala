@@ -47,6 +47,77 @@ object DocStreams {
     graft.queries.TextPipeline.scoreQuality(docs)
       .where(col("quality_score") >= minScore)
 
+  /** A document admitted by the streaming mixture quota, with its
+    * in-window quality rank. */
+  final case class AdmittedDoc(lang: String, windowStart: Timestamp,
+      docId: Long, qualityScore: Double, rank: Int)
+
+  private[streaming] final case class QuotaState(
+      docs: Seq[(Long, Double)], windowEndMs: Long)
+
+  /** Streaming balanced-mixture curation — the streaming counterpart
+    * of the batch td11 quota: admit at most `quota` documents per
+    * (lang, event-time window), preferring the highest
+    * [[graft.queries.TextPipeline.scoreQuality]] scores (same
+    * expressions as batch; `(score desc, doc_id)` tiebreak).
+    *
+    * Unlike the near-dup detectors (emit-on-arrival), this is a
+    * close-on-watermark operator: candidates buffer in per-key state —
+    * bounded at `quota` entries, the running top-q, NOT the window's
+    * full contents — and the admitted set is emitted once the
+    * watermark passes the window end (event-time timeout), because
+    * "top q of the window" is only decidable when the window can no
+    * longer receive rows. State per key is O(quota); keys expire as
+    * event time advances. */
+  def mixtureQuota(docs: DataFrame,
+      quota: Int = 100,
+      windowDur: String = "1 hour",
+      watermark: String = "1 hour"): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    // ingest_ts rides through to the stateful operator: the watermark
+    // association lives on that column, and event-time timeout
+    // requires it to survive the projection
+    val scored = graft.queries.TextPipeline.scoreQuality(docs)
+      .withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        window(col("ingest_ts"), windowDur).as("w"), col("ingest_ts"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("ingest_ts"))
+      .as[(Long, String, Double, Timestamp, Timestamp, Timestamp)]
+    scored
+      .groupByKey(r => (r._2, r._4.getTime))
+      .flatMapGroupsWithState[QuotaState, AdmittedDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it: Iterator[(Long, String, Double, Timestamp, Timestamp, Timestamp)],
+            state: GroupState[QuotaState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // window closed: emit the admitted set, ranked
+            val admitted = state.getOption.map(_.docs).getOrElse(Seq.empty)
+            state.remove()
+            admitted.zipWithIndex.iterator.map { case ((id, sc), i) =>
+              AdmittedDoc(key._1, new Timestamp(key._2), id, sc, i + 1)
+            }
+          } else {
+            val arrivals = it.toVector
+            val merged =
+              (state.getOption.map(_.docs).getOrElse(Seq.empty) ++
+                arrivals.map(r => (r._1, r._3)))
+                .distinctBy(_._1)
+                .sortBy { case (id, sc) => (-sc, id) }
+                .take(quota)
+            val wEnd = arrivals.headOption.map(_._5.getTime)
+              .orElse(state.getOption.map(_.windowEndMs)).get
+            state.update(QuotaState(merged, wEnd))
+            // fire when the watermark passes the window end (clamped
+            // like scheduleEviction, in case of a late-only batch)
+            state.setTimeoutTimestamp(
+              math.max(wEnd, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** A near-dup hit: the arriving doc vs an already-ingested one. */
   final case class NearDupPair(docA: Long, docB: Long, estSim: Double)
 

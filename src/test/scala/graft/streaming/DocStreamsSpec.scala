@@ -181,6 +181,44 @@ class DocStreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("mixture quota admits the top-q per (lang, window) when the watermark closes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val q = mixtureQuota(snake(src.toDF()), quota = 2,
+      windowDur = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("doc_quota")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 3 en docs + 2 de docs inside window [0, 1h); quality rises
+      // with word diversity, so doc 12 (all stopwords) ranks last
+      val good = "plenty of reasonable words arranged sensibly here"
+      val mid = "some words and the of the padding in the middle"
+      val bad = "the a of and to in is on"
+      src.addData(
+        doc(10, good, 1), doc(11, mid, 2), doc(12, bad, 3),
+        doc(20, good, 4, lang = "de"), doc(21, mid, 5, lang = "de"))
+      q.processAllAvailable()
+      // nothing can be admitted while the window is still open
+      assert(spark.table("doc_quota").isEmpty)
+      // advance the watermark past the window end → both keys close
+      src.addData(doc(99, good, 200))
+      q.processAllAvailable()
+      val rows = spark.table("doc_quota").collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("docId"),
+          r.getAs[Int]("rank")))
+      assert(rows.toSet === Set(
+        ("en", 10L, 1), ("en", 11L, 2), ("de", 20L, 1), ("de", 21L, 2)))
+      // ranks agree with the batch td02 scores on the same texts
+      val batch = graft.queries.TextPipeline.scoreQuality(
+        Seq((10L, "en", good), (11L, "en", mid), (12L, "en", bad))
+          .toDF("doc_id", "lang", "text"))
+        .orderBy(org.apache.spark.sql.functions.desc("quality_score"))
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+      assert(batch.take(2) === Seq(10L, 11L))
+    } finally q.stop()
+  }
+
   test("streaming quality gate scores with the batch td02 expressions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
