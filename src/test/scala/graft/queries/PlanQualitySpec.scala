@@ -57,6 +57,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("repetition (td13): partial aggregation, no quadratic join shapes") {
+    val p = plan(TextPipeline.repetition(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "td13 must stay keyed aggregations + one doc_id join")
+    assert(p.contains("partial_count"), "token counts need map-side combine")
+    assert(p.contains("TakeOrderedAndProject"), "ordered limit must not globally sort")
+  }
+
+  test("source overlap (td14): hot-sketch cap is a broadcast anti-join") {
+    val p = plan(TextPipeline.sourceOverlap(spark, dir))
+    assert(p.contains("LeftAnti, BuildRight"),
+      "the tiny hot-sketch list must broadcast, never shuffle the index")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("embedding stats (v05): one scan, partial aggregate, 1-row result") {
+    val p = plan(VectorPipeline.embeddingStats(spark, dir))
+    // exactly one parquet scan feeds a partial → final aggregate pair
+    assert("Scan parquet".r.findAllIn(p).size === 1, "v05 must scan embeddings once")
+    assert(p.contains("vec_dot"), "norms must use the codegen'd kernel")
+    assert(!p.contains("Join"), "corpus stats need no join at all")
+  }
+
   test("embedding near-dup (v03): banded equijoin, never a nested-loop cross join") {
     val p = plan(VectorPipeline.nearDupLsh(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin"),
