@@ -205,44 +205,44 @@ object TextPipeline extends graft.Registry {
     * (1 − distinct/total word 3-grams), plus a 0/1 repetitive flag at
     * the classic top-gram 0.2 / dup-gram 0.3 operating points.
     *
-    * Scale design: everything is explode → groupBy keyed on
-    * `(doc_id, token)` then `doc_id` — per-key input is bounded by
-    * document length, there is NO per-document quadratic array scan
-    * (an `array_max(transform(...filter...))` formulation would be
-    * O(L²) per doc and melt on book-length documents). The two
-    * aggregates both end hash-partitioned on doc_id, so the final
-    * join reuses the partitioning instead of adding a shuffle.
-    * All ratios are BIGINT-over-BIGINT IEEE double divisions —
-    * bit-identical across engines, so the flag thresholds compare
-    * identically too. */
+    * Scale design: every metric is ROW-LOCAL codegen'd array math —
+    * token count is `size`, uniqueness is `array_distinct`, and the
+    * top-token count is the longest run of the SORTED token array
+    * (one O(L log L) sort + one linear fold; never the O(L²)
+    * `array_max(transform(...filter...))` shape that melts on
+    * book-length documents). No explode, no shuffle at all until the
+    * final ordered limit — the whole corpus streams through one
+    * narrow stage. All ratios are BIGINT-over-BIGINT IEEE double
+    * divisions — bit-identical across engines, so the flag thresholds
+    * compare identically too (the DuckDB oracle computes the same
+    * values via unnest + GROUP BY; results, not plans, are compared). */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("t"))
-    val perDoc = base
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        sum("c").as("n_tokens"),
-        count(lit(1)).as("n_uniq"),
-        max("c").as("top_c"))
-    val triDoc = base
-      .where(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 2), " +
-          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
-        .as("g"))
-      .groupBy("doc_id", "g")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_tri"), count(lit(1)).as("n_tri_uniq"))
-    perDoc.join(triDoc, Seq("doc_id"), "left")
+    // longest run in the sorted array = max multiplicity of any token
+    val topRun =
+      "aggregate(array_sort(t), " +
+        "named_struct('best', CAST(0 AS BIGINT), 'cur', CAST(0 AS BIGINT), 'prev', CAST(NULL AS STRING)), " +
+        "(acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev, " +
+        "named_struct('best', GREATEST(acc.best, acc.cur + 1), 'cur', acc.cur + 1, 'prev', x), " +
+        "named_struct('best', GREATEST(acc.best, CAST(1 AS BIGINT)), 'cur', CAST(1 AS BIGINT), 'prev', x)), " +
+        "acc -> acc.best)"
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_uniq"),
+        expr(topRun).as("top_c"),
+        when(size(col("t")) >= 3, expr(
+          "transform(sequence(1, size(t) - 2), " +
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+          .as("g"))
       .select(
         col("doc_id"),
         col("n_tokens"),
         expr("CAST(n_uniq AS DOUBLE) / n_tokens").as("uniq_token_ratio"),
         expr("CAST(top_c AS DOUBLE) / n_tokens").as("top_token_frac"),
-        expr("COALESCE(CAST(n_tri - n_tri_uniq AS DOUBLE) / n_tri, CAST(0 AS DOUBLE))")
+        expr("CASE WHEN g IS NULL THEN CAST(0 AS DOUBLE) " +
+          "ELSE CAST(size(g) - size(array_distinct(g)) AS DOUBLE) / size(g) END")
           .as("dup_3gram_frac"))
       .withColumn("is_repetitive", expr(
         "CAST(CASE WHEN top_token_frac > CAST(0.2 AS DOUBLE) " +

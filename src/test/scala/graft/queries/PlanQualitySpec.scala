@@ -57,11 +57,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
-  test("repetition (td13): partial aggregation, no quadratic join shapes") {
+  test("repetition (td13): fully row-local, no shuffle before the ordered limit") {
     val p = plan(TextPipeline.repetition(spark, dir))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "td13 must stay keyed aggregations + one doc_id join")
-    assert(p.contains("partial_count"), "token counts need map-side combine")
+    // one narrow stage: no explode, no join, no aggregation exchange —
+    // every metric is per-row array math over the token array
+    assert(!p.contains("Exchange"), "td13 must not shuffle at all")
+    assert(!p.contains("Generate"), "td13 must not explode tokens")
+    assert(!p.contains("Join"), "td13 needs no join")
     assert(p.contains("TakeOrderedAndProject"), "ordered limit must not globally sort")
   }
 
