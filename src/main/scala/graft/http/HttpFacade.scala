@@ -65,6 +65,7 @@ class HttpFacade(
   private lazy val resolvedDbtRoot: Path = dbtRoot()
 
   private var server: HttpServer = _
+  private var executor: java.util.concurrent.ExecutorService = _
 
   /** Bound port after [[start]] (useful with port=0 in tests). */
   def port: Int = server.getAddress.getPort
@@ -76,12 +77,19 @@ class HttpFacade(
     require(server == null, "already started")
     server = HttpServer.create(new InetSocketAddress(bindHost, portWanted), 0)
     server.createContext("/", (ex: HttpExchange) => handle(ex))
-    server.setExecutor(null) // single-threaded like the reference's 1 worker
+    // Small fixed pool, NOT the calling thread: the reference's single
+    // granian worker is an async worker that serves requests
+    // concurrently — serializing behind one thread would let any slow
+    // profile/preview block /health and /metrics for its full
+    // duration. SparkSession is thread-safe for concurrent queries.
+    executor = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(executor)
     server.start()
   }
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
+    if (executor != null) { executor.shutdown(); executor = null }
   }
 
   // ------------------------------------------------------------ dispatch

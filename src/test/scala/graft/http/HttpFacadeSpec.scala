@@ -381,6 +381,30 @@ class HttpFacadeSpec extends SparkSpec {
     } finally f2.stop()
   }
 
+  test("a slow request does not block /health (concurrent serving)") {
+    spark.range(200L * 1000 * 1000).createOrReplaceTempView("slow_conc_src")
+    val f2 = new HttpFacade(spark, queryTimeoutMs = 15000)
+    f2.start()
+    try {
+      // kick off a multi-second cartesian preview WITHOUT waiting
+      val slow = client.sendAsync(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f2.port}/dbt/preview"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"model_sql": "SELECT COUNT(*) AS n FROM slow_conc_src a, slow_conc_src b"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      Thread.sleep(300) // let it reach execution
+      val t0 = System.nanoTime()
+      val h = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f2.port}/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val ms = (System.nanoTime() - t0) / 1000000
+      assert(h.statusCode() === 200)
+      assert(ms < 2000, s"/health took ${ms}ms behind a slow request")
+      assert(!slow.isDone, "the slow query should still be running")
+      slow.cancel(true)
+    } finally f2.stop()
+  }
+
   test("bindHost is honored: 0.0.0.0 serves on loopback too") {
     val f2 = new HttpFacade(spark, bindHost = "0.0.0.0")
     f2.start()
