@@ -213,6 +213,41 @@ class PipelineSpec extends SparkSpec {
     assert(rows(4L).getAs[Double]("dup_3gram_frac") === 0.0)
   }
 
+  test("row-local simhash signature is bit-identical to the grouped form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // seeded random corpus over a small vocab: repeated tokens, varied
+    // lengths, some docs below the 3-token shingle floor
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (1L to 60L).map { i =>
+      val len = 1 + rnd.nextInt(60)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+
+    val grouped = TextPipeline.simhashSig(
+      graft.pipeline.TextPrep.shingleHashes(df)
+        .withColumn("h2", graft.pipeline.TextPrep.h32b(col("shingle"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val local = df
+      .withColumn("t", split(col("text"), " "))
+      .where(size(col("t")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(t) - 2), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
+      .withColumn("hs", expr(
+        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("hs2", expr(
+        "transform(sh, s -> CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), TextPipeline.simhashLocal("hs", "hs2").as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(local === grouped)
+    assert(grouped.nonEmpty)
+  }
+
   test("source overlap counts shared sketches across sources; cap drops viral templates (td14)") {
     import spark.implicits._
     val t1 = (0 until 10).map(i => s"one$i").mkString(" ")
