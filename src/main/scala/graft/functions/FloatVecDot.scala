@@ -78,9 +78,16 @@ case class FloatVecDot(left: Expression, right: Expression)
 
 /** Session registration for graft's native SQL functions. */
 object Functions {
-  /** Idempotently register `vec_dot` in the session's function
-    * registry so `expr("vec_dot(a, b)")` resolves. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Idempotently register graft's native expressions (`vec_dot`,
+    * `h32`, `h32b`) in the session's function registry so
+    * `expr("vec_dot(a, b)")` / `expr("h32(s)")` resolve. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "h32", exprs => Md5Word32(exprs.head, 0), "built-in")
+    reg.createOrReplaceTempFunction(
+      "h32b", exprs => Md5Word32(exprs.head, 1), "built-in")
+  }
 }

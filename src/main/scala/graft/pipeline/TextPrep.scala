@@ -52,9 +52,17 @@ object TextPrep {
     (27644437L, 115249L)
   )
 
-  /** 32-bit md5-prefix hash of a string column (Spark side). */
-  def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** 32-bit md5-prefix hash of a string column (Spark side): the
+    * native [[graft.functions.Md5Word32]] kernel — bit-identical to
+    * `conv(substring(md5(c), 1, 8), 16, 10)` (pinned by
+    * FunctionsSpec) without materializing and re-parsing the 32-char
+    * hex string per value. Registered idempotently on the active
+    * session, the hash site's hot-path analogue of `vec_dot`. */
+  def h32(c: Column): Column = {
+    graft.functions.Functions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("h32", c)
+  }
 
   /** Same hash in DuckDB SQL over expression `e`. */
   def h32Sql(e: String): String =
@@ -65,8 +73,11 @@ object TextPrep {
     * 64-bit SimHash takes bits 0-31 from [[h32]] and 32-63 from
     * here); md5 output words are independent, so the pair behaves as
     * one uniform 64-bit hash on both engines. */
-  def h32b(c: Column): Column =
-    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+  def h32b(c: Column): Column = {
+    graft.functions.Functions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("h32b", c)
+  }
 
   /** Same second hash word in DuckDB SQL over expression `e`. */
   def h32bSql(e: String): String =

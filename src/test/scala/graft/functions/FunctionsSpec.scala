@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Equivalence pins for the native Catalyst expressions: the codegen'd
+  * kernels must be bit-identical to the composed Spark forms they
+  * replace (which the DuckDB oracles mirror).
+  */
+class FunctionsSpec extends SparkSpec {
+
+  test("h32/h32b equal the conv(substring(md5)) composed forms") {
+    import spark.implicits._
+    Functions.register(spark)
+    val rnd = new scala.util.Random(7)
+    // adversarial strings: empty, multi-byte UTF-8, long, digest bytes
+    // with the high bit set must stay unsigned
+    val strs = Seq("", "a", "the quick brown fox", "naïve café 既存",
+      "x" * 10000) ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(40)).mkString)
+    val df = strs.toDF("s").select(
+      col("s"),
+      expr("h32(s)").as("native0"),
+      expr("h32b(s)").as("native1"),
+      expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)").as("composed0"),
+      expr("CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT)").as("composed1"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3), s"h32 mismatch for '${r.getString(0).take(20)}'")
+      assert(r.getLong(2) === r.getLong(4), s"h32b mismatch for '${r.getString(0).take(20)}'")
+    }
+    // the word is unsigned 32-bit: never negative, can exceed Int.Max
+    assert(rows.forall(_.getLong(1) >= 0L))
+    assert(rows.exists(_.getLong(1) > Int.MaxValue.toLong))
+  }
+
+  test("h32 inside a higher-order lambda resolves and matches") {
+    import spark.implicits._
+    Functions.register(spark)
+    val r = Seq(Seq("aa", "bb", "cc")).toDF("arr")
+      .select(expr("transform(arr, x -> h32(x))").as("hs"),
+        expr("transform(arr, x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))").as("cs"))
+      .collect()(0)
+    assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+  }
+
+  test("interpreted (non-codegen) eval agrees with codegen") {
+    // force the interpreted path through the expression's eval
+    val e = Md5Word32(
+      org.apache.spark.sql.catalyst.expressions.Literal("hello world"), 0)
+    val interpreted = e.eval(null).asInstanceOf[Long]
+    import spark.implicits._
+    Functions.register(spark)
+    val viaPlan = Seq("hello world").toDF("s")
+      .select(expr("h32(s)")).collect()(0).getLong(0)
+    assert(interpreted === viaPlan)
+  }
+}
