@@ -195,6 +195,7 @@ object DocStreams {
       maxBucketDocs: Int = 64): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
     import graft.pipeline.TextPrep.{MinHashAB, MinHashP}
+    graft.functions.Functions.register(docs.sparkSession)
 
     val NumHashes = MinHashAB.size
     val Bands = 4
@@ -211,7 +212,7 @@ object DocStreams {
         "array_distinct(transform(sequence(1, size(t) - 2), " +
           "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
       .withColumn("hs", expr(
-        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
+        "transform(sh, s -> h32(s))"))
     val sigCols = MinHashAB.zipWithIndex.map { case ((a, b), i) =>
       expr(s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % ${MinHashP}L))")
         .as(s"mh$i")
@@ -291,9 +292,10 @@ object DocStreams {
       maxBucketDocs: Int = 64): Dataset[SimDupPair] = {
     import docs.sparkSession.implicits._
     import graft.queries.TextPipeline.{MaxHamming, SimBandBits, SimBands}
+    graft.functions.Functions.register(docs.sparkSession)
 
-    // Row-local distinct shingles and both md5 hash words (TextPrep.h32
-    // / h32b over the array form — same bytes, same arithmetic).
+    // Row-local distinct shingles and both md5 hash words via the
+    // native h32/h32b kernels (same values as TextPrep's hashes).
     val sig = docs
       .withColumn("t", split(col("text"), " "))
       .where(size(col("t")) >= 3)
@@ -301,9 +303,9 @@ object DocStreams {
         "array_distinct(transform(sequence(1, size(t) - 2), " +
           "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
       .withColumn("hs", expr(
-        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
+        "transform(sh, s -> h32(s))"))
       .withColumn("hs2", expr(
-        "transform(sh, s -> CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))"))
+        "transform(sh, s -> h32b(s))"))
       .select(col("doc_id"), col("ingest_ts"),
         graft.queries.TextPipeline.simhashLocal("hs", "hs2").as("simhash"))
 
