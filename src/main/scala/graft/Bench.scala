@@ -87,30 +87,47 @@ object Bench {
         if (failed) None else Some(times.sorted.apply(times.size / 2)),
         times)
     }
+    // ms precision is plenty for seconds-scale timings, and keeps the
+    // stdout contract line SHORT — the driver scrapes it from the last
+    // ~2KB of build output, so a long line (round 4 inlined per-run
+    // arrays, ~4KB) starts before the scrape window and parses as null.
+    def ms(x: Double): String = String.format(java.util.Locale.ROOT, "%.3f", x)
     val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + v.fold("null")(_.toString) }
-      .mkString("{", ",", "}")
-    // Per-run arrays alongside the medians: a single noisy run on a
-    // shared host swings ±30%+, and medians alone cannot show whether a
-    // cross-round delta is regression or contention — the spread makes
-    // it adjudicable from the artifact itself. first_run_total isolates
-    // the cold pass (index/cache materialization).
-    val runsJson = results
-      .map { case (k, _, ts) =>
-        "\"" + k + "\":" + ts.map(_.toString).mkString("[", ",", "]")
-      }
+      .map { case (k, v, _) => "\"" + k + "\":" + v.fold("null")(ms) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val firstRunTotal = results.collect {
       case (_, Some(_), ts) if ts.nonEmpty => ts.head
     }.sum
+    // Variance summary as three scalars (min/median/max of per-pass
+    // totals): enough to tell regression from host contention without
+    // blowing the line length. Full per-run arrays go to the detail
+    // file below.
+    val passTotals = (0 until Runs).map { i =>
+      results.collect { case (_, Some(_), ts) if ts.size > i => ts(i) }.sum
+    }.sorted
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"runs_per_query":$Runs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    // Full-precision per-run arrays: a single noisy run on a shared
+    // host swings ±30%+, and medians alone cannot show whether a
+    // cross-round delta is regression or contention. Written to a file
+    // (not stdout) so the contract line stays scrape-able.
+    val runsJson = results
+      .map { case (k, _, ts) =>
+        "\"" + k + "\":" + ts.map(_.toString).mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
+    val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"first_run_total":$firstRunTotal,"errors":$errJson,"runs_per_query":$Runs,"sf":"$sfDir"}"""
     // stdout (unprefixed — build.sbt routes forked stdout verbatim);
     // mirrored to a file when SPARK_GRAFT_BENCH_OUT is set so the
     // driver can read the result without scraping logs at all.
     println(line)
+    try
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
     }
