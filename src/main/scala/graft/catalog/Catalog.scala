@@ -282,15 +282,26 @@ class Catalog(
       }
     require(csvs.nonEmpty, s"no loadable CSV files in $dir")
     val schema = Names.normalizeSchemaName(namespaceName)
-    synchronized {
-      namespaces.find(_.schemaName == schema).foreach(ns => deleteNamespace(ns.id))
+    // Demo replace-loads serialize against EACH OTHER on a dedicated
+    // lock: with the facade serving on a thread pool, two concurrent
+    // demo-uploads could otherwise both pass the delete and race the
+    // CREATE DATABASE — or the second's delete could yank the
+    // namespace out from under the first's per-file loads. Regular
+    // catalog traffic is not held up: it contends only on the usual
+    // short monitor sections inside delete/create/load.
+    demoLoadLock.synchronized {
+      val ns = synchronized {
+        namespaces.find(_.schemaName == schema).foreach(old => deleteNamespace(old.id))
+        createNamespace(namespaceName, "bulk-loaded demo data")
+      }
+      val entries = csvs.map { path =>
+        val base = Paths.get(path).getFileName.toString.stripSuffix(".csv")
+        val entry = createTable(ns.id, base)
+        loadCsv(entry.id, path)
+      }.toSeq
+      (ns, entries)
     }
-    val ns = createNamespace(namespaceName, "bulk-loaded demo data")
-    val entries = csvs.map { path =>
-      val base = Paths.get(path).getFileName.toString.stripSuffix(".csv")
-      val entry = createTable(ns.id, base)
-      loadCsv(entry.id, path)
-    }.toSeq
-    (ns, entries)
   }
+
+  private val demoLoadLock = new Object
 }

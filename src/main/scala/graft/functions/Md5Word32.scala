@@ -56,12 +56,18 @@ case class Md5Word32(child: Expression, word: Int)
     val o = word * 4
     nullSafeCodeGen(ctx, ev, c => {
       val d = ctx.freshName("md5digest")
+      // A generated line must never BEGIN with `|`: the codegen block
+      // pipeline strips it as a margin character, deleting the OR
+      // operators and leaving adjacent parenthesized expressions that
+      // Janino rejects — whole-stage then silently falls back to
+      // interpreted eval, losing the codegen win this expression
+      // exists for. Operators stay at end-of-line.
       s"""
          |byte[] $d = $md.digest($c.getBytes());
-         |${ev.value} = (((long) ($d[$o] & 0xFF)) << 24)
-         |  | (((long) ($d[$o + 1] & 0xFF)) << 16)
-         |  | (((long) ($d[$o + 2] & 0xFF)) << 8)
-         |  | ((long) ($d[$o + 3] & 0xFF));
+         |${ev.value} = (($d[$o] & 0xFFL) << 24) |
+         |  (($d[$o + 1] & 0xFFL) << 16) |
+         |  (($d[$o + 2] & 0xFFL) << 8) |
+         |  ($d[$o + 3] & 0xFFL);
        """.stripMargin
     })
   }

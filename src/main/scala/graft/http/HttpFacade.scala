@@ -387,7 +387,13 @@ class HttpFacade(
         val name = reqString(in, "name")
         val desc = optString(in, "description")
         if (name == ns.name && desc.forall(_ == ns.description)) okJson(nsJson(ns))
-        else okJson(nsJson(cat.updateNamespace(id, Some(name), desc).get))
+        // re-check under the catalog's own lock: a concurrent DELETE
+        // between the read above and this write must 404, not 500
+        else cat.updateNamespace(id, Some(name), desc) match {
+          case Some(updated) => okJson(nsJson(updated))
+          case None =>
+            (404, "application/json", detail(s"namespace $id not found"))
+        }
     }
 
   private def nsDelete(id: Long): (Int, String, String) =
@@ -430,7 +436,13 @@ class HttpFacade(
     scopedTable(nsId, tableId).fold(identity, { t =>
       val name = reqString(in, "name")
       if (name == t.name) okJson(tblJson(t))
-      else okJson(tblJson(cat.updateTable(tableId, Some(name)).get))
+      // same concurrent-delete race as nsUpdate: None here means the
+      // row vanished between the scoped lookup and the write
+      else cat.updateTable(tableId, Some(name)) match {
+        case Some(updated) => okJson(tblJson(updated))
+        case None =>
+          (404, "application/json", detail(s"table $tableId not found"))
+      }
     })
 
   /** `DELETE .../table/{table_id}` intent (`namespace_table.py:138-144`
@@ -486,7 +498,8 @@ class HttpFacade(
     case Right(_) => optString(in, "content") match {
       case Some(content) =>
         val fileName = reqString(in, "file_name")
-        if (fileName.contains("/") || fileName.contains("\\"))
+        if (fileName.isEmpty || fileName == "." || fileName == ".." ||
+            fileName.contains("/") || fileName.contains("\\"))
           throw new IllegalArgumentException("file_name must be a bare file name")
         val tmpDir = Files.createTempDirectory("graft-upload")
         val tmp = tmpDir.resolve(fileName)

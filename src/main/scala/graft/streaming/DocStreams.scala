@@ -123,7 +123,11 @@ object DocStreams {
 
   private[streaming] final case class BucketDoc(docId: Long, sig: Seq[Long])
   private[streaming] final case class BucketState(
-      docs: Seq[BucketDoc], lastMs: Long)
+      docs: Seq[BucketDoc], lastMs: Long, seenIds: Seq[Long])
+
+  /** How many admitted doc ids each bucket remembers beyond the
+    * retained-doc cap — the replay-dedup horizon (see [[bucketStep]]). */
+  private val SeenIdsFactor = 8
 
   /** One micro-batch step of a banded near-dup bucket: compare each
     * first-seen arrival against the bucket's known docs (oldest event
@@ -131,24 +135,37 @@ object DocStreams {
     * docs at `maxBucketDocs`, advance the bucket clock. The state
     * machine is shared by the MinHash and SimHash detectors — one
     * place to fix, two signature types. Returns (emitted, retained
-    * docs, new bucket clock). */
+    * docs, seen ids, new bucket clock).
+    *
+    * First-seen is judged against `seen0` — the ids of every recently
+    * ADMITTED doc, including ones since evicted from `known` by the
+    * `maxBucketDocs` cap — so an at-least-once source replay of an
+    * evicted doc does not re-enter the bucket and re-emit its pairs.
+    * The list is bounded at [[SeenIdsFactor]]× the doc cap; a replay
+    * arriving after that horizon degrades back to at-least-once
+    * emission (the documented contract for LSH-banded output). */
   private def bucketStep[Sig, Out](
       arrivals: Vector[(Long, Timestamp, Sig, String)],
       known0: Seq[(Long, Sig)],
+      seen0: Seq[Long],
       lastMs0: Long,
       maxBucketDocs: Int,
-      emit: (Long, Sig, Long, Sig) => Option[Out]): (Vector[Out], Seq[(Long, Sig)], Long) = {
+      emit: (Long, Sig, Long, Sig) => Option[Out]): (Vector[Out], Seq[(Long, Sig)], Seq[Long], Long) = {
     var known = known0
+    // pre-seenIds checkpoints restore with an empty list — fall back
+    // to the retained docs so behavior is no worse than before
+    var seen = if (seen0.nonEmpty) seen0 else known0.map(_._1)
     var lastMs = lastMs0
     val out = Vector.newBuilder[Out]
     for ((docId, ts, sig, _) <- arrivals.sortBy(d => (d._2.getTime, d._1))) {
-      if (!known.exists(_._1 == docId)) {
+      if (!seen.contains(docId)) {
         for ((kid, ksig) <- known; o <- emit(kid, ksig, docId, sig)) out += o
         known = (known :+ (docId -> sig)).takeRight(maxBucketDocs)
+        seen = (seen :+ docId).takeRight(maxBucketDocs * SeenIdsFactor)
       }
       lastMs = math.max(lastMs, ts.getTime)
     }
-    (out.result(), known, lastMs)
+    (out.result(), known, seen, lastMs)
   }
 
   /** Schedule the bucket's eviction one TTL past its clock, clamped to
@@ -242,9 +259,10 @@ object DocStreams {
             state.remove()
             Iterator.empty
           } else {
-            val (out, known, lastMs) = bucketStep[Seq[Long], NearDupPair](
+            val (out, known, seen, lastMs) = bucketStep[Seq[Long], NearDupPair](
               it.toVector,
               state.getOption.map(_.docs.map(d => d.docId -> d.sig)).getOrElse(Seq.empty),
+              state.getOption.map(_.seenIds).getOrElse(Seq.empty),
               state.getOption.map(_.lastMs).getOrElse(0L),
               maxBucketDocs,
               (kid, ksig, id, sig) => {
@@ -256,7 +274,7 @@ object DocStreams {
                 else None
               })
             state.update(BucketState(
-              known.map { case (i, s) => BucketDoc(i, s) }, lastMs))
+              known.map { case (i, s) => BucketDoc(i, s) }, lastMs, seen))
             scheduleEviction(state, lastMs, watermark)
             out.iterator
           }
@@ -268,7 +286,7 @@ object DocStreams {
 
   private[streaming] final case class SimBucketDoc(docId: Long, sig: Long)
   private[streaming] final case class SimBucketState(
-      docs: Seq[SimBucketDoc], lastMs: Long)
+      docs: Seq[SimBucketDoc], lastMs: Long, seenIds: Seq[Long])
 
   /** Streaming SimHash near-dup detection — the streaming counterpart
     * of the batch td08 query, built from the SAME frozen constants
@@ -330,9 +348,10 @@ object DocStreams {
             state.remove()
             Iterator.empty
           } else {
-            val (out, known, lastMs) = bucketStep[Long, SimDupPair](
+            val (out, known, seen, lastMs) = bucketStep[Long, SimDupPair](
               it.toVector,
               state.getOption.map(_.docs.map(d => d.docId -> d.sig)).getOrElse(Seq.empty),
+              state.getOption.map(_.seenIds).getOrElse(Seq.empty),
               state.getOption.map(_.lastMs).getOrElse(0L),
               maxBucketDocs,
               (kid, ksig, id, sig) => {
@@ -343,7 +362,7 @@ object DocStreams {
                 else None
               })
             state.update(SimBucketState(
-              known.map { case (i, s) => SimBucketDoc(i, s) }, lastMs))
+              known.map { case (i, s) => SimBucketDoc(i, s) }, lastMs, seen))
             scheduleEviction(state, lastMs, watermark)
             out.iterator
           }

@@ -128,6 +128,24 @@ class CatalogSpec extends SparkSpec {
     cat.deleteNamespace(ns2.id)
   }
 
+  test("concurrent demo bulk loads never race the delete+create") {
+    val (cat, _) = freshCatalog()
+    val dir = Files.createTempDirectory("demo_csvs_conc")
+    Files.writeString(dir.resolve("cc.csv"), "x\n1\n")
+    // two simultaneous replace-loads: without the single lock hold
+    // across delete+create, both can pass the delete and collide on
+    // CREATE DATABASE (or leave duplicate metadata rows)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val loads = (1 to 2).map(_ => Future(
+      cat.loadDemoDataset(dir.toString, "Bulk NS Conc")))
+    loads.foreach(Await.result(_, 2.minutes))
+    assert(cat.listNamespaces().count(_.schemaName === "bulk_ns_conc") === 1)
+    cat.listNamespaces().filter(_.schemaName == "bulk_ns_conc")
+      .foreach(ns => cat.deleteNamespace(ns.id))
+  }
+
   test("table edit + delete (reference route intent, models unswapped)") {
     val (cat, _) = freshCatalog()
     val ns = cat.createNamespace("Edit NS")

@@ -44,6 +44,32 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0) === r.getSeq[Long](1))
   }
 
+  test("native expressions COMPILE under codegen (no silent fallback)") {
+    // Whole-stage codegen swallows Janino compile errors and falls
+    // back to interpreted eval with only a WARN — the value tests
+    // above stay green while the codegen win silently disappears
+    // (this bit round 4: Janino rejects `((long)(x)) << n`). Generate
+    // a projection directly: it throws on any compile failure.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = BoundReference(0, StringType, nullable = true)
+    val v = BoundReference(1, ArrayType(FloatType, containsNull = false), nullable = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      Md5Word32(s, 0), Md5Word32(s, 1), FloatVecDot(v, v)))
+    val row = proj(InternalRow(
+      UTF8String.fromString("hello world"),
+      ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f))))
+    assert(row.getLong(0) ===
+      Md5Word32(Literal("hello world"), 0).eval(null).asInstanceOf[Long])
+    assert(row.getLong(1) ===
+      Md5Word32(Literal("hello world"), 1).eval(null).asInstanceOf[Long])
+    assert(row.getDouble(2) === 14.0)
+  }
+
   test("interpreted (non-codegen) eval agrees with codegen") {
     // force the interpreted path through the expression's eval
     val e = Md5Word32(

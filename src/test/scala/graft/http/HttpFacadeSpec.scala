@@ -302,6 +302,12 @@ class HttpFacadeSpec extends SparkSpec {
       """{"name": "evil"}""").body()).get("id").asLong()
     assert(post(s"/namespace/$nsId/table/$tid2/upload",
       """{"file_name": "../../etc/x.csv", "content": "a\n1\n"}""").statusCode() === 400)
+    // "." / ".." resolve outside (or onto) the private temp dir — they
+    // must 400 as malformed names, not surface as a 500 IOException
+    assert(post(s"/namespace/$nsId/table/$tid2/upload",
+      """{"file_name": "..", "content": "a\n1\n"}""").statusCode() === 400)
+    assert(post(s"/namespace/$nsId/table/$tid2/upload",
+      """{"file_name": ".", "content": "a\n1\n"}""").statusCode() === 400)
     delete(s"/namespace/$nsId")
   }
 
