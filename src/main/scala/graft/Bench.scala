@@ -55,14 +55,18 @@ object Bench {
     // them for executor memory (sfDir cache entries don't exist yet).
     spark.catalog.clearCache()
 
-    // Per-query median of `Runs` back-to-back executions: single-run
-    // numbers on this shared host swing ±30% (GC, noisy neighbors), so
-    // one sample cannot distinguish a regression from noise. The first
-    // run also absorbs any one-time shared-index materialization; the
-    // median reports the steady state. A query that throws is retried
-    // no further, reported as null in the per-query map, listed in
-    // errors, and EXCLUDED from the total — a fast crash must not
-    // deflate (nor a slow one inflate) the headline number.
+    // Per-query MINIMUM of `Runs` back-to-back executions: the work per
+    // run is fixed, so the minimum is the run least contaminated by
+    // host noise (GC, noisy neighbors) — the standard noise-robust
+    // estimator for fixed workloads. Median-of-3 fails here in
+    // practice: a host stall spanning two of three runs (observed:
+    // td03 [3.19, 3.9, 14.34] s on an untouched binary) drags the
+    // median 6× while the minimum stays honest. The median is still
+    // reported per-total (`total_median`) and per-run arrays go to the
+    // detail file, so contention remains diagnosable. A query that
+    // throws is retried no further, reported as null in the per-query
+    // map, listed in errors, and EXCLUDED from the total — a fast
+    // crash must not deflate (nor a slow one inflate) the headline.
     val Runs = 3
     var errors = Vector.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -83,9 +87,7 @@ object Bench {
           }
         }
       }
-      (name,
-        if (failed) None else Some(times.sorted.apply(times.size / 2)),
-        times)
+      (name, if (failed) None else Some(times.min), times)
     }
     // ms precision is plenty for seconds-scale timings, and keeps the
     // stdout contract line SHORT — the driver scrapes it from the last
@@ -95,39 +97,60 @@ object Bench {
     val qs = results
       .map { case (k, v, _) => "\"" + k + "\":" + v.fold("null")(ms) }
       .mkString("{", ",", "}")
+    // `value` (and the per-query map) = sum of per-query MINIMA.
     val total = results.flatMap(_._2).sum
+    // Median total kept alongside for cross-round comparability with
+    // pre-round-6 artifacts whose headline was median-based.
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    val totalMedian = results.collect {
+      case (_, Some(_), ts) if ts.nonEmpty => median(ts)
+    }.sum
     val firstRunTotal = results.collect {
       case (_, Some(_), ts) if ts.nonEmpty => ts.head
     }.sum
-    // Variance summary as three scalars (min/median/max of per-pass
-    // totals): enough to tell regression from host contention without
-    // blowing the line length. Full per-run arrays go to the detail
-    // file below.
+    // Variance summary as two scalars (min/max of per-pass totals):
+    // enough to tell regression from host contention without blowing
+    // the line length. Full per-run arrays go to the detail file below.
     val passTotals = (0 until Runs).map { i =>
       results.collect { case (_, Some(_), ts) if ts.size > i => ts(i) }.sum
     }.sorted
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"runs_per_query":$Runs,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     // Full-precision per-run arrays: a single noisy run on a shared
-    // host swings ±30%+, and medians alone cannot show whether a
-    // cross-round delta is regression or contention. Written to a file
-    // (not stdout) so the contract line stays scrape-able.
+    // host swings ±30%+, and point estimates alone cannot show whether
+    // a cross-round delta is regression or contention. Written to a
+    // file (not stdout) so the contract line stays scrape-able. The
+    // path is resolved against SPARK_GRAFT_BENCH_OUT's directory when
+    // set (the one location the driver certainly reads), else the
+    // forked JVM's CWD; on write failure the contract line reports
+    // `"detail":null` instead of advertising a stale or missing file.
     val runsJson = results
       .map { case (k, _, ts) =>
         "\"" + k + "\":" + ts.map(_.toString).mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"first_run_total":$firstRunTotal,"errors":$errJson,"runs_per_query":$Runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"total_median":$totalMedian,"first_run_total":$firstRunTotal,"errors":$errJson,"runs_per_query":$Runs,"sf":"$sfDir"}"""
+    val detailPath = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(p) =>
+        val parent = java.nio.file.Paths.get(p).toAbsolutePath.getParent
+        (if (parent == null) java.nio.file.Paths.get("")
+         else parent).resolve("BENCH_DETAIL.json")
+      case None => java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
+    }
+    val detailWritten =
+      try { java.nio.file.Files.writeString(detailPath, detail + "\n"); true }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] detail write failed ($detailPath): $e")
+          false
+      }
+    val detailJson = if (detailWritten) "\"" + detailPath + "\"" else "null"
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"runs_per_query":$Runs,"estimator":"min_of_runs","detail":$detailJson,"sf":"$sfDir"}"""
     // stdout (unprefixed — build.sbt routes forked stdout verbatim);
     // mirrored to a file when SPARK_GRAFT_BENCH_OUT is set so the
     // driver can read the result without scraping logs at all.
     println(line)
-    try
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
-    catch { case scala.util.control.NonFatal(_) => () }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
     }

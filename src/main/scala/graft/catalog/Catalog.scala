@@ -26,6 +26,17 @@ final case class TableEntry(
     createdAt: Timestamp,
     updatedAt: Timestamp)
 
+object Catalog {
+  /** A multi-step catalog operation lost a race with a concurrent
+    * delete (e.g. a regular `DELETE /namespace/{id}` yanking the demo
+    * namespace out from under an in-flight demo load). Distinct from
+    * `IllegalArgumentException` (caller error → 400): the request was
+    * well-formed and the conflict is with other traffic, so the facade
+    * maps this to 409. */
+  final case class ConcurrentModification(message: String)
+      extends RuntimeException(message)
+}
+
 /** Catalog / metadata layer (SURVEY.md §2.4 C1–C10): namespaces map
   * 1:1 to Spark SQL databases; user tables are parquet-backed catalog
   * tables ingested from CSV with inferred schemas (S1); metadata rows
@@ -296,8 +307,22 @@ class Catalog(
       }
       val entries = csvs.map { path =>
         val base = Paths.get(path).getFileName.toString.stripSuffix(".csv")
-        val entry = createTable(ns.id, base)
-        loadCsv(entry.id, path)
+        // The demo lock serializes demo loads against each other, but a
+        // concurrent REGULAR deleteNamespace can still remove `ns`
+        // between createNamespace above and these per-file calls. That
+        // is a conflict with other traffic, not a bad request — surface
+        // it as ConcurrentModification (→ 409), not a require failure
+        // (createTable's namespace check) or a bare NoSuchElement
+        // (ingest's namespace lookup).
+        try {
+          val entry = createTable(ns.id, base)
+          loadCsv(entry.id, path)
+        } catch {
+          case _ @ (_: IllegalArgumentException | _: NoSuchElementException)
+              if getNamespace(ns.id).isEmpty =>
+            throw Catalog.ConcurrentModification(
+              s"namespace '${ns.schemaName}' was deleted concurrently during demo load")
+        }
       }.toSeq
       (ns, entries)
     }

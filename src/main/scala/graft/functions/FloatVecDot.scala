@@ -80,14 +80,22 @@ case class FloatVecDot(left: Expression, right: Expression)
 object Functions {
   /** Idempotently register graft's native expressions (`vec_dot`,
     * `h32`, `h32b`) in the session's function registry so
-    * `expr("vec_dot(a, b)")` / `expr("h32(s)")` resolve. */
+    * `expr("vec_dot(a, b)")` / `expr("h32(s)")` resolve. Skips names
+    * already present: `createOrReplaceTempFunction` on an existing name
+    * logs a `SimpleFunctionRegistry` "replaced a previously registered
+    * function" WARN, and callers invoke this once per query build, so
+    * unconditional replacement sprays that warning through every bench
+    * and driver artifact. The builders are pure constants — an existing
+    * registration under these names is always ours and identical. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "h32", exprs => Md5Word32(exprs.head, 0), "built-in")
-    reg.createOrReplaceTempFunction(
-      "h32b", exprs => Md5Word32(exprs.head, 1), "built-in")
+    def ifAbsent(name: String,
+        builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ifAbsent("vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)))
+    ifAbsent("h32", exprs => Md5Word32(exprs.head, 0))
+    ifAbsent("h32b", exprs => Md5Word32(exprs.head, 1))
   }
 }

@@ -112,6 +112,10 @@ class HttpFacade(
           (400, "application/json", detail(m))
         case e: IllegalArgumentException =>
           (400, "application/json", detail(Option(e.getMessage).getOrElse("bad request")))
+        // lost race with concurrent traffic (demo load vs namespace
+        // delete) — the request was well-formed, so 409 not 400/500
+        case graft.catalog.Catalog.ConcurrentModification(m) =>
+          (409, "application/json", detail(m))
         case NonFatal(e) =>
           (500, "application/json",
             detail(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))

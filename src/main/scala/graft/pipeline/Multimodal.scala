@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is REAL and tested: schema, hash
   * partitioning of heavy blobs, mapPartitions batch shape, and the
-  * byte-level feature computations. The codec itself is a clearly
-  * marked STUB (`StubCodec`): this container has no image/audio
-  * libraries, so "decode" derives deterministic fake dimensions from
-  * the byte stream. Swapping in a real codec is a one-object change;
-  * nothing else moves.
+  * byte-level feature computations. IMAGE decode/resize is real too:
+  * [[ImageIoCodec]] (the default) parses PNG/JPEG/GIF/BMP headers and
+  * rescales pixels via the JDK's `javax.imageio` — no external
+  * libraries. Audio/video payloads (no codec in the JDK, none in this
+  * container) fall back to the clearly marked [[StubCodec]], which
+  * derives deterministic fake dimensions from the byte stream;
+  * swapping in a real audio codec is a one-object change behind the
+  * same [[Codec]] trait.
   *
   * Scale notes: blobs never pass through a wide shuffle — operators
   * are narrow mapPartitions over the scan, and the only repartition is
@@ -55,15 +58,30 @@ object Multimodal {
       offset: Long,
       bytes: Array[Byte])
 
-  /** Codec boundary. Only this object is a stub. */
+  /** Codec boundary: dimension probe + pixel resample. */
   trait Codec extends Serializable {
     def dimensions(content: Array[Byte]): (Int, Int, Int)
+
+    /** Resample `content` (known dims `w`×`h`) to `tw`×`th`. Default:
+      * deterministic byte stride-subsample proportional to the area
+      * ratio — the stand-in used when real pixel decode is impossible
+      * (audio/video/corrupt payloads). */
+    def resample(content: Array[Byte], w: Int, h: Int,
+        tw: Int, th: Int): Array[Byte] = {
+      val keep = math.max(1,
+        (content.length.toDouble * (tw.toLong * th) / (w.toLong * h)).toInt)
+      val stride = math.max(1, content.length / keep)
+      val out = Array.newBuilder[Byte]
+      var i = 0
+      while (i < content.length) { out += content(i); i += stride }
+      out.result()
+    }
   }
 
   /** STUB: deterministic fake decode — dimensions derived from a
-    * rolling hash of the first 64 payload bytes. Replace with a real
-    * image/audio decoder when the libraries are available; the
-    * partitioning / batching around it is production-shaped. */
+    * rolling hash of the first 64 payload bytes. Stands in for the
+    * audio/video codecs this container lacks; the partitioning /
+    * batching around it is production-shaped. */
   object StubCodec extends Codec {
     override def dimensions(content: Array[Byte]): (Int, Int, Int) = {
       var h = 1125899906842597L
@@ -76,6 +94,76 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec — PNG/JPEG/GIF/BMP via the JDK's `javax.imageio`
+    * (no external libraries, headless-safe).
+    *
+    *  - `dimensions` parses only the image HEADER
+    *    (`ImageReader.getWidth/getHeight` without a pixel decode) —
+    *    probing a 50 MB JPEG costs a few hundred header bytes, which is
+    *    what a 100 TB metadata pass over blob columns must do.
+    *  - `resample` fully decodes, scales with bilinear interpolation
+    *    (`Graphics2D.drawImage` onto a target-sized buffer), and
+    *    re-encodes as PNG.
+    *
+    * Bytes no installed reader recognizes (audio, video, corrupt
+    * files) fall back to [[StubCodec]] semantics, so one bad file in a
+    * mixed-media batch degrades to a fake row instead of killing the
+    * whole task — the per-row error contract a large decode pass needs. */
+  object ImageIoCodec extends Codec {
+    override def dimensions(content: Array[Byte]): (Int, Int, Int) =
+      withReader(content) { reader =>
+        val channels =
+          try {
+            val types = reader.getImageTypes(0)
+            if (types.hasNext) types.next().getColorModel.getNumComponents
+            else 3
+          } catch { case scala.util.control.NonFatal(_) => 3 }
+        (reader.getWidth(0), reader.getHeight(0), channels)
+      }.getOrElse(StubCodec.dimensions(content))
+
+    override def resample(content: Array[Byte], w: Int, h: Int,
+        tw: Int, th: Int): Array[Byte] = {
+      val decoded =
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      decoded match {
+        case Some(src) =>
+          val dst = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, tw, th, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          bos.toByteArray
+        case None => super.resample(content, w, h, tw, th)
+      }
+    }
+
+    /** Header-only reader scope: open an image input stream over the
+      * bytes, hand the first matching reader to `f`, always dispose. */
+    private def withReader[T](content: Array[Byte])(
+        f: javax.imageio.ImageReader => T): Option[T] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis, true); Some(f(r)) }
+          catch { case scala.util.control.NonFatal(_) => None }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    }
+  }
+
   /** Spread heavy blobs evenly before CPU-bound work: hash-partition
     * on mediaId (narrow round-robin would break mapPartitions
     * determinism in tests; hash keeps placement stable). */
@@ -83,7 +171,8 @@ object Multimodal {
     ds.repartition(partitions, col("mediaId"))
 
   /** Decode batch operator: one codec call per row, per partition. */
-  def decode(ds: Dataset[MediaFile], codec: Codec = StubCodec): Dataset[Decoded] = {
+  def decode(ds: Dataset[MediaFile],
+      codec: Codec = ImageIoCodec): Dataset[Decoded] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { m =>
@@ -124,26 +213,21 @@ object Multimodal {
       bytes: Array[Byte])
 
   /** Resize batch operator: recompute target dimensions preserving
-    * aspect ratio and resample the payload. The byte resampling is a
-    * deterministic stride subsample standing in for a real scaler
-    * (STUB codec boundary); the dimension math, batch shape and
-    * output-size bound are the real pipeline contract. */
+    * aspect ratio, then hand the pixel work to the codec — a real
+    * bilinear rescale + PNG re-encode for decodable images
+    * ([[ImageIoCodec]]), a deterministic stride subsample otherwise.
+    * The dimension math, batch shape and output-size bound are the
+    * pipeline contract either way. */
   def resize(ds: Dataset[MediaFile], maxSide: Int = 256,
-      codec: Codec = StubCodec): Dataset[Resized] = {
+      codec: Codec = ImageIoCodec): Dataset[Resized] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { m =>
         val (w, h, _) = codec.dimensions(m.content)
         val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
         val (tw, th) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-        // deterministic stride subsample proportional to the area ratio
-        val keep = math.max(1,
-          (m.content.length.toDouble * (tw.toLong * th) / (w.toLong * h)).toInt)
-        val stride = math.max(1, m.content.length / keep)
-        val out = Array.newBuilder[Byte]
-        var i = 0
-        while (i < m.content.length) { out += m.content(i); i += stride }
-        Resized(m.mediaId, m.kind, tw, th, out.result())
+        Resized(m.mediaId, m.kind, tw, th,
+          codec.resample(m.content, w, h, tw, th))
       }
     }
   }

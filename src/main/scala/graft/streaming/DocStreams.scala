@@ -122,6 +122,19 @@ object DocStreams {
   final case class NearDupPair(docA: Long, docB: Long, estSim: Double)
 
   private[streaming] final case class BucketDoc(docId: Long, sig: Seq[Long])
+
+  /** Keyed state for one MinHash LSH bucket.
+    *
+    * Checkpoint compatibility: adding `seenIds` (round 5) changed the
+    * `flatMapGroupsWithState` state schema. With
+    * `spark.sql.streaming.stateStore.stateSchemaCheck` on (the
+    * default), restarting from a checkpoint written by the
+    * pre-`seenIds` shape fails fast with a state-schema-incompatible
+    * error — old near-dup checkpoints must be DISCARDED and the stream
+    * restarted fresh. The batch td05/td09 pass over the accumulated
+    * lake reconciles any pairs missed across the restart (the standard
+    * lambda-split recovery), so a fresh start loses no corpus-level
+    * guarantees. Same contract for [[SimBucketState]]. */
   private[streaming] final case class BucketState(
       docs: Seq[BucketDoc], lastMs: Long, seenIds: Seq[Long])
 
@@ -144,7 +157,7 @@ object DocStreams {
     * The list is bounded at [[SeenIdsFactor]]× the doc cap; a replay
     * arriving after that horizon degrades back to at-least-once
     * emission (the documented contract for LSH-banded output). */
-  private def bucketStep[Sig, Out](
+  private[streaming] def bucketStep[Sig, Out](
       arrivals: Vector[(Long, Timestamp, Sig, String)],
       known0: Seq[(Long, Sig)],
       seen0: Seq[Long],
@@ -152,20 +165,27 @@ object DocStreams {
       maxBucketDocs: Int,
       emit: (Long, Sig, Long, Sig) => Option[Out]): (Vector[Out], Seq[(Long, Sig)], Seq[Long], Long) = {
     var known = known0
-    // pre-seenIds checkpoints restore with an empty list — fall back
-    // to the retained docs so behavior is no worse than before
-    var seen = if (seen0.nonEmpty) seen0 else known0.map(_._1)
+    // Insertion-ordered set: O(1) membership (admission is O(arrivals)
+    // per micro-batch, not O(arrivals × seen-cap)) while preserving
+    // arrival order for oldest-first trimming at the cap. seen0 is
+    // empty only for a fresh bucket (a pre-seenIds-schema checkpoint
+    // cannot reach here — see [[BucketState]]); the known0 fallback is
+    // defensive and a no-op in that fresh case.
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+    seen ++= (if (seen0.nonEmpty) seen0 else known0.map(_._1))
+    val seenCap = maxBucketDocs * SeenIdsFactor
     var lastMs = lastMs0
     val out = Vector.newBuilder[Out]
     for ((docId, ts, sig, _) <- arrivals.sortBy(d => (d._2.getTime, d._1))) {
       if (!seen.contains(docId)) {
         for ((kid, ksig) <- known; o <- emit(kid, ksig, docId, sig)) out += o
         known = (known :+ (docId -> sig)).takeRight(maxBucketDocs)
-        seen = (seen :+ docId).takeRight(maxBucketDocs * SeenIdsFactor)
+        seen += docId
+        while (seen.size > seenCap) seen -= seen.head
       }
       lastMs = math.max(lastMs, ts.getTime)
     }
-    (out.result(), known, seen, lastMs)
+    (out.result(), known, seen.toSeq, lastMs)
   }
 
   /** Schedule the bucket's eviction one TTL past its clock, clamped to

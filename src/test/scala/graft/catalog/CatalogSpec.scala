@@ -41,6 +41,31 @@ class CatalogSpec extends SparkSpec {
     (new Catalog(spark, dir.toString, clock), dir)
   }
 
+  test("demo load losing its namespace to a concurrent delete raises ConcurrentModification") {
+    val dir = Files.createTempDirectory("graft_meta")
+    val demo = Files.createTempDirectory("graft_demo")
+    Files.writeString(demo.resolve("t1.csv"), "a,b\n1,2\n")
+    // Deterministic race: the injected clock fires a reentrant
+    // deleteNamespace on its 2nd call — inside createTable for the
+    // first CSV, after createNamespace returned — simulating a
+    // concurrent DELETE /namespace/{id} landing mid-load. (The catalog
+    // monitor is reentrant, so same-thread delete stands in for the
+    // interleaving a second request thread would produce.)
+    var cat: Catalog = null
+    var calls = 0
+    val clock = () => {
+      calls += 1
+      if (cat != null && calls == 2)
+        cat.listNamespaces().find(_.schemaName == "demo_dataset")
+          .foreach(n => cat.deleteNamespace(n.id))
+      new Timestamp(1700000000000L + calls * 1000L)
+    }
+    cat = new Catalog(spark, dir.toString, clock)
+    val e = intercept[Catalog.ConcurrentModification](
+      cat.loadDemoDataset(demo.toString))
+    assert(e.getMessage.contains("deleted concurrently"))
+  }
+
   test("namespace CRUD round-trips with RETURNING semantics") {
     val (cat, _) = freshCatalog()
     val ns = cat.createNamespace("My Test NS 1", "demo")

@@ -65,6 +65,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIoCodec decodes a real planted PNG end-to-end") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaFile(100L, "image", png(640, 480), Map.empty),
+      MediaFile(101L, "image", png(33, 17), Map.empty),
+      MediaFile(102L, "audio",
+        Array.tabulate(500)(i => (i % 251).toByte), Map.empty))
+    val ds = spark.createDataset(rows)
+
+    val d = decode(ds).collect().map(x => x.mediaId -> x).toMap
+    assert((d(100L).width, d(100L).height, d(100L).channels) === (640, 480, 3))
+    assert((d(101L).width, d(101L).height) === (33, 17))
+    // non-image payload falls back to the stub's fake dims, not a crash
+    assert(d(102L) ===
+      decode(ds, StubCodec).collect().find(_.mediaId == 102L).get)
+
+    val r = resize(ds, maxSide = 256).collect().map(x => x.mediaId -> x).toMap
+    assert((r(100L).width, r(100L).height) === (256, 192)) // aspect kept
+    assert((r(101L).width, r(101L).height) === (33, 17)) // no upscale
+    // the resized payload is itself a decodable PNG with the target dims
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r(100L).bytes))
+    assert(round.getWidth === 256 && round.getHeight === 192)
+
+    // real dims flow through the end-to-end describe stage
+    val desc = describe(spark, ds, partitions = 2).collect()
+      .map(row => row.getAs[Long]("mediaId") -> row).toMap
+    assert(desc(100L).getAs[Int]("width") === 640)
+    assert(desc(100L).getAs[Int]("height") === 480)
+  }
+
   test("describe joins decode + features without losing rows") {
     val out = describe(spark, mediaFixture, partitions = 4)
     assert(out.count() === 20)

@@ -170,6 +170,32 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketStep: large replayed batch stays suppressed, seen list bounded") {
+    val maxDocs = 4
+    val n = 500
+    val arrivals = (1L to n.toLong).toVector.map(i =>
+      (i, new java.sql.Timestamp(1000L + i), i, "b"))
+    val emit = (kid: Long, _: Long, id: Long, _: Long) => Some(kid -> id)
+    val (out1, known1, seen1, last1) =
+      DocStreams.bucketStep[Long, (Long, Long)](
+        arrivals, Seq.empty, Seq.empty, 0L, maxDocs, emit)
+    assert(out1.nonEmpty)
+    assert(known1.map(_._1) === ((n - maxDocs + 1) to n).map(_.toLong))
+    // seen horizon = SeenIdsFactor (8) × doc cap, newest-first trim,
+    // insertion order preserved
+    assert(seen1 === ((n - maxDocs * 8 + 1) to n).map(_.toLong))
+    assert(last1 === 1000L + n)
+    // an at-least-once replay of everything inside the seen horizon
+    // emits nothing and leaves the state bit-identical
+    val (out2, known2, seen2, last2) =
+      DocStreams.bucketStep[Long, (Long, Long)](
+        arrivals.takeRight(maxDocs * 8), known1, seen1, last1, maxDocs, emit)
+    assert(out2.isEmpty, s"replay re-emitted ${out2.size} pairs")
+    assert(known2 === known1)
+    assert(seen2 === seen1)
+    assert(last2 === last1)
+  }
+
   test("dedup state survives a checkpointed query restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
