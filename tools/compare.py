@@ -37,8 +37,26 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        if not p.exists():
+            continue
+        # driver dirs are single parquet FILES; Spark-written dirs
+        # (graft.tools.ScaleGen) are directories of part files
+        if p.is_dir():
+            p = f"{p}/*.parquet"
+        if t == "events":
+            # Driver-generated dirs carry events.ts as TIMESTAMP(NANOS);
+            # locally generated scale dirs (graft.tools.ScaleGen) carry it
+            # as raw int64 nanos, because Spark cannot WRITE nanos
+            # parquet. Normalize the raw form to a µs timestamp exactly
+            # like the Spark reader (timestamp_micros(ts div 1000)).
+            ttype = con.execute(
+                f"DESCRIBE SELECT ts FROM '{p}'").fetchall()[0][1]
+            if ttype == "BIGINT":
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM '{p}'")
+                continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     n_pass = n_fail = 0
     names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
