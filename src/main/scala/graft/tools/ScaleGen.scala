@@ -46,6 +46,16 @@ object ScaleGen {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, factor)
+    spark.stop()
+  }
+
+  /** Generation body, separated from `main` so tests can drive it on a
+    * shared session. Requires `spark.sql.legacy.parquet.nanosAsLong`
+    * (events.ts arrives as TIMESTAMP(NANOS) in driver dirs). */
+  def run(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
@@ -112,6 +122,5 @@ object ScaleGen {
           s"concat(slice(embedding, $r + 1, size(embedding) - $r), " +
             s"slice(embedding, 1, $r))"))
     })
-    spark.stop()
   }
 }
