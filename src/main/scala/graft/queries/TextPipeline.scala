@@ -48,9 +48,57 @@ object TextPipeline extends graft.Registry {
   // at sf0.001 — d ≤ 7 over 64 bits is a slightly TIGHTER similarity
   // bar than jaccard 0.8, by design), background pairs ≥ 17.
   private[graft] val SimBits = 64
+  // 8×8-bit banding, retained for the DuckDB oracle SQL only: any
+  // candidate scheme that is COMPLETE for hamming ≤ MaxHamming yields
+  // the same final pair set after the exact-Hamming filter, so the
+  // oracle and the engine are free to band differently (see
+  // [[simBandKeys]] for the engine-side scheme and why it changed).
   private[graft] val SimBands = 8
   private[graft] val SimBandBits = SimBits / SimBands
   private[graft] val MaxHamming = 7
+  private[graft] val SimBlocks = 9
+
+  /** Engine-side SimHash candidate banding: the 64 signature bits
+    * split into [[SimBlocks]] = 9 blocks (one 8-bit + eight 7-bit),
+    * candidates keyed on every PAIR of blocks — C(9,2) = 36 bands with
+    * 14/15-bit keys. Pigeonhole recall is preserved: ≤ [[MaxHamming]]
+    * (7) differing bits dirty at most 7 blocks, so at least 2 blocks
+    * stay clean and every true near-dup pair shares at least one
+    * band key, exactly as with single clean 8-bit bands.
+    *
+    * Why pairs: the scale bottleneck is band-key ENTROPY. Single 8-bit
+    * keys give 8 × 256 = 2 048 buckets TOTAL, so bucket occupancy —
+    * and the within-bucket pair comparisons — grow quadratically once
+    * the corpus passes ~10⁵ docs (measured on the sf1→sf10 decade:
+    * td08 went 11.8× for 10× data as every bucket reached ~2 000
+    * docs). Block-pair keys give 36 × ~2¹⁴ ≈ 590 000 buckets: ~300×
+    * more key entropy for a 4.5× increase in banded rows, pushing the
+    * quadratic wall out by the same ~300× in corpus size. Beyond THAT
+    * scale the standard next step is Manku's prefix-sorted multi-table
+    * layout or a tighter radius; the block-pair form is the right
+    * operating point for 10⁵–10⁸ docs.
+    *
+    * Returns (bandId, band-key SQL over a `simhash` BIGINT column) —
+    * shared by the batch join ([[dedupSimHash]]) and the streaming
+    * bucket state ([[graft.streaming.DocStreams.nearDupSimHash]]) so
+    * both halves bucket identically. */
+  private[graft] def simBandKeys: Seq[(Int, String)] = {
+    val widths = 8 +: Seq.fill(SimBlocks - 1)(7)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val blocks = offsets.zip(widths)
+    for {
+      i <- 0 until SimBlocks
+      j <- (i + 1) until SimBlocks
+    } yield {
+      val (oi, wi) = blocks(i)
+      val (oj, wj) = blocks(j)
+      // shiftright is arithmetic, but the width masks keep only the
+      // block's own bits, so bit 63's sign never leaks into a key
+      (i * SimBlocks + j,
+        s"(shiftright(simhash, $oi) & ${(1 << wi) - 1}) * ${1L << wj} + " +
+          s"(shiftright(simhash, $oj) & ${(1 << wj) - 1})")
+    }
+  }
   private val JaccardThreshold = 0.8
   private val EstSimThreshold = 0.5
   // Document-frequency cap for the Jaccard candidate join: a shingle
@@ -457,9 +505,13 @@ object TextPipeline extends graft.Registry {
   }
 
   /** SimHash near-dup pairs: 64-bit signature (sign of per-bit vote
-    * sums over distinct shingle hashes), banded into 8 bytes —
-    * pigeonhole guarantees any pair within Hamming distance 7 shares a
-    * clean byte band — then exact Hamming ≤ 7 via bit_count(xor).
+    * sums over distinct shingle hashes), banded for candidates —
+    * single 8-bit blocks below [[BlockPairMinDocs]], block PAIRS
+    * ([[simBandKeys]]) above; pigeonhole guarantees recall either way —
+    * then exact Hamming ≤ 7 via bit_count(xor). The exact filter makes
+    * the output independent of the banding scheme (any complete scheme
+    * gives the same pairs), so the oracle keeps its simpler 8×8
+    * banding and the scheme can be chosen at runtime purely on cost.
     *
     * Measured alternative (round 6): computing the signature row-locally
     * via [[simhashLocal]] (as streaming does, skipping the grouped
@@ -470,25 +522,71 @@ object TextPipeline extends graft.Registry {
     * shared cached [[graft.pipeline.TextPrep]] shingle index and this
     * grouped form runs 0.87 s at sf0.1 — faster than the local
     * variant's 64 per-row array folds — so the grouped form stays. */
+  /** Corpus size above which block-pair banding beats single-block
+    * banding: below it the 4.5× fewer banded rows win (the candidate
+    * comparisons are cheap xor+popcounts), above it the ~300× key
+    * entropy wins (bucket occupancy grows quadratic in n / keys).
+    * Measured crossover on the sf0.1 / sf1 / sf10 ladder: single-block
+    * 0.87 / 1.65 / 19.6 s vs block-pair 1.39 / 4.5 / 12.1 s. */
+  private[graft] val BlockPairMinDocs = 100000L
+
   def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
     val sig = simhashSig(
       shingleIndex(s, dir).withColumn("h2", h32b(col("shingle"))))
       .cache()
-    // Single bucket join keyed on (band, byte) with the signature
-    // riding along: Hamming is computed and filtered inside the join,
-    // so the cross-band distinct sees only true near-dups, with ONE
-    // shuffle over the banded rows. shiftright is arithmetic, but the
-    // & 255 mask keeps only the 8 extracted bits, so the sign bit
-    // never leaks into a band key.
-    val bands = (0 until SimBands)
-      .map { j =>
-        sig.select(
-          col("doc_id"), lit(j).as("band"),
-          expr(s"shiftright(simhash, ${SimBandBits * j}) & 255").as("nib"),
-          col("simhash"))
+    // AQE-style runtime choice from the TRUE corpus cardinality (sig
+    // is cached — the count is a cache scan, not a recompute):
+    // Catalyst cannot cost this itself (Generate stats don't multiply
+    // by the array size), the two schemes' costs cross at ~10⁵ docs,
+    // and both are complete for hamming ≤ MaxHamming so the result set
+    // is identical either way.
+    dedupSimHashBanded(sig, sig.count() >= BlockPairMinDocs)
+  }
+
+  /** The band join for [[dedupSimHash]], with the candidate banding
+    * scheme explicit (also exercised directly by the plan/equivalence
+    * tests): block PAIRS ([[simBandKeys]], 36 bands × 2¹⁴⁻¹⁵ keys) for
+    * large corpora, single 8-bit blocks (8 bands × 256 keys) for small
+    * ones. One bucket-keyed shuffle either way; Hamming is computed
+    * and filtered inside the join, so the cross-band distinct sees
+    * only true near-dups. */
+  private[graft] def dedupSimHashBanded(sig: DataFrame,
+      blockPairs: Boolean): DataFrame = {
+    val bands =
+      if (blockPairs) {
+        // 36 band rows per doc from one row-local explode (a
+        // Generate), not a 36-way union — a plan Catalyst can hold
+        val bandStructs = simBandKeys.map { case (band, keySql) =>
+          expr(s"struct($band AS band, CAST($keySql AS BIGINT) AS nib)")
+        }
+        sig
+          .select(col("doc_id"), col("simhash"),
+            explode(array(bandStructs: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.nib").as("nib"), col("simhash"))
+      } else {
+        // shiftright is arithmetic, but the & 255 mask keeps only the
+        // 8 extracted bits, so the sign bit never leaks into a key
+        (0 until SimBands)
+          .map { j =>
+            sig.select(
+              col("doc_id"), lit(j).as("band"),
+              expr(s"shiftright(simhash, ${SimBandBits * j}) & 255").as("nib"),
+              col("simhash"))
+          }
+          .reduce(_ unionAll _)
       }
-      .reduce(_ unionAll _)
-    bands.as("a")
+    // Block pairs force shuffle_hash, NOT planner's choice: Generate
+    // propagates its child's size estimate un-multiplied, so Catalyst
+    // sees the banded side as "cached sig" bytes (≈ n × 16 B) and
+    // happily BROADCASTS 36 × n rows — measured 1.6× SLOWER than the
+    // single-block scheme at sf10 despite 15× fewer candidate pairs.
+    // A shuffled hash join partitions both sides by (band, key) and
+    // probes per partition: no driver-side 36n-row broadcast, no sort
+    // of 36n rows, and the key entropy caps every build bucket.
+    val left =
+      if (blockPairs) bands.as("a").hint("shuffle_hash") else bands.as("a")
+    left
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
           col("a.doc_id") < col("b.doc_id"))

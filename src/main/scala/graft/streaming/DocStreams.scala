@@ -319,9 +319,11 @@ object DocStreams {
     *
     * Scale design mirrors [[nearDupMinHash]]: the 64-bit signature is
     * computed with row-local array expressions (no shuffle before the
-    * keyed state); each doc explodes into 8 (band, byte) rows;
-    * per-bucket state via [[bucketStep]] is bounded by `maxBucketDocs`
-    * and evicted by event-time timeout. Candidates within a bucket are
+    * keyed state); each doc explodes into 36 block-pair band rows
+    * ([[graft.queries.TextPipeline.simBandKeys]] — identical bucketing
+    * to the batch join, with ~590k key entropy so buckets stay sparse
+    * at corpus scale); per-bucket state via [[bucketStep]] is bounded
+    * by `maxBucketDocs` and evicted by event-time timeout. Candidates within a bucket are
     * confirmed by exact Hamming ≤
     * [[graft.queries.TextPipeline.MaxHamming]] (64-bit xor popcount —
     * integer-exact on any engine). */
@@ -329,7 +331,7 @@ object DocStreams {
       watermark: String = "1 hour",
       maxBucketDocs: Int = 64): Dataset[SimDupPair] = {
     import docs.sparkSession.implicits._
-    import graft.queries.TextPipeline.{MaxHamming, SimBandBits, SimBands}
+    import graft.queries.TextPipeline.MaxHamming
     graft.functions.Functions.register(docs.sparkSession)
 
     // Row-local distinct shingles and both md5 hash words via the
@@ -347,14 +349,16 @@ object DocStreams {
       .select(col("doc_id"), col("ingest_ts"),
         graft.queries.TextPipeline.simhashLocal("hs", "hs2").as("simhash"))
 
-    // One row per byte band, bucket key = (band, extracted byte) —
-    // the streaming form of the batch (band, nib) equijoin key.
-    val banded = (0 until SimBands).map { j =>
-      sig.select(
-        col("doc_id"), col("ingest_ts"), col("simhash"),
-        concat_ws(":", lit(j),
-          expr(s"shiftright(simhash, ${SimBandBits * j}) & 255")).as("bucket"))
-    }.reduce(_ unionAll _)
+    // One row per block-pair band (TextPipeline.simBandKeys — the SAME
+    // scheme as the batch equijoin, so both halves bucket identically
+    // and state spreads over ~590k keys instead of 2 048), produced by
+    // one row-local explode.
+    val bandExprs = graft.queries.TextPipeline.simBandKeys.map {
+      case (band, keySql) => expr(s"concat('$band:', CAST($keySql AS STRING))")
+    }
+    val banded = sig.select(
+      col("doc_id"), col("ingest_ts"), col("simhash"),
+      explode(array(bandExprs: _*)).as("bucket"))
 
     banded
       .withWatermark("ingest_ts", watermark)

@@ -49,21 +49,40 @@ class PipelineSpec extends SparkSpec {
     assert(strong.subsetOf(sh), s"missed strong pairs: ${strong -- sh}")
   }
 
-  test("simhash band keys span the 8-bit space, not a nibble") {
+  test("simhash banding schemes are result-equivalent (exact filter dominates)") {
     import org.apache.spark.sql.functions._
     val sig = TextPipeline.simhashSig(
       graft.pipeline.TextPrep.shingleIndex(spark, dir)
         .withColumn("h2", graft.pipeline.TextPrep.h32b(col("shingle"))))
-    // union of observed band-key values across all 8 bands: a 4-bit key
-    // could never exceed 16 distinct values; the 8-bit key should fill
-    // most of [0, 255] on 500 near-uniform signatures
-    val distinctKeys = sig
-      .select(explode(array((0 until TextPipeline.SimBands).map(j =>
-        expr(s"shiftright(simhash, ${TextPipeline.SimBandBits * j}) & 255")): _*))
-        .as("k"))
-      .distinct().collect().length
-    assert(distinctKeys > 100,
-      s"band-key cardinality $distinctKeys — key space too narrow to scale")
+    val a = TextPipeline.dedupSimHashBanded(sig, blockPairs = false)
+      .collect().map(_.toSeq).toSeq
+    val b = TextPipeline.dedupSimHashBanded(sig, blockPairs = true)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty)
+    assert(a === b,
+      "both complete d<=7 banding schemes must yield identical pairs")
+  }
+
+  test("simhash band keys spread over the block-pair key space") {
+    import org.apache.spark.sql.functions._
+    val sig = TextPipeline.simhashSig(
+      graft.pipeline.TextPrep.shingleIndex(spark, dir)
+        .withColumn("h2", graft.pipeline.TextPrep.h32b(col("shingle"))))
+    // 36 block-pair bands with 14/15-bit keys: on 500 near-uniform
+    // signatures, (band, key) pairs should be nearly all distinct —
+    // the old single-8-bit-band scheme (2 048 buckets total) topped
+    // out around 1 500 here and saturated at corpus scale (the
+    // measured td08 quadratic on the sf1→sf10 decade)
+    val bandCols = TextPipeline.simBandKeys.map { case (band, keySql) =>
+      expr(s"concat('$band:', CAST($keySql AS STRING))")
+    }
+    val banded = sig.select(explode(array(bandCols: _*)).as("k"))
+    val total = banded.count()
+    val distinctKeys = banded.distinct().count()
+    assert(total === 500L * 36,
+      s"expected 36 band rows per doc, got $total")
+    assert(distinctKeys > total * 9 / 10,
+      s"band-key cardinality $distinctKeys of $total — buckets too dense to scale")
   }
 
   test("dedup components form a consistent keep-list over the pair graph") {

@@ -121,18 +121,50 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("simhash (td08): band key is the full 8-bit byte, not a nibble") {
-    val p = plan(TextPipeline.dedupSimHash(spark, dir))
-    // 256 buckets per band keeps the bucket self-join subquadratic; a
-    // regression to the old 4-bit mask (16 buckets/band ⇒ ~n²/64
-    // candidate pairs) must fail here before it reaches a cluster
-    // anchor both assertions to the simhash shift-and-mask expression
-    // itself (a bare "& 15" could appear in unrelated hash/partition
-    // expressions and fail spuriously)
-    val bandExpr = "(?s)shiftright\\(simhash[^)]*\\)\\s*&\\s*(\\d+)".r
-    val masks = bandExpr.findAllMatchIn(p).map(_.group(1)).toSet
-    assert(masks.contains("255"), s"td08 band key must mask 8 bits, saw $masks")
-    assert(!masks.contains("15"),
-      s"td08 band key regressed to a 4-bit nibble, saw $masks")
+  test("simhash (td08): large-corpus banding is block PAIRS via shuffled hash join") {
+    // The quadratic wall sits at band-key entropy: single 8-bit keys
+    // (2 048 buckets total) measurably saturated at ~10⁵ docs on the
+    // sf1→sf10 decade. The block-pair scheme must show ≥ 9 distinct
+    // shift offsets (9 blocks) and both block widths' masks in the
+    // band expressions — anchored to shiftright(simhash, …) so masks
+    // in unrelated hash/partition expressions cannot satisfy it — and
+    // the self-join must be the hinted ShuffledHashJoin (the planner
+    // left alone BROADCASTS the 36n-row banded side, because Generate
+    // stats don't multiply by the exploded array size).
+    // The 36-struct band array is longer than the default plan-print
+    // field cap (spark.sql.debug.maxToStringFields = 25), which would
+    // silently ellipsize the very expressions under assertion.
+    val sig = TextPipeline.simhashSig(
+      graft.pipeline.TextPrep.shingleIndex(spark, dir)
+        .withColumn("h2", graft.pipeline.TextPrep.h32b(
+          org.apache.spark.sql.functions.col("shingle"))))
+    val prev = spark.conf.getOption("spark.sql.debug.maxToStringFields")
+    val pFull =
+      try {
+        spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+        plan(TextPipeline.dedupSimHashBanded(sig, blockPairs = true))
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.debug.maxToStringFields", v)
+        case None => spark.conf.unset("spark.sql.debug.maxToStringFields")
+      }
+    val bandExpr = "(?s)shiftright\\(simhash[^,)]*,\\s*(\\d+)\\)\\s*&\\s*(\\d+)".r
+    val hits = bandExpr.findAllMatchIn(pFull).toSeq
+    val offsets = hits.map(_.group(1)).toSet
+    val masks = hits.map(_.group(2)).toSet
+    assert(offsets.size >= 9,
+      s"td08 must band over 9 blocks, saw offsets $offsets")
+    assert(masks === Set("255", "127"),
+      s"td08 block masks must be the 8-bit + 7-bit widths, saw $masks")
+    assert(pFull.contains("ShuffledHashJoin"),
+      "block-pair candidate join must be the hinted shuffled hash join")
+    assert(!pFull.contains("BroadcastHashJoin"),
+      "the 36n-row banded side must never be broadcast")
+    // small corpora (like this one, via the auto path) keep the lean
+    // single-block banding: 8-bit masks only, no 7-bit block splits
+    val pSmall = plan(TextPipeline.dedupSimHash(spark, dir))
+    val masksSmall =
+      bandExpr.findAllMatchIn(pSmall).map(_.group(2)).toSet
+    assert(masksSmall === Set("255"),
+      s"small-corpus td08 must use single 8-bit bands, saw $masksSmall")
   }
 }
