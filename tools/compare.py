@@ -33,8 +33,15 @@ def norm(v):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Optional third arg: comma-separated query names to compare (for
+    # re-running a subset at big scale factors, where one pathological
+    # oracle — e.g. td08's quadratic banding SQL at 500k docs — would
+    # otherwise block the rest).
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     con = duckdb.connect()
+    # Fail fast instead of filling the disk when an oracle spills.
+    con.execute("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if not p.exists():
@@ -60,6 +67,9 @@ def main():
 
     n_pass = n_fail = 0
     names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    if only is not None:
+        names = [n for n in names if n in only]
+        oracle = {n: q for n, q in oracle.items() if n in only}
     for name in names:
         spark_rel = con.sql(
             f"SELECT * FROM '{Path(out_dir)}/{name}/*.parquet'")
@@ -71,7 +81,14 @@ def main():
             print(f"[rows-only] {name}: {len(spark_rows)} rows "
                   f"(no oracle declared)")
             continue
-        ora_rel = con.sql(oracle[name])
+        # One infeasible oracle (e.g. a quadratic pair-SQL at a big
+        # scale factor blowing the temp cap) must not kill the batch.
+        try:
+            ora_rel = con.sql(oracle[name])
+        except duckdb.Error as e:
+            n_fail += 1
+            print(f"[FAIL] {name}: oracle error: {e}")
+            continue
         ocols = sorted(ora_rel.columns)
         status, notes = "PASS", []
         if scols != ocols:
@@ -90,9 +107,14 @@ def main():
                          f"oracle={list(zip(ocols, otypes))}")
             ora_rows = None
         else:
-            ora_rows = con.sql(
-                "SELECT " + ", ".join(f'"{c}"' for c in ocols) +
-                f" FROM ora_rel").fetchall()
+            try:
+                ora_rows = con.sql(
+                    "SELECT " + ", ".join(f'"{c}"' for c in ocols) +
+                    f" FROM ora_rel").fetchall()
+            except duckdb.Error as e:
+                n_fail += 1
+                print(f"[FAIL] {name}: oracle error: {e}")
+                continue
             if len(spark_rows) != len(ora_rows):
                 status = "FAIL"
                 notes.append(f"rows: spark={len(spark_rows)} "
