@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.DqQueries,
     graft.queries.TextPipeline,
-    graft.queries.VectorPipeline
+    graft.queries.VectorPipeline,
+    graft.queries.EventPipeline
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

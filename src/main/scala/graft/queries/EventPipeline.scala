@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Temporal operators over the `events` stream table: as-of join,
+  * sessionization, and range (interval) join — the three event-time
+  * primitives the reference's SQL surface cannot express in one query
+  * and that every large-scale behavioural / training-data pipeline
+  * needs (feature attribution, session segmentation, time-windowed
+  * joins).
+  *
+  * Each is built Spark-first as an equi-shuffle plan — never a
+  * per-row subquery and never a broadcast-nested-loop join:
+  *
+  *   - '''As-of join''' ([[asofJoin]]): union the two sides, tag them,
+  *     and take `last(tagged, ignoreNulls)` over a per-user
+  *     event-time window. ONE hash shuffle on `user_id`; the
+  *     textbook inequality-join formulation is O(purchases × views)
+  *     per user and un-plannable at scale.
+  *   - '''Sessionization''' ([[sessionize]]): gap detection via `lag`,
+  *     session ids via a running sum, then two aggregations that
+  *     REUSE the window's `user_id` hash partitioning
+  *     (`HashPartitioning(user_id)` satisfies the clustered
+  *     distribution of both `(user_id, session_id)` and `user_id`) —
+  *     one shuffle end-to-end, verified in PlanQualitySpec.
+  *   - '''Range join''' ([[rangeJoinViews]]): time is bucketed to the
+  *     window length and the build side is expanded to its two
+  *     covering buckets, turning the interval predicate into an
+  *     equi-join on `(user_id, bucket)` + a residual filter. Each
+  *     probe row meets only its own two buckets' rows, so the plan
+  *     is a plain shuffled hash join that scales linearly — the
+  *     standard interval-bucketing rewrite (cf. Spark's own
+  *     range-join hints in Databricks runtime, absent in OSS).
+  *
+  * Determinism contract: all outputs are integers (epoch micros,
+  * counts, ids) or doubles copied verbatim from the input parquet —
+  * no cross-row float arithmetic — so Spark and the DuckDB oracle
+  * hash-match bitwise. Ties inside the as-of window are broken by
+  * `(ts, tag, event_id)` on both engines.
+  */
+object EventPipeline extends graft.Registry {
+
+  /** Session gap: events further apart than this start a new session. */
+  private val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+  /** Range-join lookback window length (also the bucket width). */
+  private val RangeWindowUs: Long = 3600L * 1000 * 1000
+  private val ProbeType = "purchase"
+  private val BuildType = "view"
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "events")
+
+  private def us(c: Column): Column = unix_micros(c)
+
+  /** e01: as-of join — for every `purchase`, the latest `view` of the
+    * same user at-or-before the purchase (inclusive, the ASOF JOIN
+    * default), ties broken toward the larger view event_id.
+    *
+    * Plan shape: filter → union → ONE shuffle on `user_id` → window
+    * `last(ignoreNulls)` → filter to probe rows. The `view` columns
+    * ride the union as nulls on probe rows, so no second join
+    * materializes the matched row.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val tagged = e
+      .where(col("event_type").isin(BuildType, ProbeType))
+      .select(
+        col("user_id"),
+        us(col("ts")).as("ev_us"),
+        // build rows sort BEFORE probe rows at equal ts: inclusive
+        // (<=) as-of semantics
+        when(col("event_type") === BuildType, lit(0)).otherwise(lit(1))
+          .as("tag"),
+        col("event_id"),
+        col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("ev_us", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("view_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_us",
+        last(when(col("tag") === 0, col("ev_us")), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ev_us").as("purchase_us"),
+        col("value"),
+        col("view_id"),
+        col("view_us"),
+        (col("ev_us") - col("view_us")).as("gap_us"))
+      .orderBy("purchase_id")
+      .limit(200)
+  }
+
+  /** e02: sessionization — 30-minute-gap sessions per user, reduced to
+    * per-user session stats. Strict `>` on the gap; a lone event is a
+    * zero-length session. One shuffle: the session window, the
+    * per-session aggregate and the per-user aggregate all cluster on
+    * (a superset of) `user_id`.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ev_us", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), us(col("ts")).as("ev_us"), col("event_id"))
+      .withColumn("new_sess",
+        when(col("ev_us") - lag("ev_us", 1).over(wOrd) > SessionGapUs
+          || lag("ev_us", 1).over(wOrd).isNull, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_id", sum("new_sess").over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("sess_events"),
+        (max("ev_us") - min("ev_us")).as("sess_us"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("sess_events").as("n_events"),
+        sum("sess_us").as("total_session_us"),
+        max("sess_events").as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  /** e03: range join — per `purchase`, how many `view`s by the same
+    * user landed in the lookback window `(p.ts − 1h, p.ts]`.
+    *
+    * The interval predicate is rewritten as an equi-join: views are
+    * expanded to their two covering 1-hour buckets (`b`, `b+1`), the
+    * probe keeps its single bucket, and `(user_id, bucket)` equi-join
+    * + residual time filter replaces the inequality join. A probe row
+    * only ever meets its own two buckets' build rows, so there is no
+    * BNLJ anywhere (pinned in PlanQualitySpec). Purchases with no
+    * prior view keep a zero count via the left join.
+    */
+  def rangeJoinViews(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val views = e.where(col("event_type") === BuildType)
+      .select(col("user_id").as("v_user"), us(col("ts")).as("v_us"))
+      .withColumn("v_bucket",
+        explode(array(floor(col("v_us") / RangeWindowUs),
+          floor(col("v_us") / RangeWindowUs) + 1)))
+    val purchases = e.where(col("event_type") === ProbeType)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        us(col("ts")).as("p_us"),
+        floor(us(col("ts")) / RangeWindowUs).as("bucket"))
+    // The residual time filter must be part of the JOIN condition:
+    // as a post-join WHERE it would also drop probe rows whose
+    // candidates ALL missed the window, losing their zero counts.
+    val counted = purchases.join(views,
+        purchases("user_id") === views("v_user") &&
+          purchases("bucket") === views("v_bucket") &&
+          views("v_us") > purchases("p_us") - RangeWindowUs &&
+          views("v_us") <= purchases("p_us"),
+        "left")
+      .groupBy("purchase_id", "user_id", "p_us")
+      .agg(count(col("v_us")).as("n_views_1h"))
+    counted
+      .select(col("purchase_id"), col("user_id"),
+        col("p_us").as("purchase_us"), col("n_views_1h"))
+      .orderBy("purchase_id")
+      .limit(200)
+  }
+
+  // -------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_asof_join" -> asofJoin,
+    "e02_sessionize" -> sessionize,
+    "e03_range_join" -> rangeJoinViews
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Obviously-correct quadratic form: correlated inequality join +
+    // ROW_NUMBER. The engine's union-window plan must reproduce it
+    // exactly, including the (ts DESC, event_id DESC) tie-break.
+    "e01_asof_join" ->
+      s"""WITH pv AS (
+         |  SELECT p.event_id AS purchase_id, p.user_id,
+         |         epoch_us(p.ts) AS purchase_us, p.value,
+         |         v.event_id AS view_id, epoch_us(v.ts) AS view_us,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY p.event_id
+         |           ORDER BY v.ts DESC, v.event_id DESC) AS rn
+         |  FROM events p
+         |  LEFT JOIN events v
+         |    ON v.user_id = p.user_id AND v.event_type = '$BuildType'
+         |       AND v.ts <= p.ts
+         |  WHERE p.event_type = '$ProbeType')
+         |SELECT purchase_id, user_id, purchase_us, value, view_id, view_us,
+         |       purchase_us - view_us AS gap_us
+         |FROM pv WHERE rn = 1
+         |ORDER BY purchase_id LIMIT 200""".stripMargin,
+    "e02_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ev_us, event_id FROM events),
+         |gaps AS (
+         |  SELECT user_id, ev_us, event_id,
+         |         CASE WHEN lag(ev_us) OVER w IS NULL
+         |                OR ev_us - lag(ev_us) OVER w > $SessionGapUs
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ev_us, event_id)),
+         |sess AS (
+         |  SELECT user_id, ev_us,
+         |         SUM(new_sess) OVER (PARTITION BY user_id
+         |                             ORDER BY ev_us, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM gaps),
+         |per_sess AS (
+         |  SELECT user_id, session_id, COUNT(*) AS sess_events,
+         |         MAX(ev_us) - MIN(ev_us) AS sess_us
+         |  FROM sess GROUP BY user_id, session_id)
+         |SELECT user_id, COUNT(*) AS n_sessions,
+         |       CAST(SUM(sess_events) AS BIGINT) AS n_events,
+         |       CAST(SUM(sess_us) AS BIGINT) AS total_session_us,
+         |       CAST(MAX(sess_events) AS BIGINT) AS max_session_events
+         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e03_range_join" ->
+      s"""SELECT p.event_id AS purchase_id, p.user_id,
+         |       epoch_us(p.ts) AS purchase_us,
+         |       CAST(COUNT(v.user_id) AS BIGINT) AS n_views_1h
+         |FROM events p
+         |LEFT JOIN events v
+         |  ON v.user_id = p.user_id AND v.event_type = '$BuildType'
+         |     AND epoch_us(v.ts) > epoch_us(p.ts) - $RangeWindowUs
+         |     AND epoch_us(v.ts) <= epoch_us(p.ts)
+         |WHERE p.event_type = '$ProbeType'
+         |GROUP BY p.event_id, p.user_id, epoch_us(p.ts)
+         |ORDER BY purchase_id LIMIT 200""".stripMargin
+  )
+}
