@@ -182,21 +182,25 @@ object Lifespan {
   /** Run `SELECT 1 as test` through the session, retrying up to
     * `attempts` times with exponential backoff clamped to
     * [minWaitMs, maxWaitMs] (reference: 3 attempts, 4–10 s). Throws
-    * the last failure if all attempts exhaust. */
+    * the last failure if all attempts exhaust. `sleep` and `probe`
+    * are injectable so tests can assert the retry/backoff SCHEDULE
+    * instead of wall-clock time (which a contended host makes
+    * unbounded even for the success path). */
   def startupCheck(spark: SparkSession, attempts: Int = 3,
-      minWaitMs: Long = 4000, maxWaitMs: Long = 10000): Unit = {
+      minWaitMs: Long = 4000, maxWaitMs: Long = 10000,
+      sleep: Long => Unit = Thread.sleep,
+      probe: SparkSession => Int =
+        _.sql("SELECT 1 as test").collect()(0).getInt(0)): Unit = {
     var attempt = 0
     var ok = false
     while (!ok) {
       attempt += 1
       try {
-        val v = spark.sql("SELECT 1 as test").collect()(0).getInt(0)
-        if (v != 1) throw new RuntimeException("Connection test failed")
+        if (probe(spark) != 1) throw new RuntimeException("Connection test failed")
         ok = true
       } catch {
         case e: Exception if attempt < attempts =>
-          val wait = math.min(maxWaitMs, minWaitMs * (1L << (attempt - 1)))
-          Thread.sleep(wait)
+          sleep(math.min(maxWaitMs, minWaitMs * (1L << (attempt - 1))))
         case e: Exception => throw e
       }
     }

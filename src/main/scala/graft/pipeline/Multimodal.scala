@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is REAL and tested: schema, hash
   * partitioning of heavy blobs, mapPartitions batch shape, and the
-  * byte-level feature computations. IMAGE decode/resize is real too:
-  * [[ImageIoCodec]] (the default) parses PNG/JPEG/GIF/BMP headers and
-  * rescales pixels via the JDK's `javax.imageio` — no external
-  * libraries. Audio/video payloads (no codec in the JDK, none in this
-  * container) fall back to the clearly marked [[StubCodec]], which
-  * derives deterministic fake dimensions from the byte stream;
-  * swapping in a real audio codec is a one-object change behind the
-  * same [[Codec]] trait.
+  * byte-level feature computations. IMAGE decode/resize is real:
+  * [[ImageIoCodec]] parses PNG/JPEG/GIF/BMP headers and rescales
+  * pixels via the JDK's `javax.imageio`. AUDIO is real too:
+  * [[WavCodec]] parses RIFF/WAVE chunk structure and decimates PCM
+  * frames in pure byte arithmetic. [[AutoCodec]] (the default)
+  * sniffs the container and dispatches. Only VIDEO payloads (no
+  * codec in the JDK, none in this container) fall back to the
+  * clearly marked [[StubCodec]], which derives deterministic fake
+  * dimensions from the byte stream; a real video codec is a
+  * one-object change behind the same [[Codec]] trait.
   *
   * Scale notes: blobs never pass through a wide shuffle — operators
   * are narrow mapPartitions over the scan, and the only repartition is
@@ -164,6 +166,111 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec — RIFF/WAVE parsing and PCM frame decimation in
+    * pure JVM byte arithmetic (no external libraries; the container
+    * has no audio stack, but WAV needs none).
+    *
+    * Dimension mapping for the shared [[Codec]] contract:
+    * `width` = frames per channel (data bytes / block align, capped at
+    * Int.MaxValue), `height` = sample rate in Hz, `channels` =
+    * channel count — so the generic aspect-preserving resize scales
+    * frame count and sample rate together, preserving duration.
+    *
+    * `resample` emits a VALID PCM WAV: every k-th whole frame
+    * (nearest-neighbor decimation to ~`tw` frames, block-aligned so
+    * channel interleaving survives) under a rebuilt RIFF header with
+    * the proportional `th` sample rate. Non-RIFF or malformed bytes
+    * fall back to [[StubCodec]] semantics like the image path. */
+  object WavCodec extends Codec {
+    /** (dataOffset, dataSize, blockAlign, sampleRate, channels). */
+    private def parse(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+      def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      def u32(i: Int): Long =
+        (u16(i).toLong) | (u16(i + 2).toLong << 16)
+      def tag(i: Int): String =
+        if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+      if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var pos = 12
+      var fmt: Option[(Int, Int, Int)] = None // (blockAlign, rate, channels)
+      var data: Option[(Int, Int)] = None // (offset, size)
+      while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(pos)
+        val size = u32(pos + 4)
+        val body = pos + 8
+        if (size < 0 || body + size > b.length) return fmt.flatMap {
+          case (ba, r, c) =>
+            // tolerate a truncated trailing data chunk (streaming cut)
+            if (id == "data" && body < b.length)
+              Some((body, b.length - body, ba, r, c))
+            else None
+        }
+        if (id == "fmt " && size >= 16)
+          fmt = Some((u16(body + 12), u32(body + 4).toInt, u16(body + 2)))
+        else if (id == "data") data = Some((body, size.toInt))
+        pos = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      for ((off, sz) <- data; (ba, rate, ch) <- fmt if ba > 0 && rate > 0)
+        yield (off, sz, ba, rate, ch)
+    }
+
+    override def dimensions(content: Array[Byte]): (Int, Int, Int) =
+      parse(content) match {
+        case Some((_, dataSize, blockAlign, rate, channels)) =>
+          val frames = math.min(Int.MaxValue.toLong,
+            dataSize.toLong / blockAlign).toInt
+          (frames, rate, channels)
+        case None => StubCodec.dimensions(content)
+      }
+
+    override def resample(content: Array[Byte], w: Int, h: Int,
+        tw: Int, th: Int): Array[Byte] =
+      parse(content) match {
+        case Some((off, dataSize, blockAlign, _, channels)) =>
+          val frames = dataSize / blockAlign
+          val stride = math.max(1, frames / math.max(1, tw))
+          val kept = (0 until frames by stride).length
+          val out = java.nio.ByteBuffer
+            .allocate(44 + kept * blockAlign)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val bits = 8 * blockAlign / math.max(1, channels)
+          val rate = math.max(1, th)
+          out.put("RIFF".getBytes("US-ASCII"))
+            .putInt(36 + kept * blockAlign)
+            .put("WAVEfmt ".getBytes("US-ASCII"))
+            .putInt(16).putShort(1.toShort) // PCM
+            .putShort(channels.toShort).putInt(rate)
+            .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+            .putShort(bits.toShort)
+            .put("data".getBytes("US-ASCII")).putInt(kept * blockAlign)
+          var f = 0
+          while (f < frames) {
+            out.put(content, off + f * blockAlign, blockAlign)
+            f += stride
+          }
+          out.array()
+        case None => super.resample(content, w, h, tw, th)
+      }
+  }
+
+  /** Default codec: sniff the container and dispatch — RIFF/WAVE bytes
+    * to [[WavCodec]], anything else to [[ImageIoCodec]] (which itself
+    * falls back to [[StubCodec]] for undecodable payloads). One codec
+    * value serves mixed-media batches without per-kind branching in
+    * the operators. */
+  object AutoCodec extends Codec {
+    private def isWav(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    private def pick(b: Array[Byte]): Codec =
+      if (isWav(b)) WavCodec else ImageIoCodec
+    override def dimensions(content: Array[Byte]): (Int, Int, Int) =
+      pick(content).dimensions(content)
+    override def resample(content: Array[Byte], w: Int, h: Int,
+        tw: Int, th: Int): Array[Byte] =
+      pick(content).resample(content, w, h, tw, th)
+  }
+
   /** Spread heavy blobs evenly before CPU-bound work: hash-partition
     * on mediaId (narrow round-robin would break mapPartitions
     * determinism in tests; hash keeps placement stable). */
@@ -172,7 +279,7 @@ object Multimodal {
 
   /** Decode batch operator: one codec call per row, per partition. */
   def decode(ds: Dataset[MediaFile],
-      codec: Codec = ImageIoCodec): Dataset[Decoded] = {
+      codec: Codec = AutoCodec): Dataset[Decoded] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { m =>
@@ -219,7 +326,7 @@ object Multimodal {
     * The dimension math, batch shape and output-size bound are the
     * pipeline contract either way. */
   def resize(ds: Dataset[MediaFile], maxSide: Int = 256,
-      codec: Codec = ImageIoCodec): Dataset[Resized] = {
+      codec: Codec = AutoCodec): Dataset[Resized] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { m =>

@@ -81,10 +81,13 @@ object EventPipeline extends graft.Registry {
       .orderBy("ev_us", "tag", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .withColumn("view_id",
-        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("view_us",
-        last(when(col("tag") === 0, col("ev_us")), ignoreNulls = true).over(w))
+      // both carried columns in ONE projection → a single Window
+      // operator (chained withColumn would leave two)
+      .select(col("*"),
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true)
+          .over(w).as("view_id"),
+        last(when(col("tag") === 0, col("ev_us")), ignoreNulls = true)
+          .over(w).as("view_us"))
       .where(col("tag") === 1)
       .select(
         col("event_id").as("purchase_id"),

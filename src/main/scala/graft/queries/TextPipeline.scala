@@ -32,6 +32,11 @@ import graft.sources.Tables
 object TextPipeline extends graft.Registry {
   import TextPrep._
 
+  /** td15 span length in tokens (Lee et al. use 50 BPE tokens; 8
+    * whitespace tokens is the proportionate span for the short
+    * testdata docs — frozen, mirrored into the oracle). */
+  private val SpanGram = 8
+
   private val NumHashes = 16 // minhash signature length
   private val Bands = 4 // LSH bands (4 rows each): ~0.7 similarity knee
   private val Rows = NumHashes / Bands
@@ -297,6 +302,50 @@ object TextPipeline extends graft.Registry {
           "OR dup_3gram_frac > CAST(0.3 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT)"))
       .orderBy("doc_id")
       .limit(200)
+  }
+
+  /** td15: exact substring-span deduplication report (the
+    * occurrence-level accounting of Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): every consecutive
+    * [[SpanGram]]-token span is an occurrence; a span is *duplicated*
+    * when its text occurs ≥ 2 times anywhere in the corpus (other
+    * docs or elsewhere in the same doc). Reports, per source, the
+    * fraction of its spans that are duplicated — the signal that
+    * drives substring-level cut-lists.
+    *
+    * Scale design: spans are hashed to a 63-bit key (two independent
+    * md5 words; 2⁻³² collision odds at 10⁹ distinct spans stay
+    * negligible, and the oracle mirrors the same key so a collision
+    * cannot diverge the engines). The first aggregation compacts
+    * (source, span) to occurrence counts, so the corpus-frequency
+    * window over `g` sees at most |sources| rows per span key — a
+    * web-scale hot span ("click here to subscribe…" × 10⁸) arrives
+    * at the window as ≤ |sources| pre-summed rows, never as raw
+    * occurrences: skew-safe by construction, no df cap needed. */
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val spans = docs(s, dir)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= SpanGram)
+      .select(col("source"),
+        explode(expr(s"sequence(1, size(t) - ${SpanGram - 1})")).as("i"),
+        col("t"))
+      .select(col("source"),
+        expr(s"concat_ws(' ', slice(t, i, $SpanGram))").as("gram"))
+      .select(col("source"),
+        (h32(col("gram")) * lit(2147483648L) +
+          shiftright(h32b(col("gram")), 1)).as("g"))
+    val bySourceSpan = spans.groupBy("source", "g")
+      .agg(count(lit(1)).as("c"))
+    bySourceSpan
+      .withColumn("n_occ",
+        sum("c").over(Window.partitionBy("g")))
+      .groupBy("source")
+      .agg(
+        sum("c").as("n_spans"),
+        sum(when(col("n_occ") >= 2, col("c")).otherwise(0L)).as("n_dup_spans"))
+      .select(col("source"), col("n_spans"), col("n_dup_spans"),
+        expr("CAST(n_dup_spans AS DOUBLE) / n_spans").as("dup_frac"))
+      .orderBy("source")
   }
 
   /** Cross-source content-overlap matrix: for every source pair, how
@@ -738,7 +787,8 @@ object TextPipeline extends graft.Registry {
     "td11_mixture" -> mixture,
     "td12_decontaminate" -> decontaminate,
     "td13_repetition" -> repetition,
-    "td14_source_overlap" -> ((s, dir) => sourceOverlap(s, dir))
+    "td14_source_overlap" -> ((s, dir) => sourceOverlap(s, dir)),
+    "td15_substring_dedup" -> substringDedup
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -793,6 +843,27 @@ object TextPipeline extends graft.Registry {
          |       $scoreExpr AS quality_score
          |FROM r ORDER BY doc_id LIMIT 200""".stripMargin
     },
+    "td15_substring_dedup" ->
+      s"""WITH t AS (
+         |  SELECT source, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $SpanGram),
+         |gr AS (
+         |  SELECT source, array_to_string(t[i:i+${SpanGram - 1}], ' ') AS gram
+         |  FROM t, LATERAL unnest(generate_series(1, len(t) - ${SpanGram - 1})) AS u(i)),
+         |h AS (
+         |  SELECT source,
+         |         ${h32Sql("gram")} * 2147483648 + ${h32bSql("gram")} // 2 AS g
+         |  FROM gr),
+         |sg AS (SELECT source, g, COUNT(*) AS c FROM h GROUP BY source, g),
+         |ng AS (SELECT g, SUM(c) AS n_occ FROM sg GROUP BY g)
+         |SELECT sg.source,
+         |       CAST(SUM(c) AS BIGINT) AS n_spans,
+         |       CAST(SUM(CASE WHEN n_occ >= 2 THEN c ELSE 0 END) AS BIGINT)
+         |         AS n_dup_spans,
+         |       CAST(SUM(CASE WHEN n_occ >= 2 THEN c ELSE 0 END) AS DOUBLE)
+         |         / CAST(SUM(c) AS BIGINT) AS dup_frac
+         |FROM sg JOIN ng USING (g)
+         |GROUP BY sg.source ORDER BY sg.source""".stripMargin,
     "td14_source_overlap" ->
       s"""WITH $shingleHashesSqlCte,
          |f AS (SELECT doc_id, MIN(h) AS fp1 FROM shh GROUP BY doc_id),

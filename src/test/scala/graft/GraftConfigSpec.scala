@@ -107,8 +107,23 @@ class GraftConfigSpec extends SparkSpec {
   }
 
   test("startup check retries with bounded backoff and then succeeds") {
-    val t0 = System.nanoTime()
-    Lifespan.startupCheck(spark, attempts = 3, minWaitMs = 1, maxWaitMs = 5)
-    assert((System.nanoTime() - t0) / 1e9 < 30)
+    // assert the retry SCHEDULE, not wall-clock: under parallel-suite
+    // contention even one trivial Spark job can take minutes, which
+    // made the old `< 30 s` form flake (observed 615 s)
+    var sleeps = Vector.empty[Long]
+    var calls = 0
+    Lifespan.startupCheck(spark, attempts = 3,
+      minWaitMs = 4, maxWaitMs = 6,
+      sleep = ms => sleeps :+= ms,
+      probe = _ => { calls += 1; if (calls < 3) sys.error("not up yet") else 1 })
+    assert(calls === 3)
+    assert(sleeps === Vector(4L, 6L)) // 4, then 8 clamped to max 6
+    // exhausted attempts rethrow the last failure
+    val e = intercept[RuntimeException](
+      Lifespan.startupCheck(spark, attempts = 2, minWaitMs = 1, maxWaitMs = 1,
+        sleep = _ => (), probe = _ => sys.error("db down")))
+    assert(e.getMessage === "db down")
+    // the real probe path still runs end-to-end (no time assertion)
+    Lifespan.startupCheck(spark, attempts = 1, minWaitMs = 1, maxWaitMs = 1)
   }
 }

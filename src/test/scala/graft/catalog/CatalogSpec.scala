@@ -53,16 +53,20 @@ class CatalogSpec extends SparkSpec {
     // interleaving a second request thread would produce.)
     var cat: Catalog = null
     var calls = 0
+    // unique schema name: suites share one Spark session and sbt runs
+    // them in parallel, so racing the DEFAULT demo_dataset schema here
+    // would yank the database out from under HttpFacadeSpec's
+    // demo-upload E2E (observed as its 500-vs-200 flake)
     val clock = () => {
       calls += 1
       if (cat != null && calls == 2)
-        cat.listNamespaces().find(_.schemaName == "demo_dataset")
+        cat.listNamespaces().find(_.schemaName == "race_demo_ns")
           .foreach(n => cat.deleteNamespace(n.id))
       new Timestamp(1700000000000L + calls * 1000L)
     }
     cat = new Catalog(spark, dir.toString, clock)
     val e = intercept[Catalog.ConcurrentModification](
-      cat.loadDemoDataset(demo.toString))
+      cat.loadDemoDataset(demo.toString, "Race Demo NS"))
     assert(e.getMessage.contains("deleted concurrently"))
   }
 

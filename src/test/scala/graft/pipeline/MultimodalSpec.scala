@@ -105,6 +105,51 @@ class MultimodalSpec extends SparkSpec {
     assert(desc(100L).getAs[Int]("height") === 480)
   }
 
+  test("WavCodec parses a real planted PCM WAV and decimates frames") {
+    import spark.implicits._
+    // 16-bit stereo, 8 kHz, 1000 frames with a recognizable ramp
+    def wav(frames: Int, rate: Int, channels: Int): Array[Byte] = {
+      val blockAlign = 2 * channels
+      val buf = java.nio.ByteBuffer.allocate(44 + frames * blockAlign)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + frames * blockAlign)
+        .put("WAVEfmt ".getBytes).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+        .put("data".getBytes).putInt(frames * blockAlign)
+      (0 until frames).foreach { f =>
+        (0 until channels).foreach(c => buf.putShort((f * 2 + c).toShort))
+      }
+      buf.array()
+    }
+    val bytes = wav(1000, 8000, 2)
+    assert(WavCodec.dimensions(bytes) === (1000, 8000, 2))
+    assert(AutoCodec.dimensions(bytes) === (1000, 8000, 2)) // sniffed
+
+    // direct decimation: stride 4 keeps every 4th whole frame
+    val down = WavCodec.resample(bytes, 1000, 8000, 250, 2000)
+    assert(WavCodec.dimensions(down) === (250, 2000, 2))
+    val in = java.nio.ByteBuffer.wrap(bytes, 44 + 4 * 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = java.nio.ByteBuffer.wrap(down, 44 + 1 * 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // output frame 1 IS input frame 4 (both channels), not resynthesized
+    assert(out.getShort() === in.getShort() && out.getShort() === in.getShort())
+
+    // end-to-end through the generic resize: output is still a valid WAV
+    val ds = spark.createDataset(Seq(
+      MediaFile(200L, "audio", bytes, Map.empty)))
+    val d = decode(ds).collect().head
+    assert((d.width, d.height, d.channels) === (1000, 8000, 2))
+    val r = resize(ds, maxSide = 256).collect().head
+    val rd = WavCodec.dimensions(r.bytes)
+    assert(rd._3 === 2, "resized payload must reparse as stereo WAV")
+    assert(rd._1 <= 256 && rd._2 <= 256, "frame count and rate both bounded")
+    // garbage that merely claims RIFF falls back to stub, not a crash
+    val junk = "RIFFxxxxWAVE".getBytes ++ Array.fill(32)(7.toByte)
+    assert(AutoCodec.dimensions(junk) === StubCodec.dimensions(junk))
+  }
+
   test("describe joins decode + features without losing rows") {
     val out = describe(spark, mediaFixture, partitions = 4)
     assert(out.count() === 20)

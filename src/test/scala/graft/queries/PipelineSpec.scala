@@ -232,6 +232,37 @@ class PipelineSpec extends SparkSpec {
     assert(rows(4L).getAs[Double]("dup_3gram_frac") === 0.0)
   }
 
+  test("substring spans: planted shared span counted per occurrence (td15)") {
+    import spark.implicits._
+    val shared = (0 until 8).map(i => s"boiler$i").mkString(" ") // one 8-gram
+    val docs = Seq(
+      // srcA doc 1 contains the shared span TWICE (within-doc dup
+      // counts): tokens [shared ++ pad ++ shared]
+      (1L, "en", "srcA", s"$shared padA1 padA2 $shared"),
+      // srcB doc carries the same span once → cross-source dup
+      (2L, "en", "srcB", s"lead1 lead2 $shared tail1"),
+      // srcC is all-unique spans → zero dup fraction
+      (3L, "en", "srcC", (0 until 20).map(i => s"only$i").mkString(" ")),
+      // srcD too short for any 8-token span → absent from output
+      (4L, "en", "srcD", "a b c d e f g"))
+    val dir = java.nio.file.Files.createTempDirectory("span_docs").toString
+    docs.toDF("doc_id", "lang", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextPipeline.substringDedup(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans")))).toMap
+    // doc 1: 18 tokens → 11 spans; the exact `shared` gram occurs at
+    // positions 1 and 11 (2 occurrences) and nowhere else in srcA —
+    // but EVERY span of doc 1 that appears once is unique, so only
+    // those 2 occurrences are duplicated within srcA... unless a span
+    // overlapping the pads repeats — it can't (pads are unique).
+    assert(rows("srcA")._1 === 11L)
+    assert(rows("srcA")._2 === 2L) // both occurrences of the shared span
+    assert(rows("srcB") === ((4L, 1L))) // its single copy is duplicated
+    assert(rows("srcC") === ((13L, 0L)))
+    assert(!rows.contains("srcD"))
+  }
+
   test("row-local simhash signature is bit-identical to the grouped form") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
