@@ -169,12 +169,100 @@ object EventPipeline extends graft.Registry {
       .limit(200)
   }
 
+  /** Funnel hop horizon: each stage must follow the previous one
+    * within this window (at-or-after, inclusive on both ends). */
+  private val FunnelHorizonUs: Long = 86400L * 1000 * 1000
+
+  /** e05: multi-stage funnel attribution (view → click → purchase,
+    * each hop within [[FunnelHorizonUs]]) — per user: funnel entry
+    * time, first qualified click, first converted purchase, and the
+    * conversion count.
+    *
+    * The textbook formulation is a correlated EXISTS per stage —
+    * quadratic per user and un-plannable at scale (that form IS the
+    * independent oracle). The engine instead generalizes the e01
+    * union-window trick to N stages in ONE shuffle on `user_id`:
+    * sort each user's events once (stage-priority tie-break so
+    * equal-timestamp hops stay inclusive), then per stage k a running
+    * `max` of the stage-(k-1) qualification time marks stage-k events
+    * that fall inside the horizon — "is there a qualified prior
+    * event within H" collapses to "is the LATEST qualified prior
+    * event within H", which a prefix window answers in O(events).
+    * The per-user report reuses the window's hash partitioning, so
+    * adding funnel stages adds window ops but never exchanges. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val staged = events(s, dir)
+      .where(col("event_type").isin("view", "click", ProbeType))
+      .select(col("user_id"), us(col("ts")).as("ev_us"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .otherwise(2).as("stage"),
+        col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("ev_us", "stage", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = staged
+      .select(col("*"),
+        max(when(col("stage") === 0, col("ev_us"))).over(w).as("last_view_us"))
+      .withColumn("qc_us",
+        when(col("stage") === 1 &&
+          col("ev_us") - col("last_view_us") <= FunnelHorizonUs,
+          col("ev_us")))
+      .select(col("*"), max("qc_us").over(w).as("last_qc_us"))
+      .withColumn("conv_us",
+        when(col("stage") === 2 &&
+          col("ev_us") - col("last_qc_us") <= FunnelHorizonUs,
+          col("ev_us")))
+    marked.groupBy("user_id")
+      .agg(
+        min(when(col("stage") === 0, col("ev_us"))).as("first_view_us"),
+        min("qc_us").as("first_qual_click_us"),
+        min("conv_us").as("first_conversion_us"),
+        count("conv_us").as("n_conversions"))
+      // funnel entrants only: users who never viewed have no funnel
+      .where(col("first_view_us").isNotNull)
+      .orderBy("user_id")
+  }
+
+  /** e04: semi-structured property extraction — parse the `props`
+    * JSON column, bucket the extracted `k` field, and aggregate event
+    * stats per (event_type, k-decile). The metadata-filtering step of
+    * an event pipeline: at scale the JSON path evaluation is per-row
+    * codegen (`GetJsonObject`, no shuffle) and the only exchange is
+    * the final small group-by.
+    *
+    * Determinism contract: `min`/`max` over doubles are order-free;
+    * the value total is quantized per-row to integer cents
+    * (`floor(value*100)` is the same IEEE op on both engines) so its
+    * cross-row sum is exact integer math, never a float reduction.
+    */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .select(
+        col("event_type"),
+        floor(col("k").cast("double") / 10.0d).cast("long").as("k_decile"),
+        col("value"),
+        floor(col("value") * 100.0d).cast("long").as("cents"))
+      .groupBy("event_type", "k_decile")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        sum("cents").as("total_cents"))
+      .orderBy("event_type", "k_decile")
+
   // -------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_asof_join" -> asofJoin,
     "e02_sessionize" -> sessionize,
-    "e03_range_join" -> rangeJoinViews
+    "e03_range_join" -> rangeJoinViews,
+    "e04_json_props" -> jsonProps,
+    "e05_funnel" -> funnel
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -234,6 +322,47 @@ object EventPipeline extends graft.Registry {
          |     AND epoch_us(v.ts) <= epoch_us(p.ts)
          |WHERE p.event_type = '$ProbeType'
          |GROUP BY p.event_id, p.user_id, epoch_us(p.ts)
-         |ORDER BY purchase_id LIMIT 200""".stripMargin
+         |ORDER BY purchase_id LIMIT 200""".stripMargin,
+    "e04_json_props" ->
+      s"""WITH k AS (
+         |  SELECT event_type,
+         |         CAST(floor(CAST(CAST(json_extract_string(props, '$$.k')
+         |                              AS BIGINT) AS DOUBLE) / 10.0)
+         |              AS BIGINT) AS k_decile,
+         |         value,
+         |         CAST(floor(value * 100.0) AS BIGINT) AS cents
+         |  FROM events)
+         |SELECT event_type, k_decile, COUNT(*) AS n_events,
+         |       MIN(value) AS min_value, MAX(value) AS max_value,
+         |       CAST(SUM(cents) AS BIGINT) AS total_cents
+         |FROM k GROUP BY event_type, k_decile
+         |ORDER BY event_type, k_decile""".stripMargin,
+    // Obviously-correct correlated-EXISTS form, per stage — the
+    // engine's single-shuffle window plan must reproduce it exactly,
+    // including inclusive horizon bounds and equal-timestamp hops.
+    "e05_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+         |qc AS (
+         |  SELECT c.user_id, c.us FROM e c
+         |  WHERE c.event_type = 'click' AND EXISTS (
+         |    SELECT 1 FROM v WHERE v.user_id = c.user_id
+         |      AND v.us <= c.us AND v.us >= c.us - $FunnelHorizonUs)),
+         |cv AS (
+         |  SELECT p.user_id, p.us FROM e p
+         |  WHERE p.event_type = '$ProbeType' AND EXISTS (
+         |    SELECT 1 FROM qc WHERE qc.user_id = p.user_id
+         |      AND qc.us <= p.us AND qc.us >= p.us - $FunnelHorizonUs))
+         |SELECT u.user_id, u.first_view_us,
+         |       (SELECT MIN(us) FROM qc WHERE qc.user_id = u.user_id)
+         |         AS first_qual_click_us,
+         |       (SELECT MIN(us) FROM cv WHERE cv.user_id = u.user_id)
+         |         AS first_conversion_us,
+         |       CAST((SELECT COUNT(*) FROM cv WHERE cv.user_id = u.user_id)
+         |            AS BIGINT) AS n_conversions
+         |FROM (SELECT user_id, MIN(us) AS first_view_us
+         |      FROM v GROUP BY user_id) u
+         |ORDER BY u.user_id""".stripMargin
   )
 }

@@ -683,6 +683,35 @@ object TextPipeline extends graft.Registry {
         sum(length(col("text"))).as("sampled_chars"))
       .orderBy("lang")
 
+  /** Split-bucket granularity and the train/val boundaries (per
+    * mille): buckets < 980 train, < 990 val, rest test. */
+  private val SplitBuckets = 1000L
+  private val TrainUpper = 980L
+  private val ValUpper = 990L
+
+  /** Deterministic train/val/test split report: every document is
+    * assigned a split by `h32(text) % 1000` — keying on the CONTENT
+    * hash, not the id, so byte-identical duplicates always land in
+    * the same split and can never leak train text into the eval sets
+    * (the id-keyed split loses that guarantee the moment two ids
+    * share a body). Stateless per-row assignment → the split of any
+    * document is reproducible on any engine, any partitioning, any
+    * corpus subset; the only shuffle is the small per-(split, lang)
+    * report aggregation. */
+  def stratifiedSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("b", h32(col("text")) % SplitBuckets)
+      .withColumn("split",
+        when(col("b") < TrainUpper, lit("train"))
+          .when(col("b") < ValUpper, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("split", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        min("doc_id").as("first_doc"))
+      .orderBy("split", "lang")
+
   /** Balanced training mixture: top-20 docs per language by quality
     * score (ties → doc_id) — per-group quota selection, the mixture-
     * construction step of a curation pipeline. WindowGroupLimit prunes
@@ -788,7 +817,8 @@ object TextPipeline extends graft.Registry {
     "td12_decontaminate" -> decontaminate,
     "td13_repetition" -> repetition,
     "td14_source_overlap" -> ((s, dir) => sourceOverlap(s, dir)),
-    "td15_substring_dedup" -> substringDedup
+    "td15_substring_dedup" -> substringDedup,
+    "td16_stratified_split" -> stratifiedSplit
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -843,6 +873,20 @@ object TextPipeline extends graft.Registry {
          |       $scoreExpr AS quality_score
          |FROM r ORDER BY doc_id LIMIT 200""".stripMargin
     },
+    "td16_stratified_split" ->
+      s"""WITH b AS (
+         |  SELECT lang, doc_id, length(text) AS n_chars,
+         |         CASE WHEN ${h32Sql("text")} % $SplitBuckets < $TrainUpper
+         |                THEN 'train'
+         |              WHEN ${h32Sql("text")} % $SplitBuckets < $ValUpper
+         |                THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |       MIN(doc_id) AS first_doc
+         |FROM b GROUP BY split, lang
+         |ORDER BY split, lang""".stripMargin,
     "td15_substring_dedup" ->
       s"""WITH t AS (
          |  SELECT source, string_split(text, ' ') AS t FROM documents

@@ -340,6 +340,145 @@ object VectorPipeline extends graft.Registry {
       expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"))
   }
 
+  // ------------------------------------------------------- k-means step
+
+  /** Quantization scale for k-means arithmetic: embedding components
+    * are mapped to `floor(x · 2²⁰)` BIGINTs, so every distance,
+    * centroid sum and drift below is EXACT integer math — the one way
+    * to make an iterative float algorithm bit-reproducible across
+    * engines, partitionings and retries (a cross-row double sum is
+    * order-dependent on any engine). Range audit: |x| ≤ ~1 ⇒ |q| <
+    * 2²¹; a squared-diff fold over 64 dims < 2⁴⁸; centroid sums stay
+    * double-exact below 2⁵³/2²¹ ≈ 4×10⁹ rows per cluster — beyond
+    * that, swap the mean's floor-div to DECIMAL(38,0) arithmetic. */
+  private val KmQ: Long = 1L << 20
+  /** Per-cluster quota of the diverse sample (v07). */
+  private val SampleQuota = 12
+
+  /** Exact squared L2 distance between two quantized BIGINT vectors
+    * (Spark side): an ordered integer fold — overflow-free per the
+    * [[KmQ]] range audit. */
+  private def qdistSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      s"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** Same integer fold in DuckDB. */
+  private def qdistDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2]))), " +
+      s"(acc, v) -> acc + v)"
+
+  /** Corpus with quantized integer vectors (one codegen'd pass). */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr(s"transform(embedding, " +
+          s"x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ) AS BIGINT))").as("qv"))
+
+  /** One full Lloyd iteration of k-means (k = [[NumSeeds]], seeds =
+    * the first k vectors), distributed and bit-exact:
+    * assign → recompute centroids → reassign, reported per cluster as
+    * (size, centroid drift, size after the move).
+    *
+    * Plan shape at scale: both assignment passes are a broadcast of k
+    * centroid rows against one corpus scan + a per-row argmin window
+    * keyed on `vec_id` (k rows per vector — never a corpus-sized
+    * build side); the centroid update is a posexplode to (cluster,
+    * dim) partial-aggregated map-side, k·64 result rows. That is the
+    * canonical distributed k-means layout (MLlib's own iteration is
+    * broadcast-centroids + per-partition partial sums); every further
+    * iteration repeats the same two exchanges, so cost is linear in
+    * corpus size and iteration count. Distances, means (floor
+    * division) and the L1 drift all happen in [[KmQ]]-quantized
+    * integer space, so Spark and the DuckDB oracle agree bitwise —
+    * see the range audit at [[KmQ]]. */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir).cache()
+    val seeds = e.where(col("vec_id") < NumSeeds)
+      .select(col("vec_id").as("cluster"), col("qv").as("sq"))
+    val wAssign = Window.partitionBy("vec_id").orderBy("qd", "cluster")
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("qv"), col("cluster"),
+        expr(qdistSql("qv", "sq")).as("qd"))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select("vec_id", "qv", "cluster")
+    // Integer-mean centroids per (cluster, dim): the floor-division
+    // form `floor(sum / n)` is written identically on both engines
+    // (neither's native integer division is used — Spark `div`
+    // truncates toward zero while DuckDB `//` floors, and they
+    // disagree on negative sums).
+    val centroids = assigned
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("d", "v")))
+      .groupBy("cluster", "d")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("d"), col("n"),
+        floor(col("sv").cast("double") / col("n")).cast("long").as("m"))
+      .groupBy("cluster")
+      .agg(
+        max("n").as("n_assigned"),
+        expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)")
+          .as("cq"))
+    val moved = centroids.join(broadcast(seeds), Seq("cluster"))
+      .select(col("cluster"), col("n_assigned"), col("cq"),
+        expr("aggregate(zip_with(cq, sq, (x, y) -> abs(x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("drift_q"))
+    val wRe = Window.partitionBy("vec_id").orderBy("qd", "cluster")
+    val reassigned = e
+      .crossJoin(broadcast(moved.select(col("cluster"), col("cq"))))
+      .select(col("vec_id"), col("cluster"), expr(qdistSql("qv", "cq")).as("qd"))
+      .withColumn("rrn", row_number().over(wRe))
+      .where(col("rrn") === 1)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_reassigned"))
+    // Left join: a cluster can legitimately end up empty after the
+    // centroid move; it must still report its drift with a zero count.
+    // Both sides are k-row aggregates but only the hint tells the
+    // static planner that — without it this is a sort-merge join.
+    moved.join(broadcast(reassigned), Seq("cluster"), "left")
+      .select(col("cluster"), col("n_assigned"), col("drift_q"),
+        coalesce(col("n_reassigned"), lit(0L)).as("n_reassigned"))
+      .orderBy("cluster")
+  }
+
+  /** Cluster-balanced diverse subset selection (the SemDeDup-style
+    * curation step): assign every embedding to its nearest coarse
+    * centroid (exact cosine, same quantizer as [[annIvf]]), join the
+    * document bodies, and take a fixed per-cluster quota in stable
+    * content-hash order — sampling evenly ACROSS embedding clusters
+    * instead of uniformly over the corpus, which over-represents
+    * dense regions. Hash-order selection keeps the picked set
+    * reproducible under any partitioning and engine.
+    *
+    * Plan shape at scale: broadcast-k assignment (see [[kmeansStep]]),
+    * one id-equijoin embeddings↔documents (co-partitionable — both
+    * sides key on the document id), and a WindowGroupLimit quota that
+    * prunes to ≤ quota rows per cluster BEFORE the final shuffle. */
+  def diverseSample(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val seeds = e.where(col("vec_id") < NumSeeds)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
+        col("nrm").as("sn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(desc("scos"), col("seed_id"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("seed_id"),
+        (expr(dotSql("embedding", "se")) / (col("nrm") * col("sn"))).as("scos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cluster"))
+    val d = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val wPick = Window.partitionBy("cluster").orderBy("pick", "doc_id")
+    assigned.join(d, assigned("vec_id") === d("doc_id"))
+      .select(col("cluster"), col("doc_id"), col("lang"),
+        graft.pipeline.TextPrep.h32(col("text")).as("pick"))
+      .withColumn("rk", row_number().over(wPick).cast("long"))
+      .where(col("rk") <= SampleQuota)
+      .select("cluster", "rk", "doc_id", "lang")
+      .orderBy("cluster", "rk")
+  }
+
   /** Embedding-corpus health stats — the DQ pass a vector corpus gets
     * before any index build: corpus size, dimension bounds (a mixed-dim
     * corpus breaks every downstream kernel), zero-norm and non-finite
@@ -375,7 +514,9 @@ object VectorPipeline extends graft.Registry {
     "v02_ann_lsh_topk" -> annLsh,
     "v03_embedding_neardup" -> nearDupLsh,
     "v04_ann_ivf_topk" -> annIvf,
-    "v05_embedding_stats" -> embeddingStats
+    "v05_embedding_stats" -> embeddingStats,
+    "v06_kmeans_step" -> kmeansStep,
+    "v07_diverse_sample" -> diverseSample
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -481,6 +622,69 @@ object VectorPipeline extends graft.Registry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rnk, cos
          |FROM ranked WHERE rnk <= $TopK
-         |ORDER BY query_id, rnk""".stripMargin
+         |ORDER BY query_id, rnk""".stripMargin,
+    "v06_kmeans_step" ->
+      s"""WITH qe AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cluster, qv AS sq
+         |          FROM qe WHERE vec_id < $NumSeeds),
+         |asg AS (
+         |  SELECT vec_id, qv, cluster FROM (
+         |    SELECT q.vec_id, q.qv, s.cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${qdistDuck("q.qv", "s.sq")}, s.cluster) AS arn
+         |    FROM qe q CROSS JOIN seeds s) WHERE arn = 1),
+         |sums AS (
+         |  SELECT cluster, i AS d, SUM(qv[i + 1]) AS sv, COUNT(*) AS n
+         |  FROM asg, range($Dim) r(i)
+         |  GROUP BY cluster, i),
+         |cent AS (
+         |  SELECT cluster, CAST(MAX(n) AS BIGINT) AS n_assigned,
+         |         list(CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT)
+         |              ORDER BY d) AS cq
+         |  FROM sums GROUP BY cluster),
+         |moved AS (
+         |  SELECT c.cluster, c.n_assigned, c.cq,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(list_zip(c.cq, s.sq),
+         |             p -> abs(p[1] - p[2]))), (acc, v) -> acc + v) AS drift_q
+         |  FROM cent c JOIN seeds s ON s.cluster = c.cluster),
+         |re AS (
+         |  SELECT cluster, COUNT(*) AS n_reassigned FROM (
+         |    SELECT q.vec_id, c.cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${qdistDuck("q.qv", "c.cq")}, c.cluster) AS rrn
+         |    FROM qe q CROSS JOIN moved c) WHERE rrn = 1
+         |  GROUP BY cluster)
+         |SELECT m.cluster, m.n_assigned, m.drift_q,
+         |       CAST(COALESCE(r.n_reassigned, 0) AS BIGINT) AS n_reassigned
+         |FROM moved m LEFT JOIN re r ON r.cluster = m.cluster
+         |ORDER BY m.cluster""".stripMargin,
+    "v07_diverse_sample" -> {
+      val h32Text = graft.pipeline.TextPrep.h32Sql("d.text")
+      s"""WITH $normDuckCte,
+         |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+         |          FROM e WHERE vec_id < $NumSeeds),
+         |asg AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT e.vec_id, s.seed_id,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dotDuck("e.embedding", "s.se")} / (e.nrm * s.sn)
+         |                        DESC, s.seed_id) AS arn
+         |    FROM e CROSS JOIN seeds s) WHERE arn = 1),
+         |picked AS (
+         |  SELECT cluster, doc_id, lang,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster
+         |                            ORDER BY pick, doc_id) AS rk
+         |  FROM (
+         |    SELECT a.cluster, d.doc_id, d.lang, $h32Text AS pick
+         |    FROM asg a JOIN documents d ON d.doc_id = a.vec_id))
+         |SELECT cluster, rk, doc_id, lang
+         |FROM picked WHERE rk <= $SampleQuota
+         |ORDER BY cluster, rk""".stripMargin
+    }
   )
 }

@@ -74,6 +74,68 @@ class EventPipelineSpec extends SparkSpec {
     assert(got === Map(20L -> 2L, 21L -> 1L, 22L -> 0L, 23L -> 2L, 24L -> 0L))
   }
 
+  test("json props: extraction, deciles, negative-floor cents, junk JSON") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-e04").toString
+    // values are exact binary fractions so floor(value*100) is exact
+    Seq(
+      (1L, 100L, 1L, "view", 1.25, """{"k": 5}"""),
+      (2L, 200L, 1L, "view", 2.5, """{"k": 15}"""),
+      (3L, 300L, 2L, "view", -3.25, """{"k": 19}"""),
+      (4L, 400L, 2L, "purchase", 4.0, """{"j": 2}"""), // no k field
+      (5L, 500L, 2L, "purchase", 1.0, null), // null props
+      (6L, 600L, 2L, "purchase", 2.0, "not json")) // unparseable
+      .toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "sec * 1000000000 AS ts", "user_id",
+        "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventPipeline.jsonProps(spark, d).collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long])) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      ("view", Some(0L)) -> ((1L, 1.25, 1.25, 125L)),
+      ("view", Some(1L)) -> ((2L, -3.25, 2.5, -325L + 250L)),
+      // every k-less shape (missing field, null, junk) lands in one
+      // null-decile group — extraction failures are visible, not lost
+      ("purchase", None) -> ((3L, 1.0, 4.0, 700L))))
+  }
+
+  test("funnel: horizon-inclusive hops, equal-ts chains, unqualified stages") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-e05").toString
+    val H = 86400L // horizon in seconds
+    Seq(
+      // user 3: whole funnel at ONE timestamp — tie-break must let
+      // the view qualify the click and the click convert the purchase
+      (30L, 1000L, 3L, "view"), (31L, 1000L, 3L, "click"),
+      (32L, 1000L, 3L, "purchase"),
+      // user 4: every hop exactly AT the horizon (inclusive), then a
+      // second purchase one second past it (no other qualified click)
+      (40L, 0L, 4L, "view"), (41L, H, 4L, "click"),
+      (42L, 2 * H, 4L, "purchase"), (43L, 2 * H + 1, 4L, "purchase"),
+      // user 5: click BEFORE any view never qualifies
+      (50L, 500L, 5L, "click"), (51L, 1000L, 5L, "view"),
+      (52L, 2000L, 5L, "purchase"),
+      // user 6: click one second past the view horizon
+      (60L, 0L, 6L, "view"), (61L, H + 1, 6L, "click"),
+      // user 7: no view at all → not a funnel entrant, row dropped
+      (70L, 100L, 7L, "click"), (71L, 200L, 7L, "purchase"))
+      .toDF("event_id", "sec", "user_id", "event_type")
+      .selectExpr("event_id", "sec * 1000000000 AS ts", "user_id",
+        "event_type", "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventPipeline.funnel(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4)))).toMap
+    assert(got === Map(
+      3L -> ((secUs(1000), Some(secUs(1000)), Some(secUs(1000)), 1L)),
+      4L -> ((0L, Some(secUs(H)), Some(secUs(2 * H)), 1L)),
+      5L -> ((secUs(1000), None, None, 0L)),
+      6L -> ((0L, None, None, 0L))))
+  }
+
   test("plans: asof/sessionize are single-shuffle, range join is never BNLJ") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.explainString(SimpleMode)
@@ -92,5 +154,10 @@ class EventPipelineSpec extends SparkSpec {
     assert(!range.contains("BroadcastNestedLoopJoin") &&
       !range.contains("CartesianProduct"),
       "interval predicate must be bucketed into an equi-join")
+
+    val fun = plan(EventPipeline.funnel(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(fun).size === 1,
+      "all funnel stages and the report must reuse the user_id partitioning")
+    assert(!fun.contains("Join"), "the funnel must be windows, not joins")
   }
 }

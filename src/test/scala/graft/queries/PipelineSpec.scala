@@ -317,6 +317,94 @@ class PipelineSpec extends SparkSpec {
     assert(TextPipeline.sourceOverlap(spark, dir, dfCap = 1).isEmpty)
   }
 
+  test("kmeans step agrees with an in-memory Lloyd iteration exactly (v06)") {
+    val got = VectorPipeline.kmeansStep(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // Independent reference: the same quantized Lloyd iteration over
+    // the collected corpus, in plain Scala.
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * (1L << 20)).toLong).toArray)
+      .sortBy(_._1)
+    val seeds = embs.take(8).map(_._2)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def argmin(v: Array[Long], cs: Array[Array[Long]]): Int =
+      cs.indices.minBy(c => (d2(v, cs(c)), c))
+    val firstPass = embs.map { case (_, v) => argmin(v, seeds) }
+    val byCluster = embs.zip(firstPass).groupBy(_._2)
+    val cents = (0 until 8).map { c =>
+      val members = byCluster(c).map(_._1._2)
+      c -> Array.tabulate(64) { d =>
+        math.floor(members.map(_(d)).sum.toDouble / members.size).toLong
+      }
+    }.toMap
+    val centArr = (0 until 8).map(cents).toArray
+    val secondPass = embs.map { case (_, v) => argmin(v, centArr) }
+    val expect = (0 until 8).map { c =>
+      c.toLong -> ((
+        byCluster(c).size.toLong,
+        cents(c).zip(seeds(c)).map { case (m, s0) => math.abs(m - s0) }.sum,
+        secondPass.count(_ == c).toLong))
+    }.toMap
+    assert(got === expect)
+    // seeds always capture their own vector, and the iteration must
+    // actually move centroids on real data
+    assert(got.values.forall(_._1 >= 1L))
+    assert(got.values.map(_._2).sum > 0L)
+  }
+
+  test("diverse sample: per-cluster quota, contiguous ranks, stable picks (v07)") {
+    val rows = VectorPipeline.diverseSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byCluster = rows.groupBy(_._1)
+    byCluster.foreach { case (_, rs) =>
+      assert(rs.length <= 12)
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length))
+    }
+    // selections are documents, picked once
+    val ids = rows.map(_._3)
+    assert(ids.distinct.length === ids.length)
+    val docLang = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (_, _, id, lang) => assert(docLang(id) === lang) }
+    // deterministic under re-evaluation (hash-order pick, not RNG)
+    val again = VectorPipeline.diverseSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.sameElements(again))
+  }
+
+  test("stratified split keys on content: byte-identical dupes share a split (td16)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-td16").toString
+    // one body planted under two languages and ids, plus distinct
+    // bodies spread so at least two splits are non-empty
+    val dupe = "shared body that must land in exactly one split"
+    (Seq((1L, dupe, "en", "web"), (2L, dupe, "fr", "web")) ++
+      (3L to 400L).map(i => (i, s"unique body $i", "en", "web")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextPipeline.stratifiedSplit(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum === 400L) // every document lands somewhere
+    // the fr rows are exactly the planted dupe; its split must equal
+    // the split of the identical en body (content-hash keying)
+    val frSplits = rows.filter(_._2 === "fr").map(_._1)
+    assert(frSplits.length === 1)
+    val enWithDupe = rows.filter(r => r._2 === "en" && r._1 === frSplits.head)
+    assert(enWithDupe.nonEmpty,
+      "the en copy of the duped body must sit in the same split")
+    // roughly 98/1/1: train dominates on 400 uniform hashes
+    val train = rows.filter(_._1 === "train").map(_._3).sum
+    assert(train > 350L)
+  }
+
   test("embedding stats flag zero/non-finite vectors and dim drift (v05)") {
     import spark.implicits._
     val vecs = Seq(

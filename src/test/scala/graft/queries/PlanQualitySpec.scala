@@ -74,6 +74,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("kmeans step (v06): integer folds, partial sums, no sort-merge or cartesian") {
+    val p = plan(VectorPipeline.kmeansStep(spark, dir))
+    assert(p.contains("partial_sum"),
+      "centroid sums must aggregate map-side before the (cluster, dim) shuffle")
+    // every join in the iteration carries a broadcast-size side (k
+    // centroid rows); a sort-merge or cartesian join here means the
+    // corpus became a join build side and the plan died at scale
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("diverse sample (v07): quota prunes via WindowGroupLimit, equi-join to docs") {
+    val p = plan(VectorPipeline.diverseSample(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      "per-cluster quota must prune before the final exchange")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("json props (e04): row-local extraction, one hash shuffle") {
+    val p = plan(EventPipeline.jsonProps(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "JSON path eval is per-row; only the report aggregation may shuffle")
+    assert(p.contains("partial_count") || p.contains("partial_min"))
+  }
+
+  test("stratified split (td16): row-local assignment, one hash shuffle") {
+    val p = plan(TextPipeline.stratifiedSplit(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "split assignment is per-row; only the report aggregation may shuffle")
+    assert(p.contains("partial_sum"))
+  }
+
   test("embedding stats (v05): one scan, partial aggregate, 1-row result") {
     val p = plan(VectorPipeline.embeddingStats(spark, dir))
     // exactly one parquet scan feeds a partial → final aggregate pair
