@@ -15,7 +15,7 @@ object Serve {
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = LocalSpark.hardened(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName("graft-serve")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -99,7 +99,7 @@ final case class QueryResult(
 object GraftSession {
   def build(master: String = "local[*]", shufflePartitions: Int = 32,
       appName: String = "graft"): SparkSession =
-    SparkSession.builder()
+    graft.LocalSpark.hardened(SparkSession.builder())
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
