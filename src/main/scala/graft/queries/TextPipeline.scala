@@ -726,6 +726,84 @@ object TextPipeline extends graft.Registry {
       .orderBy("lang", "rn")
   }
 
+  /** Context window length for sequence packing (tokens). */
+  private val CtxTokens = 512L
+
+  /** td17: corpus-frequency document scoring — per document: token
+    * count, distinct-token count, summed token document-frequency and
+    * the count of rare tokens (df below 1% of the corpus). The
+    * "surprise" signal of a curation pipeline (rare-token-heavy docs
+    * are candidates for either upweighting or garbage review), kept
+    * in pure integer space: summed df replaces the usual mean-log
+    * probability because `ln` is not required to be correctly rounded
+    * by IEEE, so a log-based score could differ between engines in
+    * the last ulp — integer df sums cannot.
+    *
+    * Scale shape: one distinct-pass df aggregation keyed on token,
+    * then a token-keyed join back to the exploded corpus —
+    * deliberately UNHINTED like td03's vocabulary join, because a
+    * web-corpus vocabulary outgrows any broadcast threshold — and a
+    * final doc-keyed aggregation. The corpus-size scalar rides a
+    * 1-row broadcast. */
+  def rarityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dfTab = toks.distinct().groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    val total = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    toks.join(dfTab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct("token").as("n_distinct"),
+        sum("df").as("sum_token_df"),
+        sum(when(col("df") * 100 < col("n_docs"), 1L).otherwise(0L))
+          .as("n_rare"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** td18: sequence packing by concat-and-chunk — the GPT-style
+    * pretraining layout: order each language's documents
+    * deterministically (content hash, id tiebreak), lay them end to
+    * end, and cut every [[CtxTokens]] tokens. Per language the report
+    * gives corpus tokens, the resulting chunk count, how many
+    * documents straddle a chunk boundary and the widest straddle —
+    * the numbers that decide a packing's attention-fragmentation
+    * cost.
+    *
+    * Scale shape: ONE shuffle — the per-lang running-sum window
+    * assigns every document its global token offset, and the report
+    * aggregation reuses the window's lang partitioning (same pattern
+    * as e02; pinned). Offsets are nonnegative longs and chunk ids are
+    * `floor(offset / ctx)` written identically on both engines. */
+  def packChunks(s: SparkSession, dir: String): DataFrame = {
+    val wRun = Window.partitionBy("lang").orderBy("pick", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        h32(col("text")).as("pick"))
+      .withColumn("end_off", sum("n_tok").over(wRun))
+      .select(col("lang"), col("n_tok"), col("end_off"),
+        floor((col("end_off") - col("n_tok")).cast("double") / CtxTokens)
+          .cast("long").as("chunk_first"),
+        floor((col("end_off") - 1).cast("double") / CtxTokens)
+          .cast("long").as("chunk_last"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        floor((max("end_off") + CtxTokens - 1).cast("double") / CtxTokens)
+          .cast("long").as("n_chunks"),
+        sum(when(col("chunk_last") > col("chunk_first"), 1L).otherwise(0L))
+          .as("n_boundary_docs"),
+        max(col("chunk_last") - col("chunk_first") + 1)
+          .as("max_chunks_spanned"))
+      .orderBy("lang")
+  }
+
   /** Dedup keep-list: connected components over the Jaccard near-dup
     * pair graph via min-label propagation (the Pregel pattern: a
     * driver-side loop of data-parallel join+min steps, lineage
@@ -818,7 +896,9 @@ object TextPipeline extends graft.Registry {
     "td13_repetition" -> repetition,
     "td14_source_overlap" -> ((s, dir) => sourceOverlap(s, dir)),
     "td15_substring_dedup" -> substringDedup,
-    "td16_stratified_split" -> stratifiedSplit
+    "td16_stratified_split" -> stratifiedSplit,
+    "td17_rarity_score" -> rarityScore,
+    "td18_pack_chunks" -> packChunks
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -887,6 +967,50 @@ object TextPipeline extends graft.Registry {
          |       MIN(doc_id) AS first_doc
          |FROM b GROUP BY split, lang
          |ORDER BY split, lang""".stripMargin,
+    "td17_rarity_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |df AS (
+         |  SELECT token, COUNT(*) AS df FROM (
+         |    SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+         |total AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT t.doc_id,
+         |       COUNT(*) AS n_tokens,
+         |       COUNT(DISTINCT t.token) AS n_distinct,
+         |       CAST(SUM(df.df) AS BIGINT) AS sum_token_df,
+         |       CAST(SUM(CASE WHEN df.df * 100 < total.n_docs
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+         |FROM toks t JOIN df ON df.token = t.token CROSS JOIN total
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id LIMIT 200""".stripMargin,
+    "td18_pack_chunks" ->
+      s"""WITH d AS (
+         |  SELECT lang, doc_id,
+         |         len(string_split(text, ' ')) AS n_tok,
+         |         ${h32Sql("text")} AS pick
+         |  FROM documents),
+         |offs AS (
+         |  SELECT lang, n_tok,
+         |         SUM(n_tok) OVER (PARTITION BY lang ORDER BY pick, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS end_off
+         |  FROM d),
+         |marked AS (
+         |  SELECT lang, n_tok, end_off,
+         |         CAST(floor(CAST(end_off - n_tok AS DOUBLE) / $CtxTokens)
+         |              AS BIGINT) AS chunk_first,
+         |         CAST(floor(CAST(end_off - 1 AS DOUBLE) / $CtxTokens)
+         |              AS BIGINT) AS chunk_last
+         |  FROM offs)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |       CAST(floor(CAST(MAX(end_off) + $CtxTokens - 1 AS DOUBLE)
+         |                  / $CtxTokens) AS BIGINT) AS n_chunks,
+         |       CAST(SUM(CASE WHEN chunk_last > chunk_first
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+         |       CAST(MAX(chunk_last - chunk_first + 1) AS BIGINT)
+         |         AS max_chunks_spanned
+         |FROM marked GROUP BY lang ORDER BY lang""".stripMargin,
     "td15_substring_dedup" ->
       s"""WITH t AS (
          |  SELECT source, string_split(text, ' ') AS t FROM documents

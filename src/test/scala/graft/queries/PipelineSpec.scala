@@ -405,6 +405,62 @@ class PipelineSpec extends SparkSpec {
     assert(train > 350L)
   }
 
+  test("rarity score matches an in-memory df computation; rare tokens flagged (td17)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-td17").toString
+    // 150 common-only docs + one doc holding the corpus's single rare
+    // token (df=1, 1*100 < 151)
+    ((1L to 150L).map(i => (i, "the table row", "en", "web")) :+
+      (151L, "zzyzx the", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextPipeline.rarityScore(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // common docs: 3 tokens, 3 distinct, df(the)=151 df(table)=150
+    // df(row)=150 → sum 451, no rare
+    assert(got(1L) === ((3L, 3L, 451L, 0L)))
+    // rare doc: zzyzx df=1 (rare), the df=151 → sum 152
+    assert(got(151L) === ((2L, 2L, 152L, 1L)))
+  }
+
+  test("pack chunks agrees with an in-memory concat-and-chunk reference (td18)") {
+    val got = TextPipeline.packChunks(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docsRows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val want = docsRows.groupBy(_._1).map { case (lang, rs) =>
+      val ordered = rs.map { case (_, id, text) =>
+        (h32(text), id, text.split(" ", -1).length.toLong)
+      }.sortBy(t => (t._1, t._2))
+      var off = 0L
+      var boundary = 0L
+      var maxSpan = 0L
+      ordered.foreach { case (_, _, n) =>
+        val first = off / 512
+        val last = (off + n - 1) / 512
+        if (last > first) boundary += 1
+        maxSpan = math.max(maxSpan, last - first + 1)
+        off += n
+      }
+      lang -> ((ordered.length.toLong, off, (off + 511) / 512, boundary,
+        maxSpan))
+    }
+    assert(got === want)
+    // the packing must actually split some documents on this corpus
+    assert(got.values.map(_._4).sum > 0L)
+  }
+
   test("embedding stats flag zero/non-finite vectors and dim drift (v05)") {
     import spark.implicits._
     val vecs = Seq(

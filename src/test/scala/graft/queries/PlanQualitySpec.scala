@@ -98,6 +98,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_min"))
   }
 
+  test("rarity score (td17): df join carries no broadcast hint except the 1-row total") {
+    // the (token, df) table grows with the corpus vocabulary — like
+    // td03's vocab join it must stay free to shuffle; only the 1-row
+    // corpus-size frame is explicitly broadcast
+    val analyzed =
+      TextPipeline.rarityScore(spark, dir).queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(analyzed).size === 1,
+      "exactly one hint: the broadcast 1-row total")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(TextPipeline.rarityScore(spark, dir))
+      assert(p.contains("SortMergeJoin"),
+        "df join must degrade to a shuffle join when too big to broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("pack chunks (td18): offsets and report share one lang shuffle") {
+    val p = plan(TextPipeline.packChunks(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "running-sum window and the per-lang report must share the lang partitioning")
+    assert(p.contains("partial_sum"))
+  }
+
   test("stratified split (td16): row-local assignment, one hash shuffle") {
     val p = plan(TextPipeline.stratifiedSplit(spark, dir))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
