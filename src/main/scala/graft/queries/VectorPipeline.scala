@@ -381,9 +381,11 @@ object VectorPipeline extends graft.Registry {
     * (size, centroid drift, size after the move).
     *
     * Plan shape at scale: both assignment passes are a broadcast of k
-    * centroid rows against one corpus scan + a per-row argmin window
-    * keyed on `vec_id` (k rows per vector — never a corpus-sized
-    * build side); the centroid update is a posexplode to (cluster,
+    * centroid rows against one corpus scan + a map-side-combinable
+    * `min(struct(dist, cluster))` argmin keyed on `vec_id` — the k
+    * expanded rows per vector collapse to one BEFORE the exchange, so
+    * the shuffle carries ~N rows, not N·k, and nothing ever sorts;
+    * the centroid update is a posexplode to (cluster,
     * dim) partial-aggregated map-side, k·64 result rows. That is the
     * canonical distributed k-means layout (MLlib's own iteration is
     * broadcast-centroids + per-partition partial sums); every further
@@ -396,13 +398,16 @@ object VectorPipeline extends graft.Registry {
     val e = quantized(s, dir).cache()
     val seeds = e.where(col("vec_id") < NumSeeds)
       .select(col("vec_id").as("cluster"), col("qv").as("sq"))
-    val wAssign = Window.partitionBy("vec_id").orderBy("qd", "cluster")
+    // argmin(dist, tiebreak cluster) as min(struct(dist, cluster)):
+    // structs order lexicographically, so the min IS the argmin —
+    // a map-side-combinable aggregate instead of a row_number window,
+    // saving a full sort of the N×k expanded rows per pass
     val assigned = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("qv"), col("cluster"),
-        expr(qdistSql("qv", "sq")).as("qd"))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select("vec_id", "qv", "cluster")
+      .select(col("vec_id"), col("qv"),
+        struct(expr(qdistSql("qv", "sq")).as("qd"), col("cluster")).as("dc"))
+      .groupBy("vec_id")
+      .agg(first("qv").as("qv"), min("dc").as("dc"))
+      .select(col("vec_id"), col("qv"), col("dc.cluster").as("cluster"))
     // Integer-mean centroids per (cluster, dim): the floor-division
     // form `floor(sum / n)` is written identically on both engines
     // (neither's native integer division is used — Spark `div`
@@ -423,13 +428,13 @@ object VectorPipeline extends graft.Registry {
       .select(col("cluster"), col("n_assigned"), col("cq"),
         expr("aggregate(zip_with(cq, sq, (x, y) -> abs(x - y)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("drift_q"))
-    val wRe = Window.partitionBy("vec_id").orderBy("qd", "cluster")
     val reassigned = e
       .crossJoin(broadcast(moved.select(col("cluster"), col("cq"))))
-      .select(col("vec_id"), col("cluster"), expr(qdistSql("qv", "cq")).as("qd"))
-      .withColumn("rrn", row_number().over(wRe))
-      .where(col("rrn") === 1)
-      .groupBy("cluster")
+      .select(col("vec_id"),
+        struct(expr(qdistSql("qv", "cq")).as("qd"), col("cluster")).as("dc"))
+      .groupBy("vec_id")
+      .agg(min("dc").as("dc"))
+      .groupBy(col("dc.cluster").as("cluster"))
       .agg(count(lit(1)).as("n_reassigned"))
     // Left join: a cluster can legitimately end up empty after the
     // centroid move; it must still report its drift with a zero count.
