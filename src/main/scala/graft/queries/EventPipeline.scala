@@ -190,7 +190,14 @@ object EventPipeline extends graft.Registry {
     * event within H", which a prefix window answers in O(events).
     * The per-user report reuses the window's hash partitioning, so
     * adding funnel stages adds window ops but never exchanges. */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelWith(s, dir, FunnelHorizonUs)
+
+  /** [[funnel]] with an explicit hop horizon — the declared query
+    * binds [[FunnelHorizonUs]]; the streaming agreement test binds a
+    * compact timeline. */
+  private[graft] def funnelWith(
+      s: SparkSession, dir: String, horizonUs: Long): DataFrame = {
     val staged = events(s, dir)
       .where(col("event_type").isin("view", "click", ProbeType))
       .select(col("user_id"), us(col("ts")).as("ev_us"),
@@ -206,12 +213,12 @@ object EventPipeline extends graft.Registry {
         max(when(col("stage") === 0, col("ev_us"))).over(w).as("last_view_us"))
       .withColumn("qc_us",
         when(col("stage") === 1 &&
-          col("ev_us") - col("last_view_us") <= FunnelHorizonUs,
+          col("ev_us") - col("last_view_us") <= horizonUs,
           col("ev_us")))
       .select(col("*"), max("qc_us").over(w).as("last_qc_us"))
       .withColumn("conv_us",
         when(col("stage") === 2 &&
-          col("ev_us") - col("last_qc_us") <= FunnelHorizonUs,
+          col("ev_us") - col("last_qc_us") <= horizonUs,
           col("ev_us")))
     marked.groupBy("user_id")
       .agg(

@@ -84,6 +84,106 @@ object EventStreams {
         col("range_violations"),
         (col("range_violations") === 0).as("range_passed"))
 
+  final case class FunnelReport(
+      userId: Long, firstViewUs: Long, firstQualClickUs: Option[Long],
+      firstConversionUs: Option[Long], nConversions: Long)
+
+  private[streaming] final case class PendEv(us: Long, stage: Int, id: Long)
+
+  private[streaming] final case class FunnelState(
+      pending: Seq[PendEv],
+      lastViewUs: Option[Long], lastQcUs: Option[Long],
+      firstViewUs: Option[Long], firstQcUs: Option[Long],
+      firstConvUs: Option[Long], nConv: Long, lastEventUs: Long)
+
+  /** Streaming multi-stage funnel — the continuous form of the batch
+    * `e05_funnel` (view → click → purchase, each hop within
+    * `horizonMinutes`, inclusive): one report per user, emitted when
+    * the user has been quiet for `quietMinutes` of EVENT time.
+    *
+    * Exactness under reordering: the batch operator's prefix-max trick
+    * needs events in event-time order, so arrivals are BUFFERED in
+    * state and only folded into the compact machine once the watermark
+    * passes them — any arrival order inside the lateness bound yields
+    * the batch answer bit-for-bit (asserted against
+    * [[graft.queries.EventPipeline.funnel]] in EventStreamsSpec). The
+    * buffer holds at most the user's events from one watermark delay,
+    * and the folded machine is six longs, so state stays compact and
+    * is evicted on emission. */
+  def funnel(events: Dataset[Event],
+      horizonMinutes: Long = 24 * 60,
+      quietMinutes: Long = 60,
+      watermark: String = "10 minutes"): Dataset[FunnelReport] = {
+    import events.sparkSession.implicits._
+    val horizonUs = horizonMinutes * 60000000L
+    val quietMs = quietMinutes * 60000L
+
+    def fold(st: FunnelState, evs: Seq[PendEv]): FunnelState =
+      // (us, stage, id) ascending = the batch window's sort order:
+      // equal-ts hops stay inclusive (view before click before buy)
+      evs.sortBy(e => (e.us, e.stage, e.id)).foldLeft(st) { (s, e) =>
+        e.stage match {
+          case 0 =>
+            s.copy(lastViewUs = Some(e.us),
+              firstViewUs = s.firstViewUs.orElse(Some(e.us)))
+          case 1 =>
+            if (s.lastViewUs.exists(v => e.us - v <= horizonUs))
+              s.copy(lastQcUs = Some(e.us),
+                firstQcUs = s.firstQcUs.orElse(Some(e.us)))
+            else s
+          case _ =>
+            if (s.lastQcUs.exists(c => e.us - c <= horizonUs))
+              s.copy(nConv = s.nConv + 1,
+                firstConvUs = s.firstConvUs.orElse(Some(e.us)))
+            else s
+        }
+      }
+
+    def report(userId: Long, s: FunnelState): Iterator[FunnelReport] = {
+      // the batch operator only reports funnel ENTRANTS (>=1 view)
+      val closed = fold(s, s.pending)
+      closed.firstViewUs.iterator.map(fv =>
+        FunnelReport(userId, fv, closed.firstQcUs, closed.firstConvUs,
+          closed.nConv))
+    }
+
+    events
+      .where(col("eventType").isin("view", "click", "purchase"))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelReport](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // timeout ⇒ watermark passed lastEvent + quiet, so every
+            // pending event is already orderable: fold the tail, emit
+            val out = report(userId, state.get)
+            state.remove()
+            out
+          } else {
+            val empty = FunnelState(Vector.empty, None, None, None, None,
+              None, 0L, 0L)
+            val st0 = state.getOption.getOrElse(empty)
+            val arrivals = it.map { e =>
+              val stage = e.eventType match {
+                case "view" => 0; case "click" => 1; case _ => 2
+              }
+              PendEv(e.ts.getTime * 1000L, stage, e.eventId)
+            }.toVector
+            // fold only what the watermark has sealed; later events
+            // may still be reordered by arrivals inside the bound
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (ready, still) =
+              (st0.pending ++ arrivals).partition(_.us <= wmUs)
+            val folded = fold(st0, ready)
+            val lastUs = (st0.lastEventUs +: arrivals.map(_.us)).max
+            state.update(folded.copy(pending = still, lastEventUs = lastUs))
+            state.setTimeoutTimestamp(lastUs / 1000L + quietMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Gap-based sessionization: one state record per user; a session
     * closes when the event-time watermark passes `gapMinutes` past its
     * last event (or when a new in-batch event arrives after the gap).

@@ -68,6 +68,72 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel agrees with the batch operator, incl. reordered arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // compact timeline: 60-min hop horizon, 120-min quiet, 10-min wm
+    val log = Seq(
+      // user 3: full chain at ONE timestamp (tie semantics)
+      (30L, 3L, "view", 10L), (31L, 3L, "click", 10L),
+      (32L, 3L, "purchase", 10L),
+      // user 4: hops exactly AT the horizon, then one just past it
+      (40L, 4L, "view", 0L), (41L, 4L, "click", 60L),
+      (42L, 4L, "purchase", 120L), (43L, 4L, "purchase", 181L),
+      // user 5: click before any view never qualifies
+      (50L, 5L, "click", 5L), (51L, 5L, "view", 10L),
+      (52L, 5L, "purchase", 20L),
+      // user 6: no view → no report row
+      (60L, 6L, "click", 1L), (61L, 6L, "purchase", 2L),
+      // user 8: view arrives AFTER its click (within the watermark
+      // bound) — the reorder buffer must still qualify the click
+      (80L, 8L, "click", 58L), (81L, 8L, "view", 55L))
+
+    val src = MemoryStream[Event]
+    val q = funnel(src.toDS(), horizonMinutes = 60, quietMinutes = 120)
+      .writeStream.format("memory").queryName("funnel_reports")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def send(ids: Long*): Unit = {
+        src.addData(log.filter(e => ids.contains(e._1)).map { case (id, u, t, m) =>
+          Event(id, u, t, 1.0, ts(m)) }: _*)
+        q.processAllAvailable()
+      }
+      // batch 1: max ts 60 → the NEXT batch runs with watermark 50,
+      // so user 8's view@55 can still arrive behind its click@58
+      send(30L, 31L, 32L, 40L, 41L, 50L, 51L, 52L, 60L, 61L, 80L)
+      // batch 2: the reordered view@55 (above wm 50 — inside the
+      // lateness bound) plus user 4's tail
+      send(81L, 42L, 43L)
+      // push event time past every user's last event + 120' quiet
+      // (user 4 times out at 181 + 120 = 301' → needs wm > 301)
+      src.addData(ev(990, 99L, 320)); q.processAllAvailable()
+      src.addData(ev(991, 99L, 500)); q.processAllAvailable()
+
+      val got = spark.table("funnel_reports").as[FunnelReport].collect()
+        .filter(_.userId != 99L)
+        .map(r => r.userId -> ((r.firstViewUs, r.firstQualClickUs,
+          r.firstConversionUs, r.nConversions))).toMap
+
+      // batch reference over the SAME events (minute → ns parquet)
+      val d = java.nio.file.Files.createTempDirectory("graft-sfun").toString
+      log.map { case (id, u, t, m) =>
+        (id, 1700000000000000000L + m * 60000000000L, u, t) }
+        .toDF("event_id", "ts_ns", "user_id", "event_type")
+        .selectExpr("event_id", "ts_ns AS ts", "user_id", "event_type",
+          "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      val want = graft.queries.EventPipeline
+        .funnelWith(spark, d, 3600L * 1000000).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getLong(4)))).toMap
+      assert(got === want)
+      // and the reorder case really did qualify
+      assert(got(8L)._2 === Some(1700000000000000L + 58L * 60000000L))
+    } finally q.stop()
+  }
+
   test("streaming DQ monitor flags violations per finalized window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
