@@ -804,6 +804,58 @@ object TextPipeline extends graft.Registry {
       .orderBy("lang")
   }
 
+  /** td19 calibration: sketch capacity and report size. Validity is
+    * enforced, not hoped for — see [[heavyHittersOf]]. */
+  private[graft] val HhCapacity = 256
+  private[graft] val HhK = 20
+
+  /** Exact corpus heavy-hitters (top-[[HhK]] tokens) WITHOUT a
+    * vocabulary-wide shuffle: pass 1 runs a mergeable Misra–Gries
+    * sketch ([[graft.functions.MisraGries]]) as a typed aggregate —
+    * the shuffle carries one ≤[[HhCapacity]]-entry map per partition,
+    * not the token vocabulary — and pass 2 re-scans with an InSet
+    * filter on the ≤[[HhCapacity]] surviving candidates, so the exact
+    * groupBy aggregates ≤[[HhCapacity]] distinct keys. At web scale
+    * (billions of distinct tokens) the naive groupBy(token) shuffles
+    * the whole vocabulary; this shape shuffles O(partitions ×
+    * capacity) then O(capacity), independent of vocabulary size. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOf(s, docs(s, dir), HhK, HhCapacity)
+
+  /** [[heavyHitters]] over an explicit `(text)` frame with explicit
+    * k/capacity, so specs can plant corpora that force sketch
+    * eviction. The sketch guarantees every token with true count >
+    * total/(capacity+1) survives pass 1 (and non-survivors are ≤
+    * that bound), so when the observed k-th count clears the bound
+    * the top-k is provably exact; otherwise this FAILS LOUDLY (like
+    * td09 on non-convergence) rather than return a maybe-list — the
+    * fix is a larger capacity, not silent approximation. A sketch
+    * whose counts sum to `total` never evicted and is exact outright
+    * (small-vocabulary corpora; ties below the bound are then fine). */
+  private[graft] def heavyHittersOf(
+      s: SparkSession, d: DataFrame, k: Int, capacity: Int): DataFrame = {
+    import s.implicits._
+    val toks = d.select(explode(split(col("text"), " ")).as("token"))
+    val mg = toks.as[String]
+      .select(new graft.functions.MisraGries(capacity).toColumn)
+      .head()
+    val top = toks
+      .where(col("token").isInCollection(mg.counts.keys.toSeq))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+      .take(k)
+    val sketchIsExact = mg.counts.valuesIterator.sum == mg.total
+    require(sketchIsExact ||
+      (top.length == k && top.last._2 * (capacity + 1L) > mg.total),
+      s"heavy-hitters top-$k not separable at capacity=$capacity: " +
+        s"k-th count ${top.lastOption.map(_._2)} does not clear the " +
+        s"sketch miss bound ${mg.total} / ${capacity + 1} — raise the " +
+        "sketch capacity")
+    top.toSeq.toDF("token", "cnt").orderBy(desc("cnt"), asc("token"))
+  }
+
   /** Dedup keep-list: connected components over the Jaccard near-dup
     * pair graph via min-label propagation (the Pregel pattern: a
     * driver-side loop of data-parallel join+min steps, lineage
@@ -898,7 +950,8 @@ object TextPipeline extends graft.Registry {
     "td15_substring_dedup" -> substringDedup,
     "td16_stratified_split" -> stratifiedSplit,
     "td17_rarity_score" -> rarityScore,
-    "td18_pack_chunks" -> packChunks
+    "td18_pack_chunks" -> packChunks,
+    "td19_heavy_hitters" -> heavyHitters
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -1011,6 +1064,11 @@ object TextPipeline extends graft.Registry {
          |       CAST(MAX(chunk_last - chunk_first + 1) AS BIGINT)
          |         AS max_chunks_spanned
          |FROM marked GROUP BY lang ORDER BY lang""".stripMargin,
+    "td19_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |SELECT token, COUNT(*) AS cnt FROM tok
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT $HhK""".stripMargin,
     "td15_substring_dedup" ->
       s"""WITH t AS (
          |  SELECT source, string_split(text, ' ') AS t FROM documents

@@ -565,4 +565,40 @@ class PipelineSpec extends SparkSpec {
     val b = TextPipeline.fingerprint(spark, dir).collect().toSeq
     assert(a === b)
   }
+
+  test("td19 heavy hitters equals the exact in-memory top-k") {
+    val got = TextPipeline.heavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).split(" ", -1))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(got === exact)
+  }
+
+  test("td19 stays exact when the sketch must evict (tail >> capacity)") {
+    import spark.implicits._
+    // 5 head tokens × 100 docs + 2000 singleton-tail docs: 2005
+    // distinct tokens vs capacity 64 forces eviction, and the head
+    // count (100) clears the miss bound 2500/65 ≈ 38 — provably exact
+    val head = (1 to 5).flatMap(h => Seq.fill(100)(s"head$h"))
+    val tail = (1 to 2000).map(t => f"tail$t%04d")
+    val df = new scala.util.Random(42).shuffle(head ++ tail).toDF("text")
+    val got = TextPipeline.heavyHittersOf(spark, df, k = 5, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === (1 to 5).map(h => (s"head$h", 100L)))
+  }
+
+  test("td19 fails loudly when top-k is not separable at the capacity") {
+    import spark.implicits._
+    // 300 singletons at capacity 16: k-th count 1 is far below the
+    // miss bound 300/17 ≈ 17 and eviction occurred — no exactness
+    // certificate, so the operator must refuse, not guess
+    val df = (1 to 300).map(t => f"u$t%03d").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      TextPipeline.heavyHittersOf(spark, df, k = 5, capacity = 16)
+    }
+    assert(e.getMessage.contains("not separable"))
+  }
 }
