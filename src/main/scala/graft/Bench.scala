@@ -69,7 +69,14 @@ object Bench {
     // crash must not deflate (nor a slow one inflate) the headline.
     val Runs = 3
     var errors = Vector.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for local iteration on a
+    // single operator (the driver never sets it, so round artifacts
+    // always cover the full surface).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = timed.map { case (name, fn) =>
       var failed = false
       val times = (1 to Runs).flatMap { _ =>
         if (failed) None

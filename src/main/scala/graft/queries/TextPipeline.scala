@@ -823,38 +823,105 @@ object TextPipeline extends graft.Registry {
     heavyHittersOf(s, docs(s, dir), HhK, HhCapacity)
 
   /** [[heavyHitters]] over an explicit `(text)` frame with explicit
-    * k/capacity, so specs can plant corpora that force sketch
-    * eviction. The sketch guarantees every token with true count >
-    * total/(capacity+1) survives pass 1 (and non-survivors are ≤
-    * that bound), so when the observed k-th count clears the bound
-    * the top-k is provably exact; otherwise this FAILS LOUDLY (like
-    * td09 on non-convergence) rather than return a maybe-list — the
-    * fix is a larger capacity, not silent approximation. A sketch
-    * whose counts sum to `total` never evicted and is exact outright
-    * (small-vocabulary corpora; ties below the bound are then fine). */
+    * k/capacity/ceiling, so specs can plant corpora that force sketch
+    * eviction and escalation. The sketch guarantees every token with
+    * true count > total/(capacity+1) survives pass 1 (and
+    * non-survivors are ≤ that bound), so when the observed k-th count
+    * clears the bound the top-k is provably exact; a sketch whose
+    * counts sum to `total` never evicted and is exact outright. When
+    * neither certificate holds the capacity escalates (see
+    * [[heavyHittersOfTokens]]); past `maxCapacity` this FAILS LOUDLY
+    * (like td09 on non-convergence) rather than return a maybe-list. */
   private[graft] def heavyHittersOf(
-      s: SparkSession, d: DataFrame, k: Int, capacity: Int): DataFrame = {
+      s: SparkSession, d: DataFrame, k: Int, capacity: Int,
+      maxCapacity: Int = 1 << 20): DataFrame =
+    heavyHittersOfTokens(s,
+      d.select(explode(split(col("text"), " ")).as("token")), k, capacity,
+      maxCapacity)
+
+  /** The sketch kernel of [[heavyHittersOf]] over an already-exploded
+    * single-column `token` frame — reused by [[bigramStep]] (td20),
+    * whose "tokens" are adjacent-pair strings.
+    *
+    * Capacity ESCALATES (×8 per attempt, up to `maxCapacity`): an
+    * attempt whose top-k cannot be certified exact — the sketch
+    * evicted AND the k-th count does not clear the miss bound
+    * total/(capacity+1) — is discarded and re-sketched larger, so the
+    * returned top-k is always provably exact whichever attempt
+    * produced it. Real corpora are Zipf and certify on the first
+    * attempt; the escalation exists for near-UNIFORM frequency
+    * profiles (e.g. the replica-tagged ScaleGen testdata, whose
+    * vocabulary is 10× per decade with near-equal counts — a
+    * deliberately sketch-adversarial shape), where exactness needs
+    * capacity ≥ distinct-token count. Past `maxCapacity` the operator
+    * still refuses loudly rather than approximate. */
+  private[graft] def heavyHittersOfTokens(
+      s: SparkSession, toks: DataFrame, k: Int, capacity: Int,
+      maxCapacity: Int = 1 << 20): DataFrame = {
     import s.implicits._
-    val toks = d.select(explode(split(col("text"), " ")).as("token"))
-    val mg = toks.as[String]
-      .select(new graft.functions.MisraGries(capacity).toColumn)
-      .head()
-    val top = toks
-      .where(col("token").isInCollection(mg.counts.keys.toSeq))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (t, c) => (-c, t) }
-      .take(k)
-    val sketchIsExact = mg.counts.valuesIterator.sum == mg.total
-    require(sketchIsExact ||
-      (top.length == k && top.last._2 * (capacity + 1L) > mg.total),
-      s"heavy-hitters top-$k not separable at capacity=$capacity: " +
-        s"k-th count ${top.lastOption.map(_._2)} does not clear the " +
-        s"sketch miss bound ${mg.total} / ${capacity + 1} — raise the " +
-        "sketch capacity")
-    top.toSeq.toDF("token", "cnt").orderBy(desc("cnt"), asc("token"))
+    var cap = capacity
+    var result: Option[Seq[(String, Long)]] = None
+    var lastDiag = ""
+    while (result.isEmpty && cap <= maxCapacity) {
+      val mg = toks.as[String]
+        .select(new graft.functions.MisraGries(cap).toColumn)
+        .head()
+      val top = toks
+        .where(col("token").isInCollection(mg.counts.keys.toSeq))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (t, c) => (-c, t) }
+        .take(k)
+      val sketchIsExact = mg.counts.valuesIterator.sum == mg.total
+      val separable =
+        top.length == k && top.last._2 * (cap + 1L) > mg.total
+      if (sketchIsExact || separable) result = Some(top.toSeq)
+      else {
+        lastDiag = s"k-th count ${top.lastOption.map(_._2)} does not " +
+          s"clear the sketch miss bound ${mg.total} / ${cap + 1}"
+        cap =
+          if (cap >= maxCapacity) maxCapacity + 1 // terminate
+          else math.min(cap * 8, maxCapacity)
+      }
+    }
+    require(result.nonEmpty,
+      s"heavy-hitters top-$k not certifiable up to maxCapacity=" +
+        s"$maxCapacity: $lastDiag — raise maxCapacity")
+    result.get.toDF("token", "cnt").orderBy(desc("cnt"), asc("token"))
   }
+
+  /** td20 calibration: report size and INITIAL sketch capacity. The
+    * driver testdata vocabulary is ~31 tokens (~10³ distinct
+    * bigrams), so 2048 is lossless on the first attempt through
+    * sf0.1; the replica-tagged ScaleGen decades multiply the bigram
+    * vocabulary 10× per decade and escalate (sf1 certifies at 16k).
+    * Web-scale natural-language corpora instead rely on the Zipf
+    * head clearing the separability bound — bigram frequencies are
+    * steeper-than-Zipf, so the head separates even better than
+    * unigrams do. */
+  private[graft] val BpeK = 20
+  private[graft] val BpeCapacity = 2048
+
+  /** One BPE-training pair-count step (the Sennrich et al. merge
+    * loop's inner argmax): the most frequent ADJACENT token pairs in
+    * the corpus, i.e. the pairs a tokenizer trainer would merge
+    * next. Pair construction is row-local array math — zip_with over
+    * two slices of the same split, no posexplode self-join, no
+    * shuffle before the sketch — and counting reuses the td19
+    * Misra–Gries kernel, so the shuffle carries bounded sketch maps,
+    * never the bigram vocabulary (quadratic in token vocabulary at
+    * web scale). */
+  def bigramStep(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOfTokens(s,
+      docs(s, dir)
+        .select(split(col("text"), " ").as("a"))
+        .select(explode(expr(
+          "CASE WHEN size(a) > 1 THEN zip_with(" +
+            "slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), " +
+            "(x, y) -> concat(x, ' ', y)) ELSE array() END")).as("token")),
+      BpeK, BpeCapacity)
+      .withColumnRenamed("token", "bigram")
 
   /** Dedup keep-list: connected components over the Jaccard near-dup
     * pair graph via min-label propagation (the Pregel pattern: a
@@ -951,7 +1018,8 @@ object TextPipeline extends graft.Registry {
     "td16_stratified_split" -> stratifiedSplit,
     "td17_rarity_score" -> rarityScore,
     "td18_pack_chunks" -> packChunks,
-    "td19_heavy_hitters" -> heavyHitters
+    "td19_heavy_hitters" -> heavyHitters,
+    "td20_bigram_step" -> bigramStep
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -1069,6 +1137,12 @@ object TextPipeline extends graft.Registry {
          |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          |SELECT token, COUNT(*) AS cnt FROM tok
          |GROUP BY token ORDER BY cnt DESC, token LIMIT $HhK""".stripMargin,
+    "td20_bigram_step" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),
+         |ix AS (SELECT a, unnest(range(1, len(a))) AS i FROM t),
+         |p AS (SELECT a[i] || ' ' || a[i + 1] AS bigram FROM ix)
+         |SELECT bigram, COUNT(*) AS cnt FROM p
+         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT $BpeK""".stripMargin,
     "td15_substring_dedup" ->
       s"""WITH t AS (
          |  SELECT source, string_split(text, ' ') AS t FROM documents

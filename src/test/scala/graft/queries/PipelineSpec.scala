@@ -590,15 +590,41 @@ class PipelineSpec extends SparkSpec {
     assert(got === (1 to 5).map(h => (s"head$h", 100L)))
   }
 
-  test("td19 fails loudly when top-k is not separable at the capacity") {
+  test("td20 bigram step equals the exact in-memory adjacent-pair top-k") {
+    val got = TextPipeline.bigramStep(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().iterator
+      .flatMap { r =>
+        val a = r.getString(0).split(" ", -1)
+        a.iterator.zip(a.iterator.drop(1)).map { case (x, y) => s"$x $y" }
+      }
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(got === exact)
+    assert(got.nonEmpty)
+  }
+
+  test("td19 escalates capacity on uniform data until provably exact") {
     import spark.implicits._
-    // 300 singletons at capacity 16: k-th count 1 is far below the
-    // miss bound 300/17 ≈ 17 and eviction occurred — no exactness
-    // certificate, so the operator must refuse, not guess
+    // 300 singletons starting at capacity 16: never separable (k-th
+    // count 1 is far below every miss bound), so the sketch escalates
+    // 16 → 128 → 1024 > 300 distinct = lossless mode, exact result
+    val df = (1 to 300).map(t => f"u$t%03d").toDF("text")
+    val got = TextPipeline.heavyHittersOf(spark, df, k = 5, capacity = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === (1 to 5).map(t => (f"u$t%03d", 1L)))
+  }
+
+  test("td19 refuses loudly when exactness is uncertifiable at the ceiling") {
+    import spark.implicits._
+    // same uniform corpus, but the escalation ceiling stops below the
+    // vocabulary: no certificate is reachable — refuse, never guess
     val df = (1 to 300).map(t => f"u$t%03d").toDF("text")
     val e = intercept[IllegalArgumentException] {
-      TextPipeline.heavyHittersOf(spark, df, k = 5, capacity = 16)
+      TextPipeline.heavyHittersOf(spark, df, k = 5, capacity = 16,
+        maxCapacity = 128)
     }
-    assert(e.getMessage.contains("not separable"))
+    assert(e.getMessage.contains("not certifiable"))
   }
 }
