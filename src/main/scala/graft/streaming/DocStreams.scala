@@ -118,6 +118,85 @@ object DocStreams {
       }
   }
 
+  /** One trending-token report row: a shard's top tokens for a
+    * closed event-time window. `exact` certifies the shard's counts
+    * are true counts (its sketch never evicted). */
+  final case class TrendingToken(windowStart: Timestamp, shard: Int,
+      token: String, cnt: Long, exact: Boolean)
+
+  private[streaming] final case class TrendState(
+      counts: Map[String, Long], total: Long, windowEndMs: Long)
+
+  /** Streaming trending tokens — the continuous form of the batch
+    * td19 heavy-hitters, per event-time window: which tokens are
+    * hottest in each closed window, with BOUNDED state.
+    *
+    * Sharding is the scale design: state is keyed by
+    * `(window, hash(token) % shards)`, so a window's token stream
+    * fans out over `shards` parallel Misra–Gries sketches instead of
+    * concentrating on one task (keying by window alone would funnel
+    * the whole corpus through one state row — the streaming analogue
+    * of a single-reducer groupBy). Because the shards partition the
+    * TOKEN SPACE disjointly, a global top-k is the top-k of the union
+    * of per-shard reports — any globally-hot token is hot in its own
+    * shard — and when every shard reports `exact` (its
+    * ≤`capacity`-entry sketch never evicted) that union top-k is
+    * provably the true one, same certificate as batch td19. Each
+    * shard's state is one ≤`capacity`-entry map, evicted when the
+    * watermark closes its window (event-time timeout), so total state
+    * is O(live windows × shards × capacity) regardless of corpus
+    * rate. Token counting is commutative, so unlike the funnel no
+    * reorder buffer is needed — any arrival order inside the
+    * watermark bound folds to the same counts. */
+  def trendingTokens(docs: DataFrame,
+      k: Int = 10,
+      capacity: Int = 1024,
+      shards: Int = 8,
+      windowDur: String = "1 hour",
+      watermark: String = "1 hour"): Dataset[TrendingToken] = {
+    import docs.sparkSession.implicits._
+    val mg = new graft.functions.MisraGries(capacity)
+    val toks = docs
+      .withWatermark("ingest_ts", watermark)
+      .select(window(col("ingest_ts"), windowDur).as("w"),
+        explode(split(col("text"), " ")).as("token"), col("ingest_ts"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("token"),
+        pmod(xxhash64(col("token")), lit(shards)).cast("int").as("shard"),
+        col("ingest_ts"))
+      .as[(Timestamp, Timestamp, String, Int, Timestamp)]
+    toks
+      .groupByKey(r => (r._1.getTime, r._4))
+      .flatMapGroupsWithState[TrendState, TrendingToken](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it: Iterator[(Timestamp, Timestamp, String, Int, Timestamp)],
+            state: GroupState[TrendState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val exact = st.counts.valuesIterator.sum == st.total
+            st.counts.toSeq
+              .sortBy { case (t, c) => (-c, t) }.take(k).iterator
+              .map { case (t, c) =>
+                TrendingToken(new Timestamp(key._1), key._2, t, c, exact)
+              }
+          } else {
+            val st0 = state.getOption
+              .getOrElse(TrendState(Map.empty, 0L, 0L))
+            var s = graft.functions.MgSummary(st0.counts, st0.total)
+            var wEnd = st0.windowEndMs
+            it.foreach { r =>
+              s = mg.reduce(s, r._3)
+              wEnd = math.max(wEnd, r._2.getTime)
+            }
+            state.update(TrendState(s.counts, s.total, wEnd))
+            state.setTimeoutTimestamp(
+              math.max(wEnd, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** A near-dup hit: the arriving doc vs an already-ingested one. */
   final case class NearDupPair(docA: Long, docB: Long, estSim: Double)
 

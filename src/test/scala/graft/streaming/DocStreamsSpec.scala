@@ -295,4 +295,67 @@ class DocStreamsSpec extends SparkSpec {
       assert(rows.head.getAs[Double]("quality_score") === batchScore)
     } finally q.stop()
   }
+
+  test("streaming trending tokens: sharded union equals the exact top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val q = trendingTokens(snake(src.toDF()), k = 3, capacity = 64,
+        shards = 4, windowDur = "60 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("trend")
+      .outputMode(OutputMode.Append).start()
+    val w0 = Seq(
+      (1L, "alpha alpha beta gamma", 10L),
+      (2L, "alpha beta beta delta", 20L),
+      (3L, "alpha gamma epsilon zeta", 5L)) // reordered inside the wm
+    val w1 = Seq((4L, "omega omega omega psi chi", 70L))
+    try {
+      src.addData(w0.take(2).map { case (i, t, m) => doc(i, t, m) }: _*)
+      q.processAllAvailable()
+      src.addData((w0.drop(2) ++ w1).map { case (i, t, m) => doc(i, t, m) }: _*)
+      q.processAllAvailable()
+      // push the watermark past both window ends (120' + 30' wm)
+      src.addData(doc(99, "closer", 200))
+      q.processAllAvailable()
+      val rows = spark.table("trend").as[TrendingToken].collect()
+      assert(rows.forall(_.exact), s"evicting shard in: ${rows.toSeq}")
+      // window() aligns to epoch-hour boundaries (not the test's ts
+      // base); both doc groups still land in consecutive distinct
+      // hours, so identify windows by sorted start
+      val starts = rows.map(_.windowStart.getTime).distinct.sorted
+      assert(starts.length === 2, s"windows: ${rows.toSeq}")
+      def expTop3(docs: Seq[(Long, String, Long)]) = docs
+        .flatMap(_._2.split(" ", -1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(3)
+      def gotTop3(startMs: Long) = rows.toSeq
+        .filter(_.windowStart.getTime == startMs)
+        .map(r => (r.token, r.cnt))
+        .sortBy { case (t, c) => (-c, t) }.take(3)
+      assert(gotTop3(starts(0)) === expTop3(w0))
+      assert(gotTop3(starts(1)) === expTop3(w1))
+    } finally q.stop()
+  }
+
+  test("trending tokens reports exact=false when a shard sketch evicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Doc]
+    // capacity 1 and a single shard: "a a b" must evict (b annihilates
+    // one a) — the report must SAY its counts are uncertified
+    val q = trendingTokens(snake(src.toDF()), k = 2, capacity = 1,
+        shards = 1, windowDur = "60 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("trend_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(doc(1, "a a b", 10))
+      q.processAllAvailable()
+      src.addData(doc(99, "closer", 200))
+      q.processAllAvailable()
+      // only doc 1's window has closed (the closer's never does)
+      val rows = spark.table("trend_evict").as[TrendingToken].collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => !r.exact), s"claimed exact: ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
