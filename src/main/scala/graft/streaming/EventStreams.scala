@@ -184,6 +184,48 @@ object EventStreams {
       }
   }
 
+  /** Streaming range join — the continuous form of the batch
+    * `e03_range_join`: for every purchase, how many views by the same
+    * user in the prior `lookbackMinutes` (exclusive-open,
+    * inclusive-close bounds, identical to batch). One report row per
+    * purchase, including ZERO-view purchases.
+    *
+    * Shape: two filtered branches of the SAME event stream meet in a
+    * stream-stream LEFT OUTER join with an event-time interval
+    * condition — Spark's join state keeps only the lookback horizon
+    * per side (bounded by the watermark), and unmatched purchases
+    * surface as null-view rows once the horizon expires, preserving
+    * the batch operator's zero counts. The per-purchase count is a
+    * chained streaming aggregation grouped on a 1-minute window of
+    * the purchase time (multiple stateful operators in append mode;
+    * the window is finer than any report cadence and each purchase_id
+    * is unique, so the window key only schedules EMISSION — it never
+    * merges or splits purchases). */
+  def viewsBeforePurchase(events: Dataset[Event],
+      lookbackMinutes: Long = 60,
+      watermark: String = "10 minutes"): DataFrame = {
+    val views = events.toDF()
+      .where(col("eventType") === "view")
+      .select(col("userId").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.toDF()
+      .where(col("eventType") === "purchase")
+      .select(col("eventId").as("purchase_id"),
+        col("userId").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    purchases
+      .join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") > col("p_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+          col("v_ts") <= col("p_ts"),
+        "left_outer")
+      .groupBy(col("purchase_id"), col("p_user").as("user_id"),
+        window(col("p_ts"), "1 minute"))
+      .agg(count(col("v_ts")).as("n_views"))
+      .select(col("purchase_id"), col("user_id"),
+        col("window.start").as("purchase_minute"), col("n_views"))
+  }
+
   /** Gap-based sessionization: one state record per user; a session
     * closes when the event-time watermark passes `gapMinutes` past its
     * last event (or when a new in-batch event arrives after the gap).

@@ -134,6 +134,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream range join counts prior-hour views per purchase, incl. zero") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def e(id: Long, user: Long, typ: String, m: Long) =
+      Event(id, user, typ, 1.0, ts(m))
+    val src = MemoryStream[Event]
+    val q = viewsBeforePurchase(src.toDS(), lookbackMinutes = 60)
+      .writeStream.format("memory").queryName("range_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        // user 1: 3 views inside (p-60, p] of purchase@50, then only
+        // view@70 inside the window of purchase@110 (49 ≤ 110-60)
+        e(1, 1, "view", 5), e(2, 1, "view", 30), e(3, 1, "view", 49),
+        e(100, 1, "purchase", 50), e(4, 1, "view", 70),
+        e(101, 1, "purchase", 110),
+        // user 2: purchase with no views at all — zero row must survive
+        e(200, 2, "purchase", 20),
+        // user 3: view EXACTLY at p-60 is excluded (strict lower bound)
+        e(5, 3, "view", 0), e(300, 3, "purchase", 60),
+        // user 4: view at the purchase instant is included (<=)
+        e(6, 4, "view", 60), e(400, 4, "purchase", 60))
+      q.processAllAvailable()
+      // both branch watermarks must advance past every window + 10'
+      src.addData(e(7, 9, "view", 400), e(900, 9, "purchase", 400))
+      q.processAllAvailable()
+      src.addData(e(8, 9, "view", 500), e(901, 9, "purchase", 500))
+      q.processAllAvailable()
+      val got = spark.table("range_counts").collect()
+        .map(r => r.getAs[Long]("purchase_id") ->
+          ((r.getAs[Long]("user_id"), r.getAs[Long]("n_views")))).toMap
+        .view.filterKeys(_ < 900).toMap
+      assert(got === Map(
+        100L -> ((1L, 3L)), 101L -> ((1L, 1L)),
+        200L -> ((2L, 0L)), 300L -> ((3L, 0L)), 400L -> ((4L, 1L))))
+    } finally q.stop()
+  }
+
   test("streaming DQ monitor flags violations per finalized window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
