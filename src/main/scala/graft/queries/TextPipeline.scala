@@ -804,6 +804,40 @@ object TextPipeline extends graft.Registry {
       .orderBy("lang")
   }
 
+  /** td21: per-source quality audit — the curation dashboard for
+    * "which sources should be down-weighted": doc count plus discrete
+    * quantiles (p25/p50/p75/p95) of the td02 quality score per
+    * source. Scores are quantized per-row to 2²⁰-scaled BIGINT before
+    * any aggregation, and the quantiles are computed EXPLICITLY as
+    * "smallest value whose rank clears ⌈p·n⌉" over integer rank
+    * arithmetic — both engine-independent by construction, where a
+    * builtin continuous `percentile` would interpolate with
+    * engine-specific IEEE operand order (1-ulp drift the bitwise
+    * oracle hash would catch). One shuffle on source; the per-source
+    * rank sort is the scale cost, and a 100 TB deployment would swap
+    * `approx_percentile` into the same report shape. */
+  def sourceQuality(s: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy("source").orderBy("qq")
+    val wAll = Window.partitionBy("source")
+    def atLeast(pct: Int) =
+      min(when(col("rn") * 100 >= col("n") * pct, col("qq")))
+    qualityBase(s, dir)
+      .select(col("source"),
+        floor(col("quality_score") * (1L << 20)).cast("long").as("qq"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("qq").as("min_q20"),
+        max("qq").as("max_q20"),
+        atLeast(25).as("p25_q20"),
+        atLeast(50).as("p50_q20"),
+        atLeast(75).as("p75_q20"),
+        atLeast(95).as("p95_q20"))
+      .orderBy("source")
+  }
+
   /** td19 calibration: sketch capacity and report size. Validity is
     * enforced, not hoped for — see [[heavyHittersOf]]. */
   private[graft] val HhCapacity = 256
@@ -1019,7 +1053,8 @@ object TextPipeline extends graft.Registry {
     "td17_rarity_score" -> rarityScore,
     "td18_pack_chunks" -> packChunks,
     "td19_heavy_hitters" -> heavyHitters,
-    "td20_bigram_step" -> bigramStep
+    "td20_bigram_step" -> bigramStep,
+    "td21_source_quality" -> sourceQuality
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -1143,6 +1178,38 @@ object TextPipeline extends graft.Registry {
          |p AS (SELECT a[i] || ' ' || a[i + 1] AS bigram FROM ix)
          |SELECT bigram, COUNT(*) AS cnt FROM p
          |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT $BpeK""".stripMargin,
+    "td21_source_quality" -> {
+      val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT source, length(text) AS n_chars_calc,
+         |         string_split(text, ' ') AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT source, n_chars_calc, len(t) AS n_tokens,
+         |         len(list_filter(t, x -> x IN ($inList))) AS n_stopwords
+         |  FROM base),
+         |r AS (
+         |  SELECT source, n_tokens,
+         |         CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+         |         CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len
+         |  FROM m),
+         |q AS (
+         |  SELECT source,
+         |         CAST(floor(($scoreExpr) * 1048576) AS BIGINT) AS qq
+         |  FROM r),
+         |ranked AS (
+         |  SELECT source, qq,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY qq) AS rn,
+         |         COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM q)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       MIN(qq) AS min_q20, MAX(qq) AS max_q20,
+         |       MIN(CASE WHEN rn * 100 >= n * 25 THEN qq END) AS p25_q20,
+         |       MIN(CASE WHEN rn * 100 >= n * 50 THEN qq END) AS p50_q20,
+         |       MIN(CASE WHEN rn * 100 >= n * 75 THEN qq END) AS p75_q20,
+         |       MIN(CASE WHEN rn * 100 >= n * 95 THEN qq END) AS p95_q20
+         |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+    },
     "td15_substring_dedup" ->
       s"""WITH t AS (
          |  SELECT source, string_split(text, ' ') AS t FROM documents

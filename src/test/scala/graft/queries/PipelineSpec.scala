@@ -616,6 +616,23 @@ class PipelineSpec extends SparkSpec {
     assert(got === (1 to 5).map(t => (f"u$t%03d", 1L)))
   }
 
+  test("td21 per-source quantiles equal an in-memory rank computation") {
+    val got = TextPipeline.sourceQuality(spark, dir).collect()
+      .map(r => r.getString(0) -> (1 to 7).map(r.getLong).toSeq).toMap
+    val scored = TextPipeline.scoreQuality(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .select("source", "quality_score").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val want = scored.groupBy(_._1).view.mapValues { rs =>
+      val qq = rs.map(r => math.floor(r._2 * (1L << 20)).toLong).sorted
+      val n = qq.length
+      // smallest value whose 1-based rank clears ceil(p*n/100)
+      def at(pct: Int) = qq((n * pct + 99) / 100 - 1)
+      Seq(n.toLong, qq.head, qq.last, at(25), at(50), at(75), at(95))
+    }.toMap
+    assert(got === want)
+  }
+
   test("td19 refuses loudly when exactness is uncertifiable at the ceiling") {
     import spark.implicits._
     // same uniform corpus, but the escalation ceiling stops below the

@@ -122,6 +122,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_sum"))
   }
 
+  test("source quality (td21): rank/count windows and report share one source shuffle") {
+    val p = plan(TextPipeline.sourceQuality(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "row_number, the count window and the per-source report must all " +
+        "reuse the source partitioning — one exchange total")
+  }
+
   test("stratified split (td16): row-local assignment, one hash shuffle") {
     val p = plan(TextPipeline.stratifiedSplit(spark, dir))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
