@@ -118,6 +118,44 @@ object DocStreams {
       }
   }
 
+  /** Streaming decontamination — td12's continuous form: every
+    * arriving document is checked against a STATIC eval-set shingle
+    * index, so benchmark-contaminated documents are flagged ON INGEST
+    * instead of by a later batch sweep. Emits one
+    * `(doc_id, n_shared_shingles)` row per contaminated document
+    * (≥ `minShared` distinct 3-gram shingles shared with the eval
+    * set — the same bar as batch td12).
+    *
+    * Shape: the per-document DISTINCT shingle set is computed
+    * ROW-LOCALLY (array_distinct over a transform of the split — the
+    * streaming analogue of the batch per-doc distinct, with no
+    * stateful dropDuplicates), then a stream-static equijoin against
+    * the eval index (stateless on the stream side; Catalyst
+    * broadcasts the eval side when it fits, shuffles when a web-scale
+    * eval suite doesn't) feeds one windowed count finalized on
+    * watermark close. Join + shingle prep carry no state at all; the
+    * count state is bounded by the watermark horizon. */
+  def decontaminate(docs: DataFrame, evalShingles: DataFrame,
+      minShared: Long = 10,
+      watermark: String = "10 minutes"): DataFrame = {
+    val sh = docs
+      .withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("ingest_ts"),
+        split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(t) - 2), i -> " +
+            "concat(element_at(t, i), ' ', element_at(t, i + 1), " +
+            "' ', element_at(t, i + 2)))"))).as("shingle"))
+    sh
+      .join(evalShingles.select("shingle"), "shingle")
+      .groupBy(col("doc_id"), window(col("ingest_ts"), "1 minute"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .where(col("n_shared_shingles") >= minShared)
+      .select("doc_id", "n_shared_shingles")
+  }
+
   /** One trending-token report row: a shard's top tokens for a
     * closed event-time window. `exact` certifies the shard's counts
     * are true counts (its sketch never evicted). */
