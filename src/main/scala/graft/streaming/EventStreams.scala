@@ -184,6 +184,85 @@ object EventStreams {
       }
   }
 
+  /** One streaming as-of match: a purchase paired with the latest
+    * prior-or-equal view by the same user (None = no view yet). */
+  final case class AsofMatch(purchaseId: Long, userId: Long,
+      purchaseUs: Long, value: Double, viewId: Option[Long],
+      viewUs: Option[Long], gapUs: Option[Long])
+
+  private[streaming] final case class PendAsof(
+      us: Long, tag: Int, id: Long, value: Double)
+
+  private[streaming] final case class AsofState(
+      pending: Seq[PendAsof], lastBuildId: Option[Long],
+      lastBuildUs: Option[Long], lastEventUs: Long)
+
+  /** Streaming as-of join — the continuous form of the batch
+    * `e01_asof_join`: each purchase is matched to the latest view by
+    * the same user at-or-before it (inclusive ties, same
+    * `(us, tag, id)` order as the batch window's sort).
+    *
+    * Same reorder-buffer discipline as [[funnel]], but EMIT-ON-SEAL:
+    * arrivals buffer in state and fold once the watermark passes them
+    * — matched rows stream out as soon as their order is decidable,
+    * not when the user goes quiet. The fold carries only the running
+    * "latest view" (two longs), so state is the reorder buffer plus
+    * three scalars; an event-time quiet timeout flushes and evicts
+    * idle users. Sealing is STRICT (`us < watermark`): Spark admits
+    * late rows AT the watermark, so an inclusive seal could fold a
+    * probe before an equal-timestamp view arrives and miss the
+    * tie-inclusive match. */
+  def asofJoin(events: Dataset[Event],
+      quietMinutes: Long = 60,
+      watermark: String = "10 minutes"): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    val quietMs = quietMinutes * 60000L
+
+    def fold(userId: Long, st: AsofState, evs: Seq[PendAsof])
+        : (AsofState, Vector[AsofMatch]) = {
+      var s = st
+      var out = Vector.empty[AsofMatch]
+      evs.sortBy(e => (e.us, e.tag, e.id)).foreach { e =>
+        if (e.tag == 0)
+          s = s.copy(lastBuildId = Some(e.id), lastBuildUs = Some(e.us))
+        else
+          out :+= AsofMatch(e.id, userId, e.us, e.value,
+            s.lastBuildId, s.lastBuildUs, s.lastBuildUs.map(e.us - _))
+      }
+      (s, out)
+    }
+
+    events
+      .where(col("eventType").isin("view", "purchase"))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[AsofState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark > timeout ≥ every pending event: all sealed
+            val (_, out) = fold(userId, state.get, state.get.pending)
+            state.remove()
+            out.iterator
+          } else {
+            val st0 = state.getOption
+              .getOrElse(AsofState(Vector.empty, None, None, 0L))
+            val arrivals = it.map { e =>
+              PendAsof(e.ts.getTime * 1000L,
+                if (e.eventType == "view") 0 else 1, e.eventId, e.value)
+            }.toVector
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (ready, still) =
+              (st0.pending ++ arrivals).partition(_.us < wmUs)
+            val (s2, out) = fold(userId, st0, ready)
+            val lastUs = (st0.lastEventUs +: arrivals.map(_.us)).max
+            state.update(s2.copy(pending = still, lastEventUs = lastUs))
+            state.setTimeoutTimestamp(lastUs / 1000L + quietMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming range join — the continuous form of the batch
     * `e03_range_join`: for every purchase, how many views by the same
     * user in the prior `lookbackMinutes` (exclusive-open,

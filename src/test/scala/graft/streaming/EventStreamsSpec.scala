@@ -134,6 +134,66 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join agrees with batch e01, incl. reorder and equal-ts seal") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, user, type, minute)
+    val log = Seq(
+      // user 1: probe before any view → null match; tie at 10 matches
+      // inclusively; equal-ts views at 20 → max event_id wins
+      (99L, 1L, "purchase", 5L), (1L, 1L, "view", 10L),
+      (100L, 1L, "purchase", 10L), (2L, 1L, "view", 20L),
+      (3L, 1L, "view", 20L), (101L, 1L, "purchase", 25L),
+      // user 2: view@55 arrives a batch AFTER its probe@58 (batch 1's
+      // max is 60 → wm 50, so 55 clears the late filter) — the strict
+      // seal must hold the probe back until the view is orderable
+      (200L, 2L, "purchase", 58L), (4L, 2L, "view", 55L),
+      // user 3: never any view
+      (300L, 3L, "purchase", 50L),
+      // user 4: the equal-ts pair is SPLIT across batches — only a
+      // strict (<) seal folds them together
+      (400L, 4L, "purchase", 60L), (5L, 4L, "view", 60L))
+    val batch2 = Set(4L, 5L)
+
+    val src = MemoryStream[Event]
+    val q = asofJoin(src.toDS(), quietMinutes = 60)
+      .writeStream.format("memory").queryName("asof_matches")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def send(ids: Set[Long]): Unit = {
+        src.addData(log.filter(e => ids.contains(e._1)).map {
+          case (id, u, t, m) => Event(id, u, t, 1.0, ts(m)) }: _*)
+        q.processAllAvailable()
+      }
+      send(log.map(_._1).toSet -- batch2)
+      send(batch2)
+      src.addData(ev(990, 99L, 200)); q.processAllAvailable()
+      src.addData(ev(991, 99L, 400)); q.processAllAvailable()
+
+      val got = spark.table("asof_matches").as[AsofMatch].collect()
+        .map(r => r.purchaseId ->
+          ((r.userId, r.purchaseUs, r.viewId, r.viewUs, r.gapUs))).toMap
+
+      val d = java.nio.file.Files.createTempDirectory("graft-sasof").toString
+      log.map { case (id, u, t, m) =>
+        (id, 1700000000000000000L + m * 60000000000L, u, t) }
+        .toDF("event_id", "ts_ns", "user_id", "event_type")
+        .selectExpr("event_id", "ts_ns AS ts", "user_id", "event_type",
+          "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      val want = graft.queries.EventPipeline.asofJoin(spark, d).collect()
+        .map { r =>
+          def optL(i: Int) = Option(r.get(i)).map(_.asInstanceOf[Long])
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), optL(4), optL(5),
+            optL(6)))
+        }.toMap
+      assert(got === want)
+      // the reordered and split-tie cases really matched
+      assert(got(200L)._3 === Some(4L))
+      assert(got(400L)._3 === Some(5L))
+    } finally q.stop()
+  }
+
   test("stream-stream range join counts prior-hour views per purchase, incl. zero") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
