@@ -838,6 +838,41 @@ object TextPipeline extends graft.Registry {
       .orderBy("source")
   }
 
+  /** td22 calibration: document budget for the expected-sample-count
+    * column (the "how many docs would a B-doc sample draw from each
+    * language" planning number). */
+  private[graft] val SampleBudget = 100000L
+
+  /** td22: temperature-sampled mixture weights — the multilingual
+    * sampling-ratio computation (α = 0.5: weight ∝ √corpus-tokens)
+    * used to up-weight low-resource languages when drawing a training
+    * mixture, as in the XLM-R / mT5 recipe. Per language: corpus size,
+    * the quantized weight, its parts-per-million share, and the
+    * expected document count under a [[SampleBudget]]-doc draw.
+    *
+    * Determinism: √ is IEEE-correctly-rounded in both engines and each
+    * weight is quantized to 2²⁰-scaled BIGINT per GROUP (never summed
+    * as a float), so the share arithmetic is pure integer — `div`
+    * truncation and DuckDB's `//` floor agree because every operand is
+    * non-negative. Scale: one shuffle on lang (a bounded domain — the
+    * per-group token sum is the only corpus-sized work), then the
+    * 1-row weight total broadcast back; share math is row-local. */
+  def sampleWeights(s: SparkSession, dir: String): DataFrame = {
+    val perLang = docs(s, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+      .withColumn("w_q20",
+        floor(sqrt(col("total_tokens").cast("double")) * (1L << 20))
+          .cast("long"))
+    val total = perLang.agg(sum("w_q20").as("w_total"))
+    perLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("w_q20"),
+        expr("w_q20 * 1000000 div w_total").as("share_ppm"),
+        expr(s"w_q20 * $SampleBudget div w_total").as("expected_docs"))
+      .orderBy("lang")
+  }
+
   /** td19 calibration: sketch capacity and report size. Validity is
     * enforced, not hoped for — see [[heavyHittersOf]]. */
   private[graft] val HhCapacity = 256
@@ -1054,7 +1089,8 @@ object TextPipeline extends graft.Registry {
     "td18_pack_chunks" -> packChunks,
     "td19_heavy_hitters" -> heavyHitters,
     "td20_bigram_step" -> bigramStep,
-    "td21_source_quality" -> sourceQuality
+    "td21_source_quality" -> sourceQuality,
+    "td22_sample_weights" -> sampleWeights
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -1210,6 +1246,24 @@ object TextPipeline extends graft.Registry {
          |       MIN(CASE WHEN rn * 100 >= n * 95 THEN qq END) AS p95_q20
          |FROM ranked GROUP BY source ORDER BY source""".stripMargin
     },
+    "td22_sample_weights" ->
+      s"""WITH d AS (
+         |  SELECT lang, len(string_split(text, ' ')) AS n_tok
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |         CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+         |  FROM d GROUP BY lang),
+         |w AS (
+         |  SELECT lang, n_docs, total_tokens,
+         |         CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)) * 1048576)
+         |              AS BIGINT) AS w_q20
+         |  FROM g),
+         |t AS (SELECT CAST(SUM(w_q20) AS BIGINT) AS w_total FROM w)
+         |SELECT lang, n_docs, total_tokens, w_q20,
+         |       w_q20 * 1000000 // w_total AS share_ppm,
+         |       w_q20 * $SampleBudget // w_total AS expected_docs
+         |FROM w CROSS JOIN t ORDER BY lang""".stripMargin,
     "td15_substring_dedup" ->
       s"""WITH t AS (
          |  SELECT source, string_split(text, ' ') AS t FROM documents

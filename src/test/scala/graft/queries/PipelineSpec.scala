@@ -633,6 +633,29 @@ class PipelineSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("td22 sample weights equal an in-memory sqrt-temperature computation") {
+    val got = TextPipeline.sampleWeights(spark, dir).collect()
+      .map(r => r.getString(0) -> (1 to 5).map(r.getLong).toSeq).toMap
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val perLang = toks.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._2).sum)
+    }.toMap
+    val wq = perLang.view.mapValues { case (_, tt) =>
+      math.floor(math.sqrt(tt.toDouble) * (1L << 20)).toLong
+    }.toMap
+    val wTotal = wq.values.sum
+    val want = perLang.map { case (lang, (n, tt)) =>
+      lang -> Seq(n, tt, wq(lang), wq(lang) * 1000000L / wTotal,
+        wq(lang) * TextPipeline.SampleBudget / wTotal)
+    }
+    assert(got === want)
+    // shares are a partition of ~1e6 (floor slack < n_langs)
+    val ppm = got.values.map(_(3)).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - got.size)
+  }
+
   test("td19 refuses loudly when exactness is uncertifiable at the ceiling") {
     import spark.implicits._
     // same uniform corpus, but the escalation ceiling stops below the
