@@ -484,6 +484,36 @@ object VectorPipeline extends graft.Registry {
       .orderBy("cluster", "rk")
   }
 
+  /** v08: ANN recall evaluation — recall@k of the two approximate
+    * indexes ([[annLsh]], [[annIvf]]) against the exact brute-force
+    * baseline ([[annBrute]]), per query: how many of the true top-k
+    * neighbors each index returned, with the ratio as integer ppm.
+    * This is the eval harness every production ANN deployment runs
+    * before trusting an index — recall is THE quality axis traded
+    * against the index's pruning.
+    *
+    * Scale: the corpus-sized work is entirely inside the three
+    * underlying operators; everything here joins k-row-per-query
+    * result sets keyed on (query_id, neighbor_id), so the eval itself
+    * is bounded by the query set, not the corpus. Integer hit counts
+    * and `div` ppm keep the report bit-identical across engines. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = annBrute(s, dir).select("query_id", "neighbor_id")
+    def hits(approx: DataFrame, name: String) =
+      exact.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits(annLsh(s, dir), "lsh_hits"), Seq("query_id"), "left")
+      .join(hits(annIvf(s, dir), "ivf_hits"), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+      .withColumn("lsh_recall_ppm", expr("lsh_hits * 1000000 div n_true"))
+      .withColumn("ivf_recall_ppm", expr("ivf_hits * 1000000 div n_true"))
+      .orderBy("query_id")
+  }
+
   /** Embedding-corpus health stats — the DQ pass a vector corpus gets
     * before any index build: corpus size, dimension bounds (a mixed-dim
     * corpus breaks every downstream kernel), zero-norm and non-finite
@@ -521,7 +551,8 @@ object VectorPipeline extends graft.Registry {
     "v04_ann_ivf_topk" -> annIvf,
     "v05_embedding_stats" -> embeddingStats,
     "v06_kmeans_step" -> kmeansStep,
-    "v07_diverse_sample" -> diverseSample
+    "v07_diverse_sample" -> diverseSample,
+    "v08_ann_recall" -> annRecall
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -668,6 +699,70 @@ object VectorPipeline extends graft.Registry {
          |       CAST(COALESCE(r.n_reassigned, 0) AS BIGINT) AS n_reassigned
          |FROM moved m LEFT JOIN re r ON r.cluster = m.cluster
          |ORDER BY m.cluster""".stripMargin,
+    "v08_ann_recall" ->
+      s"""WITH $normDuckCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+         |      FROM e WHERE vec_id < $NumQueries),
+         |bt AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${dotDuck("q.qe", "e.embedding")} / (q.qn * e.nrm)
+         |                        DESC, e.vec_id) AS rnk
+         |    FROM q JOIN e ON e.vec_id <> q.query_id) WHERE rnk <= $TopK),
+         |eb AS (SELECT vec_id, embedding, nrm, $bucketDuck AS bucket FROM e),
+         |lq AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+         |              bucket AS qbucket
+         |       FROM eb WHERE vec_id < $NumQueries),
+         |lt AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT lq.query_id, eb.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY lq.query_id
+         |             ORDER BY ${dotDuck("lq.qe", "eb.embedding")} / (lq.qn * eb.nrm)
+         |                        DESC, eb.vec_id) AS rnk
+         |    FROM lq JOIN eb
+         |      ON eb.bucket = lq.qbucket AND eb.vec_id <> lq.query_id)
+         |  WHERE rnk <= $TopK),
+         |seeds AS (SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+         |          FROM e WHERE vec_id < $NumSeeds),
+         |to_seed AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, s.seed_id,
+         |         ${dotDuck("e.embedding", "s.se")} / (e.nrm * s.sn) AS scos
+         |  FROM e CROSS JOIN seeds s),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, seed_id FROM (
+         |    SELECT vec_id, embedding, nrm, seed_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY scos DESC, seed_id) AS arn
+         |    FROM to_seed) WHERE arn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, seed_id FROM (
+         |    SELECT vec_id, embedding, nrm, seed_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY scos DESC, seed_id) AS prn
+         |    FROM to_seed WHERE vec_id < $NumQueries) WHERE prn <= $NProbe),
+         |it AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, a.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |             ORDER BY ${dotDuck("p.qe", "a.embedding")} / (p.qn * a.nrm)
+         |                        DESC, a.vec_id) AS rnk
+         |    FROM assigned a JOIN probes p ON a.seed_id = p.seed_id
+         |    WHERE a.vec_id <> p.query_id) WHERE rnk <= $TopK),
+         |agg AS (
+         |  SELECT bt.query_id, COUNT(*) AS n_true,
+         |         CAST(COUNT(lt.neighbor_id) AS BIGINT) AS lsh_hits,
+         |         CAST(COUNT(it.neighbor_id) AS BIGINT) AS ivf_hits
+         |  FROM bt
+         |  LEFT JOIN lt ON lt.query_id = bt.query_id
+         |              AND lt.neighbor_id = bt.neighbor_id
+         |  LEFT JOIN it ON it.query_id = bt.query_id
+         |              AND it.neighbor_id = bt.neighbor_id
+         |  GROUP BY bt.query_id)
+         |SELECT query_id, n_true, lsh_hits, ivf_hits,
+         |       lsh_hits * 1000000 // n_true AS lsh_recall_ppm,
+         |       ivf_hits * 1000000 // n_true AS ivf_recall_ppm
+         |FROM agg ORDER BY query_id""".stripMargin,
     "v07_diverse_sample" -> {
       val h32Text = graft.pipeline.TextPrep.h32Sql("d.text")
       s"""WITH $normDuckCte,

@@ -158,6 +158,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("v08 recall report equals set intersections of the three ANN results") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(VectorPipeline.annBrute(spark, dir))
+    val lsh = pairs(VectorPipeline.annLsh(spark, dir))
+    val ivf = pairs(VectorPipeline.annIvf(spark, dir))
+    val got = VectorPipeline.annRecall(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("query_id")).toSeq === (0L until 10L))
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val trueK = brute.filter(_._1 == q)
+      assert(r.getAs[Long]("n_true") === trueK.size.toLong)
+      assert(r.getAs[Long]("lsh_hits") === trueK.count(lsh.contains).toLong)
+      assert(r.getAs[Long]("ivf_hits") === trueK.count(ivf.contains).toLong)
+      assert(r.getAs[Long]("lsh_recall_ppm") ===
+        r.getAs[Long]("lsh_hits") * 1000000L / r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("ivf_recall_ppm") ===
+        r.getAs[Long]("ivf_hits") * 1000000L / r.getAs[Long]("n_true"))
+    }
+  }
+
   // Planted near-dup corpus: 200 deterministic pseudo-random base
   // vectors (uniform [-1,1] per dim via a murmur-finalizer mix) plus
   // 40 noisy copies at ~0.95 cosine to their base. The REAL testdata
