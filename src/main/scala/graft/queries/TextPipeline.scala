@@ -478,25 +478,7 @@ object TextPipeline extends graft.Registry {
     * shuffle-friendly LSH bucket join that replaces all-pairs search.
     */
   def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
-    val mhAggs = (0 until NumHashes).map(i => min(perm(i, col("h"))).as(s"mh$i"))
-    val sig = shingleIndex(s, dir)
-      .groupBy("doc_id")
-      .agg(mhAggs.head, mhAggs.tail: _*)
-      .cache()
-    // Single bucket join: every (doc, band) row keys on the band's
-    // 4-hash string and carries the whole signature as an array, so
-    // the match count and est_sim filter run inside the join —
-    // candidates shrink BEFORE the cross-band distinct, with ONE
-    // shuffle keyed on (band, bkey).
-    val bands = (0 until Bands)
-      .map { j =>
-        sig.select(
-          col("doc_id"), lit(j).as("band"),
-          concat_ws(":",
-            (0 until Rows).map(k => col(s"mh${j * Rows + k}")): _*).as("bkey"),
-          array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sigarr"))
-      }
-      .reduce(_ unionAll _)
+    val bands = minhashBands(s, dir)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -509,6 +491,85 @@ object TextPipeline extends graft.Registry {
       .distinct()
       .withColumn("est_sim", expr(s"CAST(n_matching AS DOUBLE) / $NumHashes"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Banded MinHash index rows: one row per (doc, band), keyed by the
+    * band's 4-hash string, carrying the whole signature as an array so
+    * match counting runs inside any downstream band join — candidates
+    * shrink BEFORE their cross-band distinct, with ONE shuffle keyed
+    * on (band, bkey). Shared by the intra-corpus pair search (td07)
+    * and the incremental ingest gate (td23). */
+  private[queries] def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val mhAggs = (0 until NumHashes).map(i => min(perm(i, col("h"))).as(s"mh$i"))
+    val sig = shingleIndex(s, dir)
+      .groupBy("doc_id")
+      .agg(mhAggs.head, mhAggs.tail: _*)
+      .cache()
+    (0 until Bands)
+      .map { j =>
+        sig.select(
+          col("doc_id"), lit(j).as("band"),
+          concat_ws(":",
+            (0 until Rows).map(k => col(s"mh${j * Rows + k}")): _*).as("bkey"),
+          array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sigarr"))
+      }
+      .reduce(_ unionAll _)
+  }
+
+  /** td23 split: documents with `doc_id % IngestMod = IngestNewRem`
+    * play the incoming batch; the rest are the standing corpus. */
+  private[graft] val IngestMod = 5L
+  private[graft] val IngestNewRem = 4L
+
+  /** td23: incremental ingestion dedup — the gate a daily crawl batch
+    * passes before joining the corpus: each NEW document (the
+    * deterministic [[IngestMod]]-split above) is checked against the
+    * STANDING corpus only (new-vs-new duplicates are td05/td07's
+    * job at the next compaction), first byte-exact (md5 membership),
+    * then MinHash-near (band collision + signature agreement ≥
+    * [[EstSimThreshold]], the td07 criterion). Per source: batch
+    * size, exact dupes, near-but-not-exact dupes, and the admitted
+    * remainder.
+    *
+    * Scale: the exact gate is an md5-keyed semi-join and the near
+    * gate joins the batch's band rows against the corpus band index
+    * on (band, bkey) — both hash-distribute, and at production scale
+    * the corpus side is the STORED index (td07 already materializes
+    * it), so a batch ingest reads it instead of recomputing. The
+    * per-doc distincts bound intermediate rows by batch size. md5 is
+    * compared only WITHIN each engine, never emitted, so the report
+    * stays engine-portable. */
+  def ingestDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("is_new", col("doc_id") % IngestMod === IngestNewRem)
+    val md = d.select(col("doc_id"), col("is_new"), md5(col("text")).as("mh"))
+    val exactNew = md.where(col("is_new"))
+      .join(md.where(!col("is_new")).select("mh").distinct(),
+        Seq("mh"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("is_exact", lit(true))
+    val flagged = minhashBands(s, dir)
+      .join(d.select("doc_id", "is_new"), Seq("doc_id"))
+    val nearNew = flagged.where(col("is_new")).as("a")
+      .join(flagged.where(!col("is_new")).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .where(
+        expr("size(filter(zip_with(a.sigarr, b.sigarr, (x, y) -> x = y), m -> m))")
+          >= math.ceil(EstSimThreshold * NumHashes).toInt)
+      .select(col("a.doc_id").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    d.where(col("is_new")).select(col("doc_id"), col("source"))
+      .join(exactNew, Seq("doc_id"), "left")
+      .join(nearNew, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_new"),
+        sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("is_near") && col("is_exact").isNull, 1L).otherwise(0L))
+          .as("n_near_dup"),
+        sum(when(col("is_exact").isNull && col("is_near").isNull, 1L)
+          .otherwise(0L)).as("n_admitted"))
+      .orderBy("source")
   }
 
   /** 64-bit SimHash signature over a `(doc_id, h, h2)` shingle-hash
@@ -1090,7 +1151,8 @@ object TextPipeline extends graft.Registry {
     "td19_heavy_hitters" -> heavyHitters,
     "td20_bigram_step" -> bigramStep,
     "td21_source_quality" -> sourceQuality,
-    "td22_sample_weights" -> sampleWeights
+    "td22_sample_weights" -> sampleWeights,
+    "td23_ingest_dedup" -> ingestDedup
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -1415,6 +1477,50 @@ object TextPipeline extends graft.Registry {
          |FROM scored
          |WHERE CAST(n_matching AS DOUBLE) / $NumHashes >= $EstSimThreshold
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "td23_ingest_dedup" -> {
+      val bandSelects = (0 until Bands).map { j =>
+        val key = (0 until Rows).map(k => s"mh${j * Rows + k}")
+          .mkString(" || ':' || ")
+        s"SELECT doc_id, $j AS band, $key AS bkey FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      val matches = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shingleHashesSqlCte,
+         |$minhashSigSql,
+         |bands AS (
+         |  $bandSelects),
+         |flags AS (
+         |  SELECT doc_id, source,
+         |         (doc_id % $IngestMod = $IngestNewRem) AS is_new
+         |  FROM documents),
+         |exact_new AS (
+         |  SELECT DISTINCT doc_id FROM documents
+         |  WHERE doc_id % $IngestMod = $IngestNewRem
+         |    AND md5(text) IN (SELECT md5(text) FROM documents
+         |                      WHERE doc_id % $IngestMod <> $IngestNewRem)),
+         |near_new AS (
+         |  SELECT DISTINCT nb.doc_id
+         |  FROM bands nb
+         |  JOIN flags fn ON fn.doc_id = nb.doc_id AND fn.is_new
+         |  JOIN bands ob ON ob.band = nb.band AND ob.bkey = nb.bkey
+         |  JOIN flags fo ON fo.doc_id = ob.doc_id AND NOT fo.is_new
+         |  JOIN sig sa ON sa.doc_id = nb.doc_id
+         |  JOIN sig sb ON sb.doc_id = ob.doc_id
+         |  WHERE $matches >= ${math.ceil(EstSimThreshold * NumHashes).toInt})
+         |SELECT f.source, COUNT(*) AS n_new,
+         |       CAST(SUM(CASE WHEN e.doc_id IS NOT NULL
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |       CAST(SUM(CASE WHEN e.doc_id IS NULL AND n.doc_id IS NOT NULL
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+         |       CAST(SUM(CASE WHEN e.doc_id IS NULL AND n.doc_id IS NULL
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+         |FROM flags f
+         |LEFT JOIN exact_new e ON e.doc_id = f.doc_id
+         |LEFT JOIN near_new n ON n.doc_id = f.doc_id
+         |WHERE f.is_new
+         |GROUP BY f.source ORDER BY f.source""".stripMargin
     },
     "td10_sample_strata" ->
       s"""SELECT lang, COUNT(*) AS n_sampled,

@@ -677,6 +677,33 @@ class PipelineSpec extends SparkSpec {
     assert(ppm <= 1000000L && ppm > 1000000L - got.size)
   }
 
+  test("td23 ingest gate agrees with in-memory exact dupes and td07 pair semantics") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def isNew(id: Long) = id % TextPipeline.IngestMod == TextPipeline.IngestNewRem
+    val oldTexts = rows.collect { case (id, t, _) if !isNew(id) => t }.toSet
+    val exact = rows.collect {
+      case (id, t, _) if isNew(id) && oldTexts(t) => id
+    }.toSet
+    // td23's near criterion is td07's (band collision + est_sim >= .5),
+    // restricted to new-vs-old pairs — derive it from the declared td07
+    val near = TextPipeline.dedupMinHash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .collect { case (x, y) if isNew(x) && !isNew(y) => x }.toSet
+    val want = rows.filter(r => isNew(r._1)).groupBy(_._3).view.mapValues { rs =>
+      val ids = rs.map(_._1)
+      val nEx = ids.count(exact)
+      val nNear = ids.count(id => near(id) && !exact(id))
+      Seq(ids.length.toLong, nEx.toLong, nNear.toLong,
+        (ids.length - nEx - nNear).toLong)
+    }.toMap
+    val got = TextPipeline.ingestDedup(spark, dir).collect()
+      .map(r => r.getString(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+    assert(got === want)
+  }
+
   test("td19 refuses loudly when exactness is uncertifiable at the ceiling") {
     import spark.implicits._
     // same uniform corpus, but the escalation ceiling stops below the
