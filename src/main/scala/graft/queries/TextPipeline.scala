@@ -934,6 +934,61 @@ object TextPipeline extends graft.Registry {
       .orderBy("lang")
   }
 
+  /** td24: per-source distribution drift — the curation audit that
+    * flags a source whose token distribution diverges from the
+    * corpus (spam farms, boilerplate mirrors, mis-tagged languages
+    * all show up here before any model does): total-variation-style
+    * L1 distance between each source's token frequencies and the
+    * corpus-wide distribution, in exact integer ppm space, plus the
+    * most-deviating token as the "why" column.
+    *
+    * The L1 sum runs over the FULL corpus vocabulary without ever
+    * materializing source × vocabulary: Σ_t |obs − exp| =
+    * Σ_{t∈source} |obs − exp| + (Σ_corpus exp − Σ_{t∈source} exp) —
+    * absent tokens contribute exactly their expected ppm, folded in
+    * via one global scalar. Frequencies quantize to ppm by integer
+    * division (all operands non-negative, so Spark `div` ≡ DuckDB
+    * `//`), keeping the report bit-identical across engines.
+    *
+    * Scale: one shuffle on (source, token), one on token (the
+    * corpus-frequency side is deliberately unhinted, like td03's
+    * vocab join — broadcast when it fits, SMJ at web-scale
+    * vocabularies), one on source for the report; the two scalar
+    * frames broadcast. The top-deviator window partitions by source
+    * over rows the report shuffle already co-located. */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val st = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val ts = st.groupBy("source").agg(sum("c").as("ts"))
+    val ct = st.groupBy("token").agg(sum("c").as("ct")).cache()
+    val g = ct.agg(sum("ct").as("g"))
+    val sExp = ct.crossJoin(broadcast(g))
+      .agg(sum(expr("ct * 1000000 div g")).as("s_exp"))
+    val j = st.join(ts, "source").join(ct, "token").crossJoin(broadcast(g))
+      .select(col("source"), col("token"), col("ts"),
+        expr("c * 1000000 div ts").as("obs_ppm"),
+        expr("ct * 1000000 div g").as("exp_ppm"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("dev"), col("token"))
+    j.withColumn("dev", expr("abs(obs_ppm - exp_ppm)"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        max("ts").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum("dev").as("l1_present"),
+        sum("exp_ppm").as("exp_present"),
+        max(when(col("rn") === 1, col("token"))).as("top_token"),
+        max(when(col("rn") === 1, col("dev"))).as("top_dev_ppm"))
+      .crossJoin(broadcast(sExp))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        (col("l1_present") + col("s_exp") - col("exp_present"))
+          .as("drift_ppm"),
+        col("top_token"), col("top_dev_ppm"))
+      .orderBy("source")
+  }
+
   /** td19 calibration: sketch capacity and report size. Validity is
     * enforced, not hoped for — see [[heavyHittersOf]]. */
   private[graft] val HhCapacity = 256
@@ -1152,7 +1207,8 @@ object TextPipeline extends graft.Registry {
     "td20_bigram_step" -> bigramStep,
     "td21_source_quality" -> sourceQuality,
     "td22_sample_weights" -> sampleWeights,
-    "td23_ingest_dedup" -> ingestDedup
+    "td23_ingest_dedup" -> ingestDedup,
+    "td24_source_drift" -> sourceDrift
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -1326,6 +1382,38 @@ object TextPipeline extends graft.Registry {
          |       w_q20 * 1000000 // w_total AS share_ppm,
          |       w_q20 * $SampleBudget // w_total AS expected_docs
          |FROM w CROSS JOIN t ORDER BY lang""".stripMargin,
+    "td24_source_drift" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |st AS (
+         |  SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |ts AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts
+         |       FROM st GROUP BY 1),
+         |ct AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ct
+         |       FROM st GROUP BY 1),
+         |g AS (SELECT CAST(SUM(ct) AS BIGINT) AS g FROM ct),
+         |sexp AS (
+         |  SELECT CAST(SUM(ct.ct * 1000000 // g.g) AS BIGINT) AS s_exp
+         |  FROM ct CROSS JOIN g),
+         |j AS (
+         |  SELECT st.source, st.token, ts.ts,
+         |         st.c * 1000000 // ts.ts AS obs_ppm,
+         |         ct.ct * 1000000 // g.g AS exp_ppm
+         |  FROM st JOIN ts USING (source) JOIN ct USING (token)
+         |  CROSS JOIN g),
+         |d AS (
+         |  SELECT source, token, ts, obs_ppm, exp_ppm,
+         |         abs(obs_ppm - exp_ppm) AS dev,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY abs(obs_ppm - exp_ppm) DESC, token) AS rn
+         |  FROM j)
+         |SELECT source, MAX(ts) AS n_tokens, COUNT(*) AS n_distinct,
+         |       CAST(SUM(dev) AS BIGINT) + (SELECT s_exp FROM sexp)
+         |         - CAST(SUM(exp_ppm) AS BIGINT) AS drift_ppm,
+         |       MAX(CASE WHEN rn = 1 THEN token END) AS top_token,
+         |       MAX(CASE WHEN rn = 1 THEN dev END) AS top_dev_ppm
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "td15_substring_dedup" ->
       s"""WITH t AS (
          |  SELECT source, string_split(text, ' ') AS t FROM documents

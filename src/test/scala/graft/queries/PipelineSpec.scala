@@ -704,6 +704,38 @@ class PipelineSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("td24 drift equals an in-memory full-vocabulary L1 computation") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    val st = rows.flatMap { case (src, ts) => ts.map((src, _)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ts = st.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = st.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val g = ct.values.sum
+    val expPpm = ct.view.mapValues(c => c * 1000000L / g).toMap
+    val sExp = expPpm.values.sum
+    // the in-memory reference sums |obs - exp| over the WHOLE corpus
+    // vocabulary directly — the operator's folded identity must
+    // reproduce it exactly
+    val got = TextPipeline.sourceDrift(spark, dir).collect()
+    got.foreach { r =>
+      val src = r.getString(0)
+      val devs = ct.keys.map { t =>
+        val obs = st.getOrElse((src, t), 0L) * 1000000L / ts(src)
+        t -> math.abs(obs - expPpm(t))
+      }.toMap
+      val present = st.keys.filter(_._1 == src).map(_._2).toSet
+      val top = present.map(t => (t, devs(t))).minBy { case (t, d) => (-d, t) }
+      assert(r.getLong(1) === ts(src))
+      assert(r.getLong(2) === present.size.toLong)
+      assert(r.getLong(3) === devs.values.sum)
+      assert(r.getString(4) === top._1)
+      assert(r.getLong(5) === top._2)
+    }
+    assert(got.map(_.getString(0)).toSeq === ts.keys.toSeq.sorted)
+  }
+
   test("td19 refuses loudly when exactness is uncertifiable at the ceiling") {
     import spark.implicits._
     // same uniform corpus, but the escalation ceiling stops below the

@@ -74,6 +74,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ingest gate (td23): band equijoins only — no cartesian/BNLJ anywhere") {
+    val p = plan(TextPipeline.ingestDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "new-vs-old candidates must come from (band, bkey) / md5 equijoins")
+    assert(p.contains("partial_count"),
+      "the per-source report needs a map-side partial phase")
+  }
+
   test("kmeans step (v06): integer folds, partial sums, no sort-merge or cartesian") {
     val p = plan(VectorPipeline.kmeansStep(spark, dir))
     assert(p.contains("partial_sum"),
