@@ -499,7 +499,7 @@ object TextPipeline extends graft.Registry {
     * shrink BEFORE their cross-band distinct, with ONE shuffle keyed
     * on (band, bkey). Shared by the intra-corpus pair search (td07)
     * and the incremental ingest gate (td23). */
-  private[queries] def minhashBands(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val mhAggs = (0 until NumHashes).map(i => min(perm(i, col("h"))).as(s"mh$i"))
     val sig = shingleIndex(s, dir)
       .groupBy("doc_id")

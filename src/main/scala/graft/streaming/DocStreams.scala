@@ -343,22 +343,21 @@ object DocStreams {
     * consumers (or the test) de-duplicate — the standard at-least-once
     * LSH emission.
     */
-  def nearDupMinHash(docs: DataFrame,
-      watermark: String = "1 hour",
-      estSimThreshold: Double = 0.5,
-      maxBucketDocs: Int = 64): Dataset[NearDupPair] = {
-    import docs.sparkSession.implicits._
+  /** Row-local banded MinHash rows over a `(doc_id, source, text,
+    * ingest_ts)` frame: distinct word 3-grams → 32-bit md5-prefix
+    * hash → min over each frozen permutation, one output row per
+    * (doc, band) with the band key in the SAME `mh:mh:mh:mh` format
+    * as the batch index ([[graft.queries.TextPipeline.minhashBands]])
+    * so stream and batch rows join against each other. Every step is
+    * a codegen'd array expression — no shuffle, so it composes with
+    * downstream stateful operators; works identically on a batch
+    * frame (pinned by DocStreamsSpec). */
+  private[graft] def rowLocalBands(docs: DataFrame): DataFrame = {
     import graft.pipeline.TextPrep.{MinHashAB, MinHashP}
     graft.functions.Functions.register(docs.sparkSession)
-
     val NumHashes = MinHashAB.size
     val Bands = 4
     val Rows = NumHashes / Bands
-    val minMatches = math.ceil(estSimThreshold * NumHashes).toInt
-
-    // Row-local signature: distinct word 3-grams → 32-bit md5-prefix
-    // hash → min over each frozen permutation. Mirrors TextPrep
-    // exactly; every step is a codegen'd array expression.
     val shingled = docs
       .withColumn("t", split(col("text"), " "))
       .where(size(col("t")) >= 3)
@@ -372,17 +371,30 @@ object DocStreams {
         .as(s"mh$i")
     }
     val sig = shingled.select(
-      Seq(col("doc_id"), col("ingest_ts")) ++ sigCols: _*)
+      Seq(col("doc_id"), col("source"), col("ingest_ts")) ++ sigCols: _*)
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"mh$i")): _*))
-
-    // One row per band, keyed by the band's hash slice.
-    val banded = (0 until Bands).map { j =>
+    (0 until Bands).map { j =>
       sig.select(
-        col("doc_id"), col("ingest_ts"), col("sig"),
+        col("doc_id"), col("source"), col("ingest_ts"), col("sig"),
+        lit(j).as("band"),
         concat_ws(":",
-          lit(j) +: (0 until Rows).map(k => col(s"mh${j * Rows + k}")): _*)
-          .as("bucket"))
+          (0 until Rows).map(k => col(s"mh${j * Rows + k}")): _*).as("bkey"))
     }.reduce(_ unionAll _)
+  }
+
+  def nearDupMinHash(docs: DataFrame,
+      watermark: String = "1 hour",
+      estSimThreshold: Double = 0.5,
+      maxBucketDocs: Int = 64): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.pipeline.TextPrep.MinHashAB
+
+    val NumHashes = MinHashAB.size
+    val minMatches = math.ceil(estSimThreshold * NumHashes).toInt
+
+    val banded = rowLocalBands(docs)
+      .select(col("doc_id"), col("ingest_ts"), col("sig"),
+        concat_ws(":", col("band"), col("bkey")).as("bucket"))
 
     banded
       .withWatermark("ingest_ts", watermark)
@@ -416,6 +428,57 @@ object DocStreams {
             out.iterator
           }
       }
+  }
+
+  /** Streaming ingestion gate — td23's continuous form: every
+    * arriving document gets an admission verdict against the STATIC
+    * standing corpus, ON INGEST instead of at the next batch sweep.
+    * `exact_dup` = its md5 is already in the corpus; `near_dup` = a
+    * corpus doc shares a MinHash band AND ≥ `estSimThreshold`
+    * signature agreement (the td07/td23 bar); `admitted` otherwise.
+    * One verdict row per document, finalized when the watermark
+    * closes its 1-minute arrival window.
+    *
+    * Shape: the md5 check is a stateless stream-static join against
+    * the corpus digest set; the near check computes the banded
+    * signature ROW-LOCALLY ([[rowLocalBands]] — no shuffle, exactly
+    * the batch signature by construction) and stream-static-joins the
+    * corpus band index on (band, bkey) — both sides of the corpus
+    * are the STORED indexes at scale (td07 already materializes the
+    * band index), broadcast when they fit and shuffled when they
+    * don't. The two vote branches union into ONE windowed max-vote
+    * aggregation, the only stateful operator, so state is bounded by
+    * the watermark horizon regardless of corpus size. The watermark
+    * is applied BEFORE either branch filters, so both branch copies
+    * see every arrival and their watermarks advance together. */
+  def ingestGate(docs: DataFrame,
+      corpusBands: DataFrame, // (band, bkey, sigarr) — the td07 index
+      corpusMd5: DataFrame, // (mh) distinct md5 hex of corpus texts
+      estSimThreshold: Double = 0.5,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.pipeline.TextPrep.MinHashAB
+    val minMatches = math.ceil(estSimThreshold * MinHashAB.size).toInt
+    val wm = docs.withWatermark("ingest_ts", watermark)
+    val exactVotes = wm
+      .join(corpusMd5.select(col("mh").as("cmh")),
+        md5(col("text")) === col("cmh"), "left_outer")
+      .select(col("doc_id"), col("source"), col("ingest_ts"),
+        when(col("cmh").isNotNull, 1).otherwise(0).as("exact_vote"),
+        lit(0).as("near_vote"))
+    val nearVotes = rowLocalBands(wm)
+      .join(corpusBands, Seq("band", "bkey"))
+      .where(expr(
+        s"size(filter(zip_with(sig, sigarr, (x, y) -> x = y), m -> m)) >= $minMatches"))
+      .select(col("doc_id"), col("source"), col("ingest_ts"),
+        lit(0).as("exact_vote"), lit(1).as("near_vote"))
+    exactVotes.unionByName(nearVotes)
+      .groupBy(col("doc_id"), col("source"),
+        window(col("ingest_ts"), "1 minute"))
+      .agg(max("exact_vote").as("ex"), max("near_vote").as("nr"))
+      .select(col("doc_id"), col("source"),
+        when(col("ex") === 1, "exact_dup")
+          .when(col("nr") === 1, "near_dup")
+          .otherwise("admitted").as("verdict"))
   }
 
   /** A SimHash near-dup hit with its exact Hamming distance. */

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, md5}
 import org.apache.spark.sql.streaming.OutputMode
 import DocStreams._
 
@@ -67,6 +68,55 @@ class DocStreamsSpec extends SparkSpec {
       // same constants, same banding, same threshold → same pair set
       assert(streamPairs === batchPairs)
       assert(streamPairs.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming ingest gate verdicts aggregate to the batch td23 counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val mod = graft.queries.TextPipeline.IngestMod
+    val rem = graft.queries.TextPipeline.IngestNewRem
+    // stream = the td23 "incoming batch" split; static = the rest
+    val newDocs = graft.sources.Tables.table(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .filter(_.getAs[Long]("doc_id") % mod == rem)
+      .sortBy(_.getAs[Long]("doc_id"))
+      .map(r => Doc(r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[String]("text"),
+        ts(r.getAs[Long]("doc_id"))))
+    val corpusBands = graft.queries.TextPipeline.minhashBands(spark, dir)
+      .where(col("doc_id") % mod =!= rem)
+      .select("band", "bkey", "sigarr")
+    val corpusMd5 = graft.sources.Tables.table(spark, dir, "documents")
+      .where(col("doc_id") % mod =!= rem)
+      .select(md5(col("text")).as("mh")).distinct()
+    val src = MemoryStream[Doc]
+    val q = ingestGate(snake(src.toDF()), corpusBands, corpusMd5)
+      .writeStream.format("memory").queryName("ingest_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(newDocs.toSeq)
+      q.processAllAvailable()
+      src.addData(doc(999999, "far future closer doc", 100000))
+      q.processAllAvailable()
+      val got = spark.table("ingest_gate").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[String]("verdict")))
+      // one closed-window verdict per streamed doc (closer excluded —
+      // its own window never closes)
+      assert(got.map(_._1).distinct.length === newDocs.length)
+      val bySource = got.groupBy(_._2).view.mapValues { rs =>
+        Seq(rs.length.toLong,
+          rs.count(_._3 == "exact_dup").toLong,
+          rs.count(_._3 == "near_dup").toLong,
+          rs.count(_._3 == "admitted").toLong)
+      }.toMap
+      val want = graft.queries.TextPipeline.ingestDedup(spark, dir).collect()
+        .map(r => r.getString(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+      // same split, same md5 gate, same band + agreement bar → the
+      // streamed verdicts aggregate to the batch report exactly
+      assert(bySource === want)
     } finally q.stop()
   }
 
