@@ -956,8 +956,14 @@ object TextPipeline extends graft.Registry {
     * vocabularies), one on source for the report; the two scalar
     * frames broadcast. The top-deviator window partitions by source
     * over rows the report shuffle already co-located. */
-  def sourceDrift(s: SparkSession, dir: String): DataFrame = {
-    val st = docs(s, dir)
+  def sourceDrift(s: SparkSession, dir: String): DataFrame =
+    sourceDriftOf(docs(s, dir))
+
+  /** [[sourceDrift]] over an arbitrary `(source, text)` frame — the
+    * declared query binds the stored corpus; DriftProperties binds
+    * random corpora against a direct full-vocabulary reference. */
+  private[queries] def sourceDriftOf(d: DataFrame): DataFrame = {
+    val st = d
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("c"))
     val ts = st.groupBy("source").agg(sum("c").as("ts"))
