@@ -262,6 +262,40 @@ object EventPipeline extends graft.Registry {
         sum("cents").as("total_cents"))
       .orderBy("event_type", "k_decile")
 
+  /** e06: inter-event gap distribution — the latency telemetry every
+    * event platform dashboards: discrete quantiles of the gap
+    * (whole seconds) between a user's consecutive events, grouped by
+    * the LATER event's type ("how long does a user idle before a
+    * purchase"). Quantiles use the td21 integer-rank method
+    * (smallest value whose 1-based rank clears ⌈p·n⌉ — no engine
+    * interpolation) and the gap floors in integer micros space, so
+    * the report is bit-identical across engines. Two shuffles: the
+    * per-user lag window, then the event_type rank windows, whose
+    * partitioning the report aggregate reuses. */
+  def gapQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ev_us", "event_id")
+    val wRank = Window.partitionBy("event_type").orderBy("gap_s")
+    val wAll = Window.partitionBy("event_type")
+    def atLeast(pct: Int) =
+      min(when(col("rn") * 100 >= col("n") * pct, col("gap_s")))
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), us(col("ts")).as("ev_us"),
+        col("event_id"))
+      .withColumn("prev_us", lag("ev_us", 1).over(wOrd))
+      .where(col("prev_us").isNotNull)
+      .withColumn("gap_s", expr("(ev_us - prev_us) div 1000000"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min("gap_s").as("min_gap_s"),
+        atLeast(50).as("p50_gap_s"),
+        atLeast(95).as("p95_gap_s"),
+        max("gap_s").as("max_gap_s"))
+      .orderBy("event_type")
+  }
+
   // -------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -269,7 +303,8 @@ object EventPipeline extends graft.Registry {
     "e02_sessionize" -> sessionize,
     "e03_range_join" -> rangeJoinViews,
     "e04_json_props" -> jsonProps,
-    "e05_funnel" -> funnel
+    "e05_funnel" -> funnel,
+    "e06_gap_quantiles" -> gapQuantiles
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -347,6 +382,28 @@ object EventPipeline extends graft.Registry {
     // Obviously-correct correlated-EXISTS form, per stage — the
     // engine's single-shuffle window plan must reproduce it exactly,
     // including inclusive horizon bounds and equal-timestamp hops.
+    "e06_gap_quantiles" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ev_us, event_id
+         |  FROM events),
+         |g AS (
+         |  SELECT event_type,
+         |         (ev_us - LAG(ev_us) OVER (PARTITION BY user_id
+         |            ORDER BY ev_us, event_id)) // 1000000 AS gap_s
+         |  FROM e),
+         |gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+         |ranked AS (
+         |  SELECT event_type, gap_s,
+         |         ROW_NUMBER() OVER (PARTITION BY event_type
+         |                            ORDER BY gap_s) AS rn,
+         |         COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM gg)
+         |SELECT event_type, COUNT(*) AS n_gaps,
+         |       MIN(gap_s) AS min_gap_s,
+         |       MIN(CASE WHEN rn * 100 >= n * 50 THEN gap_s END) AS p50_gap_s,
+         |       MIN(CASE WHEN rn * 100 >= n * 95 THEN gap_s END) AS p95_gap_s,
+         |       MAX(gap_s) AS max_gap_s
+         |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e05_funnel" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -64,6 +64,20 @@ class EventPipelineSpec extends SparkSpec {
       2L -> ((2L, 4L, secUs(1000), 3L))))
   }
 
+  test("gap quantiles (e06): per-type integer-rank quantiles of inter-event gaps") {
+    val got = EventPipeline.gapQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (1 to 5).map(r.getLong).toSeq).toMap
+    // user 1 order (ts, id): 22@900,10@1000,21@1500,11@2000,20@2000,25@3900
+    //   → gaps: view 100, purchase 500, view 500, purchase 0, click 1900
+    // user 2: 12@5000,13@5000,23@6000,24@9000
+    //   → gaps: view 0, purchase 1000, purchase 3000
+    // (n_gaps, min, p50, p95, max) per type, rank method ⌈p·n⌉
+    assert(got === Map(
+      "click" -> Seq(1L, 1900L, 1900L, 1900L, 1900L),
+      "purchase" -> Seq(4L, 0L, 500L, 3000L, 3000L),
+      "view" -> Seq(3L, 0L, 100L, 500L, 500L)))
+  }
+
   test("range join: 1h lookback counts, zero kept, bucket-border views found") {
     val got = EventPipeline.rangeJoinViews(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
