@@ -173,5 +173,11 @@ class EventPipelineSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(fun).size === 1,
       "all funnel stages and the report must reuse the user_id partitioning")
     assert(!fun.contains("Join"), "the funnel must be windows, not joins")
+
+    val gaps = plan(EventPipeline.gapQuantiles(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(gaps).size === 2,
+      "e06 is exactly two shuffles: the user_id lag window, then one " +
+        "event_type exchange shared by the rank windows AND the report")
+    assert(!gaps.contains("Join"), "e06 needs no join")
   }
 }
