@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for a parquet directory — the lake-hygiene
+  * pass every 100 TB deployment schedules: streaming ingest and
+  * over-parallel writers fragment tables into thousands of
+  * kilobyte-scale files, and scan cost then becomes file-listing +
+  * task-scheduling overhead instead of IO (a 1000-executor cluster
+  * reading 100 000 × 1 MB files spends longer opening them than
+  * scanning them). The reference has no lake layer (it queries
+  * in-place files), so this is beyond-parity engine tooling.
+  *
+  * Design: [[report]] is a driver-side file LISTING (metadata only —
+  * no data scan, exactly what a catalog's stats collector does);
+  * [[compact]] rewrites the directory through one round-robin
+  * `repartition` sized from the measured byte total, so output files
+  * land near `targetFileBytes` regardless of input skew. Round-robin
+  * (not `coalesce`) is deliberate: `coalesce` merges whole input
+  * partitions and inherits their skew, which recreates the very
+  * imbalance compaction exists to fix; the one extra shuffle is the
+  * price of balanced output and parallelizes linearly. Atomicity at
+  * scale follows the same recipe as the catalog's atomic sink
+  * (write to a fresh directory, then swap the table location). */
+object Compaction {
+
+  final case class FileStat(path: String, bytes: Long)
+
+  /** Parquet part files of `dir` (driver-side metadata listing). */
+  def fileStats(spark: SparkSession, dir: String): Seq[FileStat] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => FileStat(s.getPath.toString, s.getLen))
+        .sortBy(_.path)
+  }
+
+  /** One-row layout report: file count, byte totals/extremes, and how
+    * many files sit under `smallBytes` (the fragmentation signal a
+    * scheduler alerts on). */
+  def report(spark: SparkSession, dir: String,
+      smallBytes: Long = 16L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val stats = fileStats(spark, dir)
+    Seq((
+      stats.size.toLong,
+      stats.map(_.bytes).sum,
+      stats.map(_.bytes).minOption.getOrElse(0L),
+      stats.map(_.bytes).maxOption.getOrElse(0L),
+      stats.count(_.bytes < smallBytes).toLong))
+      .toDF("n_files", "total_bytes", "min_bytes", "max_bytes", "n_small_files")
+  }
+
+  /** Rewrite `dir` into `outDir` with output files sized near
+    * `targetFileBytes`; returns (files before, files after). The
+    * partition count comes from the MEASURED input byte total, so a
+    * directory of 10 000 shards and a directory of 3 big files both
+    * land on the same output layout. */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    val before = fileStats(spark, dir)
+    require(before.nonEmpty, s"nothing to compact under $dir")
+    val totalBytes = before.map(_.bytes).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    spark.read.parquet(dir)
+      .repartition(nOut.toInt)
+      .write.mode("overwrite").parquet(outDir)
+    (before.size.toLong, fileStats(spark, outDir).size.toLong)
+  }
+}

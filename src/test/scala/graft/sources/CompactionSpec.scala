@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Compaction mechanics on a deliberately fragmented table: the
+  * report must flag the fragmentation, the rewrite must collapse the
+  * file count to the byte-derived target, and the data must survive
+  * byte-for-byte (same rows, any order). */
+class CompactionSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-compact").toString
+
+  test("report flags a fragmented directory and compact collapses it") {
+    import spark.implicits._
+    val src = tmp()
+    // 40 shards of a ~200k-row table → 40 small part files
+    spark.range(200000)
+      .select($"id", ($"id" % 97).as("k"),
+        concat(lit("row-"), $"id").as("payload"))
+      .repartition(40)
+      .write.mode("overwrite").parquet(src)
+
+    val before = Compaction.report(spark, src).head()
+    assert(before.getAs[Long]("n_files") === 40L)
+    assert(before.getAs[Long]("n_small_files") === 40L,
+      "every 40th-of-200k-rows shard must sit under the small-file bar")
+    val totalBytes = before.getAs[Long]("total_bytes")
+
+    // target ≈ a third of the table → expect 3 output files
+    val out = tmp()
+    val (nBefore, nAfter) =
+      Compaction.compact(spark, src, out, targetFileBytes = totalBytes / 3 + 1)
+    assert(nBefore === 40L)
+    assert(nAfter === 3L)
+
+    // contents identical (row set, not order)
+    val a = spark.read.parquet(src).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val b = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(a === b)
+
+    // the compacted layout is no longer flagged
+    val after = Compaction.report(spark, out,
+      smallBytes = totalBytes / 10).head()
+    assert(after.getAs[Long]("n_files") === 3L)
+    assert(after.getAs[Long]("n_small_files") === 0L,
+      "balanced thirds must all clear a tenth-of-table small bar")
+    assert(after.getAs[Long]("total_bytes") > 0L)
+  }
+
+  test("compact refuses an empty directory loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, tmp(), tmp())
+    }
+    assert(e.getMessage.contains("nothing to compact"))
+  }
+
+  private def concat(cols: org.apache.spark.sql.Column*) =
+    org.apache.spark.sql.functions.concat(cols: _*)
+  private def lit(v: Any) = org.apache.spark.sql.functions.lit(v)
+}
