@@ -34,4 +34,24 @@ object Bucketing {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Write `df` hive-partitioned by `cols` — the OTHER storage-layout
+    * lever: where bucketing kills join/agg shuffles, directory
+    * partitioning kills the SCAN for any query filtering on the
+    * partition columns. The filter becomes a `PartitionFilters` entry
+    * resolved at plan time from the directory listing alone, so a
+    * day-partitioned 100 TB table filtered to one day reads that
+    * day's files and nothing else — no footer, no row, no byte of the
+    * other 36 499 days is touched (pinned by BucketingSpec). Choose
+    * partition columns with bounded cardinality (date, source, lang);
+    * high-cardinality keys belong in bucketing, where they don't
+    * explode the directory tree. */
+  def writePartitioned(df: DataFrame, outDir: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "at least one partition column required")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(cols: _*)
+      .parquet(outDir)
+  }
 }

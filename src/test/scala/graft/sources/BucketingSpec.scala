@@ -46,6 +46,52 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("hive-partitioned layout prunes to one partition at plan time") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-partitioned").toString
+    val events = Tables.table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        org.apache.spark.sql.functions.pmod(col("user_id"),
+          org.apache.spark.sql.functions.lit(7L)).as("day"))
+    Bucketing.writePartitioned(events, out, Seq("day"))
+
+    val q = spark.read.parquet(out).where($"day" === 3L)
+    val planned = q.queryExecution.executedPlan.toString
+    // the day filter must resolve from the directory listing, not a
+    // data filter over a full scan
+    assert(planned.contains("PartitionFilters:") &&
+      planned.contains("(day#") && planned.contains("= 3)"),
+      s"day filter must be a partition filter:\n$planned")
+    // execute THIS QueryExecution (count() would plan a fresh one and
+    // leave these scan metrics untouched)
+    val rows = q.collect()
+    val scans = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val filesInDay3 = new java.io.File(s"$out/day=3").listFiles()
+      .count(_.getName.endsWith(".parquet")).toLong
+    val filesTotal = fileCount(out)
+    assert(filesRead === filesInDay3,
+      s"scan must read only day=3's files ($filesRead vs $filesInDay3)")
+    assert(filesTotal > filesInDay3, "other partitions must exist and be skipped")
+    // and the pruned read returns exactly the partition's rows
+    assert(rows.length.toLong === events.where($"day" === 3L).count())
+  }
+
+  private def fileCount(root: String): Long = {
+    val d = new java.io.File(root)
+    if (!d.exists()) 0L
+    else d.listFiles().map { f =>
+      if (f.isDirectory) fileCount(f.getPath)
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    }.sum
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+
   test("aggregation on the bucket key also skips the exchange") {
     val orders = Tables.table(spark, dir, "orders")
       .select("o_orderkey", "o_totalprice")
