@@ -514,6 +514,53 @@ object VectorPipeline extends graft.Registry {
       .orderBy("query_id")
   }
 
+  /** PQ geometry: [[PqM]] subspaces of [[PqDsub]] dims each; the
+    * first [[PqK]] vectors' subvectors form each subspace's codebook
+    * (deterministic init, like v04's IVF seeds and v06's k-means
+    * seeds — iterating it is v06 run per subspace). */
+  private val PqM = 8
+  private val PqDsub = Dim / PqM
+  private val PqK = 16
+
+  /** v09: product-quantization assignment — the PQ half of IVF-PQ,
+    * THE layout for billion-vector ANN (Jégou et al., TPAMI'11;
+    * FAISS): each vector splits into [[PqM]] subvectors, each
+    * assigned to its nearest codeword in that subspace's
+    * [[PqK]]-entry codebook, compressing a vector to M small codes
+    * (here 8 × 4 bits) plus a per-cell quantization error the report
+    * surfaces per (subspace, codeword).
+    *
+    * Scale: ONE corpus scan; the subspace explode is row-local
+    * (M rows per vector), the codebook — M × K subvectors — always
+    * broadcasts, the argmin is v06's map-side-combinable
+    * `min(struct(dist, code))`, and the report aggregate is M × K
+    * cells. All distance/error arithmetic is [[KmQ]]-quantized
+    * integer (overflow audit: per-subspace qdist < 2⁴⁵; summed over
+    * ≤ 10⁶ vectors/cell stays < 2⁶³; beyond that swap the error sum
+    * to DECIMAL(38,0)), so the report is bit-identical across
+    * engines. */
+  def pqAssign(s: SparkSession, dir: String): DataFrame = {
+    val subs = quantized(s, dir)
+      .select(col("vec_id"),
+        explode(array((0 until PqM).map(j =>
+          struct(lit(j.toLong).as("sub"),
+            expr(s"slice(qv, ${j * PqDsub + 1}, $PqDsub)").as("sv"))): _*))
+          .as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    val cb = subs.where(col("vec_id") < PqK)
+      .select(col("sub"), col("vec_id").as("codeword"), col("sv").as("cv"))
+    subs.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct(expr(qdistSql("sv", "cv")).as("qd"), col("codeword")).as("dc"))
+      .groupBy("vec_id", "sub")
+      .agg(min("dc").as("dc"))
+      .select(col("sub"), col("dc.codeword").as("codeword"),
+        col("dc.qd").as("qd"))
+      .groupBy("sub", "codeword")
+      .agg(count(lit(1)).as("n_assigned"), sum("qd").as("total_err_q"))
+      .orderBy("sub", "codeword")
+  }
+
   /** Embedding-corpus health stats — the DQ pass a vector corpus gets
     * before any index build: corpus size, dimension bounds (a mixed-dim
     * corpus breaks every downstream kernel), zero-norm and non-finite
@@ -552,7 +599,8 @@ object VectorPipeline extends graft.Registry {
     "v05_embedding_stats" -> embeddingStats,
     "v06_kmeans_step" -> kmeansStep,
     "v07_diverse_sample" -> diverseSample,
-    "v08_ann_recall" -> annRecall
+    "v08_ann_recall" -> annRecall,
+    "v09_pq_assign" -> pqAssign
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -699,6 +747,31 @@ object VectorPipeline extends graft.Registry {
          |       CAST(COALESCE(r.n_reassigned, 0) AS BIGINT) AS n_reassigned
          |FROM moved m LEFT JOIN re r ON r.cluster = m.cluster
          |ORDER BY m.cluster""".stripMargin,
+    "v09_pq_assign" ->
+      s"""WITH qe AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, j AS sub,
+         |         qv[j * $PqDsub + 1 : j * $PqDsub + $PqDsub] AS sv
+         |  FROM qe, range($PqM) r(j)),
+         |cb AS (SELECT sub, vec_id AS codeword, sv AS cv
+         |       FROM sub WHERE vec_id < $PqK),
+         |d AS (
+         |  SELECT s.vec_id, s.sub, c.codeword,
+         |         ${qdistDuck("s.sv", "c.cv")} AS qd
+         |  FROM sub s JOIN cb c USING (sub)),
+         |a AS (
+         |  SELECT vec_id, sub, codeword, qd FROM (
+         |    SELECT vec_id, sub, codeword, qd,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY qd, codeword) AS rn
+         |    FROM d) WHERE rn = 1)
+         |SELECT sub, codeword, COUNT(*) AS n_assigned,
+         |       CAST(SUM(qd) AS BIGINT) AS total_err_q
+         |FROM a GROUP BY sub, codeword ORDER BY sub, codeword""".stripMargin,
     "v08_ann_recall" ->
       s"""WITH $normDuckCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn

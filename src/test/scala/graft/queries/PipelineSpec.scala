@@ -736,6 +736,37 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq === ts.keys.toSeq.sorted)
   }
 
+  test("v09 PQ assignment equals an in-memory product-quantizer") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * (1L << 20)).toLong))
+      .sortBy(_._1)
+    val m = 8; val dsub = 8; val k = 16
+    def sv(qv: Seq[Long], j: Int) = qv.slice(j * dsub, j * dsub + dsub)
+    val codebook = (0 until m).map { j =>
+      j -> vecs.take(k).map { case (id, qv) => id -> sv(qv, j) }
+    }.toMap
+    val cells = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)].withDefaultValue((0L, 0L))
+    for ((_, qv) <- vecs; j <- 0 until m) {
+      val s0 = sv(qv, j)
+      val (cw, qd) = codebook(j).map { case (cid, cv) =>
+        (cid, s0.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.minBy { case (cid, d) => (d, cid) } match {
+        case (cid, d) => (cid, d)
+      }
+      val (n, e) = cells((j.toLong, cw))
+      cells((j.toLong, cw)) = (n + 1, e + qd)
+    }
+    val got = VectorPipeline.pqAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === cells.toMap)
+    // every vector contributes exactly m assignments
+    assert(got.values.map(_._1).sum === vecs.length.toLong * m)
+  }
+
   test("td19 refuses loudly when exactness is uncertifiable at the ceiling") {
     import spark.implicits._
     // same uniform corpus, but the escalation ceiling stops below the
