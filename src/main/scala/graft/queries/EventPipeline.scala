@@ -269,26 +269,41 @@ object EventPipeline extends graft.Registry {
     * purchase"). Quantiles use the td21 integer-rank method
     * (smallest value whose 1-based rank clears ⌈p·n⌉ — no engine
     * interpolation) and the gap floors in integer micros space, so
-    * the report is bit-identical across engines. Two shuffles: the
-    * per-user lag window, then the event_type rank windows, whose
-    * partitioning the report aggregate reuses. */
+    * the report is bit-identical across engines.
+    *
+    * Scale shape: the quantiles are computed over the DISTINCT-VALUE
+    * histogram, never a rank sort of raw rows. `groupBy(event_type,
+    * gap_s)` compacts map-side to ≤ |types| × |distinct whole-second
+    * gaps| rows (a bounded domain, independent of corpus size), and
+    * only that histogram enters the per-type cumulative window —
+    * equivalent because equal values occupy consecutive ranks, so the
+    * smallest row with rank·100 ≥ n·p is exactly the smallest value
+    * whose cumulative count clears the same bound. The naive
+    * `row_number` form sorts every gap row inside ≤ |event_type|
+    * partitions — a handful of reducers each sorting a
+    * fact-table-sized partition at 100 TB. Pinned shuffle budget:
+    * the per-user lag window, the histogram exchange, and the tiny
+    * per-type histogram window (PlanQualitySpec). */
   def gapQuantiles(s: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy("ev_us", "event_id")
-    val wRank = Window.partitionBy("event_type").orderBy("gap_s")
+    val wCum = Window.partitionBy("event_type").orderBy("gap_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("event_type")
     def atLeast(pct: Int) =
-      min(when(col("rn") * 100 >= col("n") * pct, col("gap_s")))
+      min(when(col("cum") * 100 >= col("n") * pct, col("gap_s")))
     events(s, dir)
       .select(col("user_id"), col("event_type"), us(col("ts")).as("ev_us"),
         col("event_id"))
       .withColumn("prev_us", lag("ev_us", 1).over(wOrd))
       .where(col("prev_us").isNotNull)
       .withColumn("gap_s", expr("(ev_us - prev_us) div 1000000"))
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("event_type", "gap_s")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
       .groupBy("event_type")
       .agg(
-        count(lit(1)).as("n_gaps"),
+        sum("cnt").as("n_gaps"),
         min("gap_s").as("min_gap_s"),
         atLeast(50).as("p50_gap_s"),
         atLeast(95).as("p95_gap_s"),

@@ -874,22 +874,35 @@ object TextPipeline extends graft.Registry {
     * arithmetic — both engine-independent by construction, where a
     * builtin continuous `percentile` would interpolate with
     * engine-specific IEEE operand order (1-ulp drift the bitwise
-    * oracle hash would catch). One shuffle on source; the per-source
-    * rank sort is the scale cost, and a 100 TB deployment would swap
-    * `approx_percentile` into the same report shape. */
+    * oracle hash would catch).
+    *
+    * Scale shape: the quantiles come from the DISTINCT-VALUE
+    * histogram, never a rank sort of raw docs. `groupBy(source, qq)`
+    * compacts map-side into ≤ |sources| × 2²⁰ histogram rows (qq is a
+    * bounded integer domain by construction), and only that histogram
+    * enters the per-source cumulative window — equivalent because
+    * equal values occupy consecutive ranks, so the smallest row with
+    * rank·100 ≥ n·p is exactly the smallest value whose cumulative
+    * count clears the same bound. This keeps the oracle bit-exact
+    * (unlike an `approx_percentile` swap) while removing the
+    * per-source raw-row sort that made the naive `row_number` form a
+    * reducer-per-source chokepoint at 100 TB. */
   def sourceQuality(s: SparkSession, dir: String): DataFrame = {
-    val wRank = Window.partitionBy("source").orderBy("qq")
+    val wCum = Window.partitionBy("source").orderBy("qq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("source")
     def atLeast(pct: Int) =
-      min(when(col("rn") * 100 >= col("n") * pct, col("qq")))
+      min(when(col("cum") * 100 >= col("n") * pct, col("qq")))
     qualityBase(s, dir)
       .select(col("source"),
         floor(col("quality_score") * (1L << 20)).cast("long").as("qq"))
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("source", "qq")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
       .groupBy("source")
       .agg(
-        count(lit(1)).as("n_docs"),
+        sum("cnt").as("n_docs"),
         min("qq").as("min_q20"),
         max("qq").as("max_q20"),
         atLeast(25).as("p25_q20"),
@@ -1057,9 +1070,7 @@ object TextPipeline extends graft.Registry {
       val mg = toks.as[String]
         .select(new graft.functions.MisraGries(cap).toColumn)
         .head()
-      val top = toks
-        .where(col("token").isInCollection(mg.counts.keys.toSeq))
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val top = exactCandidateCounts(s, toks, mg.counts.keys.toSeq)
         .collect()
         .map(r => (r.getString(0), r.getLong(1)))
         .sortBy { case (t, c) => (-c, t) }
@@ -1080,6 +1091,23 @@ object TextPipeline extends graft.Registry {
       s"heavy-hitters top-$k not certifiable up to maxCapacity=" +
         s"$maxCapacity: $lastDiag — raise maxCapacity")
     result.get.toDF("token", "cnt").orderBy(desc("cnt"), asc("token"))
+  }
+
+  /** Exact second-pass counts for the sketch's surviving candidates,
+    * as a BROADCAST LEFT-SEMI join against a 1-column candidate frame
+    * — never an `isInCollection` literal. The candidate set lives on
+    * the driver either way (it IS the sketch), but inlining up to 2²⁰
+    * escalated-capacity strings into the plan as an InSet literal is
+    * a plan-size/codegen hazard; a broadcast semi-join ships the same
+    * set once per executor through the torrent broadcast path and
+    * keeps the plan O(1). Plan shape (BroadcastHashJoin LeftSemi)
+    * pinned in PlanQualitySpec. */
+  private[graft] def exactCandidateCounts(
+      s: SparkSession, toks: DataFrame, candidates: Seq[String]): DataFrame = {
+    import s.implicits._
+    toks
+      .join(broadcast(candidates.toDF("token")), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
   }
 
   /** td20 calibration: report size and INITIAL sketch capacity. The

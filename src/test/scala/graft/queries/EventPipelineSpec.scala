@@ -175,9 +175,13 @@ class EventPipelineSpec extends SparkSpec {
     assert(!fun.contains("Join"), "the funnel must be windows, not joins")
 
     val gaps = plan(EventPipeline.gapQuantiles(spark, dir))
-    assert("Exchange hashpartitioning".r.findAllIn(gaps).size === 2,
-      "e06 is exactly two shuffles: the user_id lag window, then one " +
-        "event_type exchange shared by the rank windows AND the report")
+    assert("Exchange hashpartitioning".r.findAllIn(gaps).size === 3,
+      "e06 is exactly three shuffles: the user_id lag window, the " +
+        "(event_type, gap_s) histogram groupBy, then the bounded " +
+        "per-type histogram exchange the report reuses")
+    assert(!gaps.contains("row_number"),
+      "e06 must never rank-sort raw gap rows — quantiles come from " +
+        "the distinct-value histogram")
     assert(!gaps.contains("Join"), "e06 needs no join")
   }
 }

@@ -130,11 +130,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_sum"))
   }
 
-  test("source quality (td21): rank/count windows and report share one source shuffle") {
+  test("source quality (td21): quantiles from the distinct-value histogram, no raw-row rank") {
     val p = plan(TextPipeline.sourceQuality(spark, dir))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
-      "row_number, the count window and the per-source report must all " +
-        "reuse the source partitioning — one exchange total")
+    assert(!p.contains("row_number"),
+      "td21 must never rank-sort raw docs inside per-source partitions — " +
+        "quantiles come from the bounded (source, qq) histogram")
+    // histogram exchange on (source, qq) with a map-side partial count,
+    // then the bounded-domain source exchange the report reuses
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      "exactly two exchanges: the histogram groupBy and the tiny " +
+        "per-source histogram window/report")
+    assert(p.contains("partial_count"),
+      "the histogram must compact map-side before its shuffle")
+  }
+
+  test("gap quantiles (e06): quantiles from the distinct-value histogram, no raw-row rank") {
+    val p = plan(EventPipeline.gapQuantiles(spark, dir))
+    assert(!p.contains("row_number"),
+      "e06 must never rank-sort raw gap rows inside per-type partitions — " +
+        "quantiles come from the bounded (event_type, gap_s) histogram")
+    // lag window on user_id, histogram groupBy, tiny per-type window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 3,
+      "exactly three exchanges: per-user lag window, histogram groupBy, " +
+        "bounded per-type histogram window/report")
+    assert(p.contains("partial_count"),
+      "the histogram must compact map-side before its shuffle")
+  }
+
+  test("heavy hitters second pass (td19/td20): broadcast semi-join, not an InSet literal") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+    // escalated-capacity-sized candidate list: must never inline as a
+    // literal predicate into the plan
+    val cand = (1 to 4096).map(i => f"tok$i%05d")
+    val p = plan(TextPipeline.exactCandidateCounts(spark, toks, cand))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "candidate filter must be a broadcast left-semi join")
+    assert(!p.contains("tok00001"),
+      "candidate strings must not appear inlined in the plan")
   }
 
   test("stratified split (td16): row-local assignment, one hash shuffle") {
