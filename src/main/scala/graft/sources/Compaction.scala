@@ -28,16 +28,24 @@ object Compaction {
 
   final case class FileStat(path: String, bytes: Long)
 
-  /** Parquet part files of `dir` (driver-side metadata listing). */
+  /** Parquet part files of `dir` (driver-side metadata listing),
+    * RECURSIVE so hive-partitioned layouts (key=value subdirectories
+    * from [[Bucketing.writePartitioned]]) report their real file
+    * population instead of a misleading 0-file "healthy" answer. */
   def fileStats(spark: SparkSession, dir: String): Seq[FileStat] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else
-      fs.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => FileStat(s.getPath.toString, s.getLen))
-        .sortBy(_.path)
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[FileStat]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+          buf += FileStat(s.getPath.toString, s.getLen)
+      }
+      buf.result().sortBy(_.path)
+    }
   }
 
   /** One-row layout report: file count, byte totals/extremes, and how
@@ -60,9 +68,23 @@ object Compaction {
     * `targetFileBytes`; returns (files before, files after). The
     * partition count comes from the MEASURED input byte total, so a
     * directory of 10 000 shards and a directory of 3 big files both
-    * land on the same output layout. */
+    * land on the same output layout. `outDir` must differ from `dir`
+    * (compared as fully-qualified URIs): `mode("overwrite")` onto the
+    * source path would delete the input out from under the lazy scan
+    * and lose the table. A hive-partitioned input is read through
+    * partition discovery and compacted FLAT (partition keys become
+    * data columns); re-partition the output via
+    * [[Bucketing.writePartitioned]] if the layout should survive. */
   def compact(spark: SparkSession, dir: String, outDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val inP = new Path(dir)
+    val inQ = inP.getFileSystem(hc).makeQualified(inP)
+    val outP = new Path(outDir)
+    val outQ = outP.getFileSystem(hc).makeQualified(outP)
+    require(inQ != outQ,
+      s"compact cannot overwrite its own input: $inQ — write to a fresh " +
+        "directory and swap the table location (atomic-sink recipe)")
     val before = fileStats(spark, dir)
     require(before.nonEmpty, s"nothing to compact under $dir")
     val totalBytes = before.map(_.bytes).sum

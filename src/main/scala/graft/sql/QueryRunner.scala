@@ -95,15 +95,24 @@ final case class QueryResult(
 
 /** Session factory with graft's defaults: UTC, CPU-matched shuffle
   * partitions, UI off. Auto-limit needs no session extension — it is
-  * applied per-statement by [[QueryRunner]]. */
+  * applied per-statement by [[QueryRunner]].
+  *
+  * The single-JVM heartbeat hardening ([[graft.LocalSpark.hardened]]:
+  * 1-hour network timeout) applies ONLY to `local[...]` masters — it
+  * exists to stop a GC stall from expiring the in-process executor;
+  * on a real cluster the same setting would mask genuine executor
+  * loss for an hour, so cluster masters keep Spark's defaults. */
 object GraftSession {
   def build(master: String = "local[*]", shufflePartitions: Int = 32,
-      appName: String = "graft"): SparkSession =
-    graft.LocalSpark.hardened(SparkSession.builder())
-      .master(master)
+      appName: String = "graft"): SparkSession = {
+    val base = SparkSession.builder()
+    val b = if (master.startsWith("local")) graft.LocalSpark.hardened(base)
+            else base
+    b.master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
 }

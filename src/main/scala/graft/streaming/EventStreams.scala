@@ -170,11 +170,17 @@ object EventStreams {
               }
               PendEv(e.ts.getTime * 1000L, stage, e.eventId)
             }.toVector
-            // fold only what the watermark has sealed; later events
-            // may still be reordered by arrivals inside the bound
+            // fold only what the watermark has STRICTLY sealed
+            // (us < wm, matching asofJoin's discipline). Measured
+            // boundary (EventStreamsSpec): Spark's late filter drops
+            // rows with eventTime <= watermark, so every admitted
+            // arrival is strictly ABOVE wm and an inclusive seal is
+            // also safe today — the strict seal keeps both operators
+            // on one rule and stays correct even if that admission
+            // boundary ever becomes exclusive.
             val wmUs = state.getCurrentWatermarkMs() * 1000L
             val (ready, still) =
-              (st0.pending ++ arrivals).partition(_.us <= wmUs)
+              (st0.pending ++ arrivals).partition(_.us < wmUs)
             val folded = fold(st0, ready)
             val lastUs = (st0.lastEventUs +: arrivals.map(_.us)).max
             state.update(folded.copy(pending = still, lastEventUs = lastUs))

@@ -57,6 +57,32 @@ class CompactionSpec extends SparkSpec {
     assert(e.getMessage.contains("nothing to compact"))
   }
 
+  test("compact refuses outDir == dir (overwrite would eat the input)") {
+    import spark.implicits._
+    val src = tmp()
+    spark.range(100).select($"id").write.mode("overwrite").parquet(src)
+    // same path spelled differently must still be caught (qualified-URI
+    // compare, not string compare)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, src, src.stripSuffix("/") + "/")
+    }
+    assert(e.getMessage.contains("cannot overwrite its own input"))
+    assert(spark.read.parquet(src).count() === 100L, "input must be intact")
+  }
+
+  test("report lists hive-partitioned layouts recursively") {
+    import spark.implicits._
+    val src = tmp()
+    spark.range(1000)
+      .select($"id", ($"id" % 4).as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(src)
+    val rep = Compaction.report(spark, src).head()
+    // 4 day= subdirectories, each with ≥1 part file — a flat listing
+    // would report 0 files and read as a healthy layout
+    assert(rep.getAs[Long]("n_files") >= 4L)
+    assert(rep.getAs[Long]("total_bytes") > 0L)
+  }
+
   private def concat(cols: org.apache.spark.sql.Column*) =
     org.apache.spark.sql.functions.concat(cols: _*)
   private def lit(v: Any) = org.apache.spark.sql.functions.lit(v)

@@ -134,6 +134,47 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel seal: equal-ts view split across batches still tie-qualifies") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The funnel analogue of the asofJoin user-4 case: the click@60
+    // and its TIE-QUALIFYING view@60 are split across micro-batches,
+    // with the view arriving inside the lateness bound (wm 55 < 60).
+    // The seal must hold the click pending until the equal-ts view is
+    // orderable; folding it early loses both the qualification and
+    // the downstream conversion. (A view at exactly the watermark is
+    // unreachable: Spark's late filter drops eventTime <= wm — the
+    // measured numRowsDroppedByWatermark boundary that makes the
+    // strict and inclusive seals behaviorally equal today; the strict
+    // seal is pinned for parity with asofJoin.)
+    val log = Seq(
+      (90L, 9L, "click", 60L), (92L, 9L, "purchase", 65L),
+      (91L, 9L, "view", 60L))
+    val src = MemoryStream[Event]
+    val q = funnel(src.toDS(), horizonMinutes = 60, quietMinutes = 120)
+      .writeStream.format("memory").queryName("funnel_seal")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def send(ids: Long*): Unit = {
+        src.addData(log.filter(e => ids.contains(e._1)).map { case (id, u, t, m) =>
+          Event(id, u, t, 1.0, ts(m)) }: _*)
+        q.processAllAvailable()
+      }
+      send(90L, 92L)      // batch 1: click@60, purchase@65 → wm 55
+      send(91L)           // batch 2: the equal-ts view@60, above wm 55
+      // close user 9's quiet window (65 + 120 = 185 → needs wm > 185)
+      src.addData(ev(990, 99L, 210)); q.processAllAvailable()
+      src.addData(ev(991, 99L, 400)); q.processAllAvailable()
+
+      val got = spark.table("funnel_seal").as[FunnelReport].collect()
+        .filter(_.userId == 9L)
+      assert(got.length === 1)
+      val us = (m: Long) => 1700000000000000L + m * 60000000L
+      assert(got.head === FunnelReport(9L, us(60), Some(us(60)),
+        Some(us(65)), 1L))
+    } finally q.stop()
+  }
+
   test("streaming as-of join agrees with batch e01, incl. reorder and equal-ts seal") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
