@@ -106,4 +106,26 @@ class BucketingSpec extends SparkSpec {
       assert(agg.count() === spark.table("b_orders_agg").count())
     } finally spark.sql("DROP TABLE IF EXISTS b_orders_agg")
   }
+
+  test("declared q15_bucketed_join: join + groupBy + top-k with zero exchanges") {
+    // the DECLARED query (oracle-checked for values at sf0.01) must
+    // also carry the layout guarantee: with broadcast disabled — the
+    // 100 TB regime, where neither fact side fits an executor — the
+    // whole plan (bucketed scan → SMJ → groupBy on the bucket key →
+    // ordered limit) contains no Exchange of any kind
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.queries.Relational.bucketedJoin(spark, dir)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"big-big bucketed join must be a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"declared bucketed query must plan with zero exchanges:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        "the top-25 must not globally sort")
+      assert(q.count() === 25)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
