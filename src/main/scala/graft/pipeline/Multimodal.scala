@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions._
   * partitioning of heavy blobs, mapPartitions batch shape, and the
   * byte-level feature computations. IMAGE decode/resize is real:
   * [[ImageIoCodec]] parses PNG/JPEG/GIF/BMP headers and rescales
-  * pixels via the JDK's `javax.imageio`. AUDIO is real too:
+  * pixels via the JDK's `javax.imageio`. AUDIO is real:
   * [[WavCodec]] parses RIFF/WAVE chunk structure and decimates PCM
-  * frames in pure byte arithmetic. [[AutoCodec]] (the default)
-  * sniffs the container and dispatches. Only VIDEO payloads (no
-  * codec in the JDK, none in this container) fall back to the
-  * clearly marked [[StubCodec]], which derives deterministic fake
-  * dimensions from the byte stream; a real video codec is a
-  * one-object change behind the same [[Codec]] trait.
+  * frames in pure byte arithmetic. VIDEO containers are real too:
+  * [[Mp4Codec]] parses the MP4 / ISO-BMFF box tree (mvhd duration,
+  * tkhd/stsd dimensions, stsz/stco/stsc sample addressing) in pure
+  * byte arithmetic — only the codec BITSTREAM decode (which needs a
+  * real encoder stack) stays out of scope, with [[StubCodec]] as the
+  * documented fallback for undecodable payloads. [[AutoCodec]] (the
+  * default) sniffs the container and dispatches.
   *
   * Scale notes: blobs never pass through a wide shuffle — operators
   * are narrow mapPartitions over the scan, and the only repartition is
@@ -252,18 +253,216 @@ object Multimodal {
       }
   }
 
+  /** REAL video container codec — MP4 / ISO-BMFF (ISO/IEC 14496-12)
+    * box-tree parsing in pure JVM byte arithmetic, the same
+    * no-native-deps discipline as [[WavCodec]]'s RIFF path.
+    *
+    * What it reads (all big-endian, per the spec's box layout):
+    *  - `moov/mvhd` — movie timescale + duration (v0 32-bit and v1
+    *    64-bit layouts) → [[Mp4Info.durationSec]];
+    *  - every `moov/trak` — track count, each track's `mdia/hdlr`
+    *    handler type and `tkhd` 16.16-fixed presentation size;
+    *  - the FIRST `vide`-handler track's `stbl`: `stsd` visual sample
+    *    entry (coded pixel width/height), `stsz` sample sizes, `stco`
+    *    / `co64` chunk offsets, and `stsc` sample-to-chunk runs, from
+    *    which it materializes the REAL per-sample (offset, size) list
+    *    — what [[Multimodal.sampleFrames]] slices.
+    *
+    * Dimension mapping for the shared [[Codec]] contract: `width` ×
+    * `height` = the video track's coded pixels (stsd first, tkhd
+    * fallback), `channels` = track count. `resample` keeps the
+    * deterministic byte-stride default: bitstream transcode needs a
+    * real encoder, which is out of scope — the container METADATA and
+    * sample addressing are the real parts. Non-BMFF or malformed
+    * bytes fall back to [[StubCodec]] semantics per the pipeline's
+    * per-row error contract. */
+  object Mp4Codec extends Codec {
+    /** Parsed container facts: seconds, tracks, coded dims, and the
+      * video track's per-sample (fileOffset, byteSize) table. */
+    final case class Mp4Info(
+        durationSec: Double, nTracks: Int, width: Int, height: Int,
+        samples: Vector[(Long, Int)])
+
+    private def u16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u32(b: Array[Byte], i: Int): Long =
+      (u16(b, i).toLong << 16) | u16(b, i + 2).toLong
+    private def u64(b: Array[Byte], i: Int): Long =
+      (u32(b, i) << 32) | u32(b, i + 4)
+    private def fourcc(b: Array[Byte], i: Int): String =
+      if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+
+    /** Iterate child boxes of b[from, until) as (type, payloadStart,
+      * payloadEnd); handles size==1 (64-bit largesize) and size==0
+      * (extends to the container's end). */
+    private def boxes(b: Array[Byte], from: Int, until: Int)
+        : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+      private var pos = from
+      def hasNext: Boolean = pos + 8 <= until
+      def next(): (String, Int, Int) = {
+        val size = u32(b, pos)
+        val id = fourcc(b, pos + 4)
+        val (hdr, boxEnd) =
+          if (size == 0L) (8, until.toLong)
+          else if (size == 1L && pos + 16 <= until)
+            (16, pos + u64(b, pos + 8))
+          else (8, pos + size)
+        val end = math.min(until.toLong, math.max(pos + hdr, boxEnd)).toInt
+        val out = (id, pos + hdr, end)
+        pos = end
+        out
+      }
+    }
+    private def find(b: Array[Byte], from: Int, until: Int, id: String)
+        : Option[(Int, Int)] =
+      boxes(b, from, until).collectFirst { case (`id`, s, e) => (s, e) }
+
+    private final case class Trak(handler: String, tkhdW: Int, tkhdH: Int,
+        stbl: Option[(Int, Int)])
+
+    private def parseTrak(b: Array[Byte], s: Int, e: Int): Trak = {
+      val (tw, th) = find(b, s, e, "tkhd").map { case (ts, te) =>
+        // v0: ver/flags 4 + times 8 + id 4 + res 4 + dur 4 + res 8 +
+        // layer/group/volume/res 8 + matrix 36 = width at 76; v1 adds
+        // 12 (64-bit creation/modification/duration)
+        val off = if (ts < te && b(ts) == 1) 88 else 76
+        if (ts + off + 8 <= te)
+          ((u32(b, ts + off) >> 16).toInt, (u32(b, ts + off + 4) >> 16).toInt)
+        else (0, 0)
+      }.getOrElse((0, 0))
+      val mdia = find(b, s, e, "mdia")
+      val handler = mdia.flatMap { case (ms, me) =>
+        find(b, ms, me, "hdlr").map { case (hs, he) =>
+          if (hs + 12 <= he) fourcc(b, hs + 8) else ""
+        }
+      }.getOrElse("")
+      val stbl = mdia
+        .flatMap { case (ms, me) => find(b, ms, me, "minf") }
+        .flatMap { case (ns, ne) => find(b, ns, ne, "stbl") }
+      Trak(handler, tw, th, stbl)
+    }
+
+    /** Per-sample (offset, size): walk stsc's (firstChunk,
+      * samplesPerChunk) runs over stco/co64 chunk starts, advancing
+      * inside each chunk by the stsz sizes — the standard ISO-BMFF
+      * sample-addressing recipe. Absent stsc ⇒ one sample per chunk. */
+    private def sampleTable(b: Array[Byte], s: Int, e: Int)
+        : Vector[(Long, Int)] = {
+      val sizes: Vector[Long] = find(b, s, e, "stsz").map { case (zs, ze) =>
+        if (zs + 12 > ze) Vector.empty[Long]
+        else {
+          val fixed = u32(b, zs + 4)
+          val n = u32(b, zs + 8).toInt
+          if (fixed != 0L) Vector.fill(n)(fixed)
+          else (0 until n).iterator
+            .map(i => zs + 12 + 4L * i)
+            .takeWhile(_ + 4 <= ze)
+            .map(o => u32(b, o.toInt)).toVector
+        }
+      }.getOrElse(Vector.empty)
+      val chunks: Vector[Long] =
+        find(b, s, e, "stco").map { case (cs, ce) =>
+          val n = if (cs + 8 <= ce) u32(b, cs + 4).toInt else 0
+          (0 until n).iterator.map(i => cs + 8 + 4L * i)
+            .takeWhile(_ + 4 <= ce).map(o => u32(b, o.toInt)).toVector
+        }.orElse(find(b, s, e, "co64").map { case (cs, ce) =>
+          val n = if (cs + 8 <= ce) u32(b, cs + 4).toInt else 0
+          (0 until n).iterator.map(i => cs + 8 + 8L * i)
+            .takeWhile(_ + 8 <= ce).map(o => u64(b, o.toInt)).toVector
+        }).getOrElse(Vector.empty)
+      // stsc runs: (firstChunk 1-based, samplesPerChunk)
+      val runs: Vector[(Int, Int)] = find(b, s, e, "stsc").map {
+        case (ss, se) =>
+          val n = if (ss + 8 <= se) u32(b, ss + 4).toInt else 0
+          (0 until n).iterator.map(i => ss + 8 + 12L * i)
+            .takeWhile(_ + 12 <= se)
+            .map(o => (u32(b, o.toInt).toInt, u32(b, o.toInt + 4).toInt))
+            .toVector
+      }.getOrElse(Vector.empty)
+      def perChunk(chunk1: Int): Int = {
+        val applicable = runs.takeWhile(_._1 <= chunk1)
+        if (applicable.isEmpty) 1 else applicable.last._2
+      }
+      val out = Vector.newBuilder[(Long, Int)]
+      var sample = 0
+      var c = 0
+      while (c < chunks.length && sample < sizes.length) {
+        var off = chunks(c)
+        var k = 0
+        val spc = perChunk(c + 1)
+        while (k < spc && sample < sizes.length) {
+          out += ((off, sizes(sample).toInt))
+          off += sizes(sample)
+          sample += 1
+          k += 1
+        }
+        c += 1
+      }
+      out.result()
+    }
+
+    /** Full container probe; None for non-BMFF / malformed payloads. */
+    def parse(b: Array[Byte]): Option[Mp4Info] = {
+      if (b.length < 16 || fourcc(b, 4) != "ftyp") return None
+      try {
+        val (ms, me) = find(b, 0, b.length, "moov").getOrElse(return None)
+        val durationSec = find(b, ms, me, "mvhd").map { case (vs, ve) =>
+          if (vs < ve && b(vs) == 1 && vs + 32 <= ve) {
+            val scale = u32(b, vs + 20); val dur = u64(b, vs + 24)
+            if (scale > 0) dur.toDouble / scale else 0.0
+          } else if (vs + 20 <= ve) {
+            val scale = u32(b, vs + 12); val dur = u32(b, vs + 16)
+            if (scale > 0) dur.toDouble / scale else 0.0
+          } else 0.0
+        }.getOrElse(0.0)
+        val traks = boxes(b, ms, me)
+          .collect { case ("trak", s, e) => parseTrak(b, s, e) }.toVector
+        val video = traks.find(_.handler == "vide")
+        val (w, h) = video.flatMap { t =>
+          t.stbl.flatMap { case (ss, se) =>
+            find(b, ss, se, "stsd").flatMap { case (ds, de) =>
+              // ver/flags 4 + entryCount 4, then the first sample
+              // entry: size 4 + format 4 + SampleEntry 8 + VisualSampleEntry
+              // pre_defined/reserved 16 → coded width/height u16s at +32
+              val entry = ds + 8
+              if (entry + 36 <= de)
+                Some((u16(b, entry + 32), u16(b, entry + 34)))
+              else None
+            }
+          }.orElse(if (t.tkhdW > 0) Some((t.tkhdW, t.tkhdH)) else None)
+        }.getOrElse((0, 0))
+        val samples = video.flatMap(_.stbl)
+          .map { case (ss, se) => sampleTable(b, ss, se) }
+          .getOrElse(Vector.empty)
+        Some(Mp4Info(durationSec, traks.length, w, h, samples))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    override def dimensions(content: Array[Byte]): (Int, Int, Int) =
+      parse(content) match {
+        case Some(info) if info.width > 0 =>
+          (info.width, info.height, math.max(1, info.nTracks))
+        case _ => StubCodec.dimensions(content)
+      }
+  }
+
   /** Default codec: sniff the container and dispatch — RIFF/WAVE bytes
-    * to [[WavCodec]], anything else to [[ImageIoCodec]] (which itself
-    * falls back to [[StubCodec]] for undecodable payloads). One codec
-    * value serves mixed-media batches without per-kind branching in
-    * the operators. */
+    * to [[WavCodec]], ISO-BMFF (`ftyp`) to [[Mp4Codec]], anything else
+    * to [[ImageIoCodec]] (which itself falls back to [[StubCodec]] for
+    * undecodable payloads). One codec value serves mixed-media batches
+    * without per-kind branching in the operators. */
   object AutoCodec extends Codec {
     private def isWav(b: Array[Byte]): Boolean =
       b.length >= 12 &&
         b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    private def isBmff(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
     private def pick(b: Array[Byte]): Codec =
-      if (isWav(b)) WavCodec else ImageIoCodec
+      if (isWav(b)) WavCodec
+      else if (isBmff(b)) Mp4Codec
+      else ImageIoCodec
     override def dimensions(content: Array[Byte]): (Int, Int, Int) =
       pick(content).dimensions(content)
     override def resample(content: Array[Byte], w: Int, h: Int,
@@ -339,19 +538,37 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for `video` rows: `nFrames` evenly-spaced
-    * fixed-size byte slices (a real codec would seek keyframes; the
-    * offsets/batch shape are the real part). */
+  /** Frame sampling for `video` rows. For ISO-BMFF payloads the
+    * slices are REAL: [[Mp4Codec]] materializes the video track's
+    * per-sample (offset, size) table from stsz/stco/stsc, and
+    * `nFrames` evenly-spaced SAMPLES are cut at their actual mdat
+    * offsets (each capped at `frameBytes`). Non-BMFF payloads keep
+    * the deterministic evenly-spaced byte-stride slices. */
   def sampleFrames(ds: Dataset[MediaFile], nFrames: Int = 4,
       frameBytes: Int = 256): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.filter(_.kind == "video").flatMap { m =>
       val len = m.content.length
-      if (len == 0) Iterator.empty
-      else (0 until nFrames).iterator.map { f =>
-        val off = (len.toLong * f) / nFrames
-        val end = math.min(len.toLong, off + frameBytes).toInt
-        Frame(m.mediaId, f, off, java.util.Arrays.copyOfRange(m.content, off.toInt, end))
+      val real = Mp4Codec.parse(m.content)
+        .map(_.samples.filter { case (off, sz) =>
+          off >= 0 && sz > 0 && off + sz <= len })
+        .filter(_.nonEmpty)
+      real match {
+        case Some(samples) =>
+          val n = math.min(nFrames, samples.length)
+          (0 until n).iterator.map { f =>
+            val (off, sz) = samples((samples.length.toLong * f / n).toInt)
+            Frame(m.mediaId, f, off, java.util.Arrays.copyOfRange(
+              m.content, off.toInt, off.toInt + math.min(sz, frameBytes)))
+          }
+        case None =>
+          if (len == 0) Iterator.empty
+          else (0 until nFrames).iterator.map { f =>
+            val off = (len.toLong * f) / nFrames
+            val end = math.min(len.toLong, off + frameBytes).toInt
+            Frame(m.mediaId, f, off,
+              java.util.Arrays.copyOfRange(m.content, off.toInt, end))
+          }
       }
     }
   }

@@ -150,6 +150,104 @@ class MultimodalSpec extends SparkSpec {
     assert(AutoCodec.dimensions(junk) === StubCodec.dimensions(junk))
   }
 
+  test("Mp4Codec parses a planted ISO-BMFF container and samples real frames") {
+    import spark.implicits._
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      buf.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      buf.array()
+    }
+    // three video samples in two chunks: chunk 1 = [s1, s2], chunk 2 = [s3]
+    val s1 = Array.fill(10)(0xA1.toByte)
+    val s2 = Array.tabulate(12)(i => (0xB0 + i).toByte)
+    val s3 = Array.fill(9)(0xC3.toByte)
+    val ftyp = box("ftyp",
+      "isomiso2".getBytes("US-ASCII") ++ Array.fill(4)(0.toByte))
+    val mdat = box("mdat", s1 ++ s2 ++ s3)
+    val chunk1 = ftyp.length + 8L           // s1/s2 start after mdat header
+    val chunk2 = chunk1 + s1.length + s2.length
+    val mvhd = {                            // v0: timescale 600, duration 3000
+      val p = java.nio.ByteBuffer.allocate(100)
+      p.putInt(0).putInt(0).putInt(0).putInt(600).putInt(3000)
+      p.array()
+    }
+    val tkhd = {                            // v0, 16.16-fixed 320x240
+      val p = java.nio.ByteBuffer.allocate(84)
+      p.putInt(0).putInt(0).putInt(0).putInt(1).putInt(0).putInt(3000)
+      p.position(40)                        // reserved/layer/group/volume
+      p.putInt(0x00010000).putInt(0).putInt(0)     // identity matrix
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      p.putInt(320 << 16).putInt(240 << 16)
+      p.array()
+    }
+    def hdlr(handler: String) = {
+      val p = java.nio.ByteBuffer.allocate(25)
+      p.putInt(0).putInt(0).put(handler.getBytes("US-ASCII"))
+      p.array()
+    }
+    val stsd = {                            // one full 86-byte avc1 entry
+      val p = java.nio.ByteBuffer.allocate(94)
+      p.putInt(0).putInt(1).putInt(86).put("avc1".getBytes("US-ASCII"))
+      p.position(8 + 8 + 6); p.putShort(1)  // data_ref_index
+      p.position(8 + 8 + 8 + 16)            // skip pre_defined/reserved
+      p.putShort(320.toShort).putShort(240.toShort)
+      p.array()
+    }
+    val stsz = {
+      val p = java.nio.ByteBuffer.allocate(24)
+      p.putInt(0).putInt(0).putInt(3).putInt(10).putInt(12).putInt(9)
+      p.array()
+    }
+    val stsc = {
+      val p = java.nio.ByteBuffer.allocate(32)
+      p.putInt(0).putInt(2)
+        .putInt(1).putInt(2).putInt(1)      // chunks 1.. : 2 samples
+        .putInt(2).putInt(1).putInt(1)      // chunks 2.. : 1 sample
+      p.array()
+    }
+    val stco = {
+      val p = java.nio.ByteBuffer.allocate(16)
+      p.putInt(0).putInt(2).putInt(chunk1.toInt).putInt(chunk2.toInt)
+      p.array()
+    }
+    val videoTrak = box("trak", box("tkhd", tkhd) ++ box("mdia",
+      box("hdlr", hdlr("vide")) ++ box("minf", box("stbl",
+        box("stsd", stsd) ++ box("stsz", stsz) ++
+          box("stsc", stsc) ++ box("stco", stco)))))
+    val soundTrak = box("trak", box("mdia", box("hdlr", hdlr("soun"))))
+    val file = ftyp ++ mdat ++
+      box("moov", box("mvhd", mvhd) ++ videoTrak ++ soundTrak)
+
+    val info = Mp4Codec.parse(file).get
+    assert(info.durationSec === 5.0)        // 3000 / 600
+    assert(info.nTracks === 2)
+    assert((info.width, info.height) === (320, 240))
+    assert(info.samples === Vector(
+      (chunk1, 10), (chunk1 + 10, 12), (chunk2, 9)))
+    assert(Mp4Codec.dimensions(file) === (320, 240, 2))
+    assert(AutoCodec.dimensions(file) === (320, 240, 2)) // sniffed
+
+    // pipeline end-to-end: real dims, real sample slices at mdat offsets
+    val ds = spark.createDataset(Seq(
+      MediaFile(300L, "video", file, Map.empty)))
+    val d = decode(ds).collect().head
+    assert((d.width, d.height, d.channels) === (320, 240, 2))
+    val frames = sampleFrames(ds, nFrames = 3, frameBytes = 64)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.offset).toSeq === Seq(chunk1, chunk1 + 10, chunk2))
+    assert(frames(0).bytes.toSeq === s1.toSeq)
+    assert(frames(1).bytes.toSeq === s2.toSeq)
+    assert(frames(2).bytes.toSeq === s3.toSeq)
+    // asking for more frames than samples caps at the sample count
+    assert(sampleFrames(ds, nFrames = 10).collect().length === 3)
+    // ftyp-claiming junk falls back to the stub, not a crash
+    val junk = Array[Byte](0, 0, 0, 16) ++
+      "ftyp".getBytes("US-ASCII") ++ Array.fill(24)(9.toByte)
+    assert(AutoCodec.dimensions(junk) === StubCodec.dimensions(junk))
+  }
+
   test("describe joins decode + features without losing rows") {
     val out = describe(spark, mediaFixture, partitions = 4)
     assert(out.count() === 20)
