@@ -591,7 +591,84 @@ object VectorPipeline extends graft.Registry {
         percentile(when(col("bad") === 0, col("nrm")), lit(0.5)).as("p50_norm"))
   }
 
+  /** v10 calibration: target vectors per semantic cell. The cluster
+    * count scales as max(8, n / 512), so the within-cell pairwise
+    * work stays ~n·512/2 dot products — LINEAR in corpus size — at
+    * every scale factor (8 cells at sf0.01, 39 at sf0.1-equivalent
+    * 20k, 390 at 200k). The oracle computes the same count in SQL
+    * (`GREATEST(8, COUNT(*) // 512)`; both sides floor non-negative
+    * integer division), so the plan stays bit-deterministic. */
+  private val SemCellTarget = 512L
+  private val SemMinClusters = 8L
+
+  /** v10: SemDeDup-style semantic dedup audit (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a deterministic
+    * coarse quantizer (the v04 IVF assignment — first k vectors as
+    * centroids, exact-cosine argmax), then search for near-duplicate
+    * pairs (cos ≥ [[NearDupCos]]) ONLY within each cluster, and
+    * report per-cell totals: vectors, qualifying pairs, and vectors a
+    * min-id keep-rule would remove. The cluster scoping is the
+    * paper's core trick: semantic duplicates land in the same cell,
+    * so the quadratic pair search is bounded by the cell size instead
+    * of the corpus — with [[SemCellTarget]]-sized cells the total
+    * pair work is linear in n (vs. v03's LSH banding, which prunes by
+    * random hyperplane collision rather than semantic locality).
+    *
+    * Scale shape: assignment is one broadcast-seeds pass (n·k ordered
+    * folds in codegen); the pair search is a self-equijoin on seed_id
+    * — shuffle-partitioned by cell, never a nested-loop over the
+    * corpus; the report reuses the cell partitioning. At 100 TB the
+    * cluster count grows with the corpus (the formula), and the
+    * centroid set would come from a real k-means ([[kmeansStep]])
+    * with hierarchical assignment once k outgrows a broadcast —
+    * same plan shape, different seed source. Determinism: every
+    * cosine is the shared ordered fold, ties break on seed_id /
+    * vec_id, outputs are pure counts. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir).cache()
+    semDedupOn(e, math.max(SemMinClusters, e.count() / SemCellTarget))
+  }
+
+  /** [[semDedup]] over an arbitrary norm'd frame with an explicit
+    * cluster count — the declared query binds the stored corpus and
+    * the scaling formula; tests bind planted corpora. */
+  private[queries] def semDedupOn(e: DataFrame, k: Long): DataFrame = {
+    val seeds = e.where(col("vec_id") < k)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
+        col("nrm").as("sn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(desc("scos"), col("seed_id"))
+    // cache: the assignment (the n·k fold pass) feeds BOTH pair-join
+    // sides and the cell census — uncached it would run three times
+    // (at scale this is the materialized IVF assignment table)
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"),
+        (expr(dotSql("embedding", "se")) / (col("nrm") * col("sn"))).as("scos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"))
+      .cache()
+    val a = assigned.select(col("seed_id"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), col("nrm").as("an"))
+    val b = assigned.select(col("seed_id"), col("vec_id").as("b_id"),
+      col("embedding").as("be"), col("nrm").as("bn"))
+    val pairs = a.join(b, Seq("seed_id"))
+      .where(col("a_id") < col("b_id") &&
+        (expr(dotSql("ae", "be")) / (col("an") * col("bn"))) >= NearDupCos)
+    val cells = assigned.groupBy("seed_id")
+      .agg(count(lit(1)).as("n_vectors"))
+    val dups = pairs.groupBy("seed_id").agg(
+      count(lit(1)).as("n_dup_pairs"),
+      countDistinct("b_id").as("n_removed"))
+    cells.join(dups, Seq("seed_id"), "left")
+      .select(col("seed_id"), col("n_vectors"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .orderBy("seed_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v10_semdedup" -> semDedup,
     "v01_ann_cosine_topk" -> annBrute,
     "v02_ann_lsh_topk" -> annLsh,
     "v03_embedding_neardup" -> nearDupLsh,
@@ -604,6 +681,39 @@ object VectorPipeline extends graft.Registry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v10_semdedup" ->
+      s"""WITH $normDuckCte,
+         |seeds AS (
+         |  SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
+         |  FROM e
+         |  WHERE vec_id < (SELECT GREATEST($SemMinClusters,
+         |                                  COUNT(*) // $SemCellTarget)
+         |                  FROM e)),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, s.seed_id,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dotDuck("e.embedding", "s.se")} / (e.nrm * s.sn)
+         |                      DESC, s.seed_id) AS arn
+         |  FROM e CROSS JOIN seeds s),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, seed_id FROM scored WHERE arn = 1),
+         |pairs AS (
+         |  SELECT a.seed_id, b.vec_id AS b_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.seed_id = b.seed_id AND a.vec_id < b.vec_id
+         |  WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+         |        >= CAST($NearDupCos AS DOUBLE)),
+         |cells AS (
+         |  SELECT seed_id, COUNT(*) AS n_vectors FROM assigned GROUP BY seed_id),
+         |dups AS (
+         |  SELECT seed_id, COUNT(*) AS n_dup_pairs,
+         |         COUNT(DISTINCT b_id) AS n_removed
+         |  FROM pairs GROUP BY seed_id)
+         |SELECT c.seed_id, c.n_vectors,
+         |       COALESCE(d.n_dup_pairs, CAST(0 AS BIGINT)) AS n_dup_pairs,
+         |       COALESCE(d.n_removed, CAST(0 AS BIGINT)) AS n_removed
+         |FROM cells c LEFT JOIN dups d ON c.seed_id = d.seed_id
+         |ORDER BY c.seed_id""".stripMargin,
     "v05_embedding_stats" ->
       s"""WITH e AS (
          |  SELECT CAST(len(embedding) AS BIGINT) AS dim,

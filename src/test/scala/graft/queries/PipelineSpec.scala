@@ -565,6 +565,45 @@ class PipelineSpec extends SparkSpec {
     assert(VectorPipeline.nearDupLsh(spark, dir).isEmpty)
   }
 
+  test("v10 semdedup equals an in-memory cluster-scoped pair count") {
+    val e = VectorPipeline.normed(spark, planted)
+    val got = VectorPipeline.semDedupOn(e, 8L).collect()
+      .map(r => r.getAs[Long]("seed_id") ->
+        ((r.getAs[Long]("n_vectors"), r.getAs[Long]("n_dup_pairs"),
+          r.getAs[Long]("n_removed")))).toMap
+
+    // in-memory mirror: same argmax assignment, same within-cell
+    // pairwise threshold, same min-id removal rule
+    val vecs = planted.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(x: Array[Float], y: Array[Float]): Double =
+      x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    val assign = vecs.keys.map { v =>
+      v -> (0L until 8L).minBy(sd => (-cos(v, sd), sd))
+    }.toMap
+    val ids = vecs.keySet.toSeq.sorted
+    val cellPairs = for {
+      i <- ids; j <- ids
+      if i < j && assign(i) == assign(j) && cos(i, j) >= 0.8
+    } yield (assign(i), i, j)
+    val want = ids.groupBy(assign).map { case (sd, members) =>
+      val ps = cellPairs.filter(_._1 == sd)
+      sd -> ((members.size.toLong, ps.size.toLong,
+        ps.map(_._3).distinct.size.toLong))
+    }
+    assert(got === want)
+    // the planting produced real work: some cell found dup pairs
+    assert(got.values.map(_._2).sum > 0, "no dup pairs — planting failed")
+    // cluster scoping found most of the true near-dup population:
+    // the SemDeDup premise is that semantic dups share a cell
+    val truePairs = VectorPipeline.nearDupOn(e).count()
+    assert(got.values.map(_._2).sum >= math.ceil(0.8 * truePairs).toLong,
+      s"cell-scoped pairs ${got.values.map(_._2).sum} vs $truePairs true")
+  }
+
   test("jaccard df-cap drops hot shingles from the candidate join") {
     // cap 0 drops every shingle → no candidates at all
     assert(TextPipeline.dedupJaccard(spark, dir, dfCap = 0L).isEmpty)

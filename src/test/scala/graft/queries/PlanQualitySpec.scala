@@ -157,6 +157,26 @@ class PlanQualitySpec extends SparkSpec {
       "the histogram must compact map-side before its shuffle")
   }
 
+  test("semdedup (v10): pair search is a seed equijoin over the cached assignment") {
+    spark.catalog.clearCache()
+    val qe = VectorPipeline.semDedup(spark, dir).queryExecution
+    val p = qe.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"),
+      "the n·k assignment pass must be cached, not recomputed per consumer")
+    // walk the executed tree (cached-plan DEFINITIONS print three times
+    // in the explain string, but only the cache build actually nests):
+    // every join in the main tree must be an equijoin — the bounded
+    // broadcast-seeds BNLJ lives inside the InMemoryRelation build
+    val joins = qe.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(joins.isEmpty,
+      s"within-cell pair join must stay a seed_id equijoin, found: $joins")
+    assert(p.contains("vec_dot"), "cosines must use the codegen'd kernel")
+  }
+
   test("heavy hitters second pass (td19/td20): broadcast semi-join, not an InSet literal") {
     import org.apache.spark.sql.functions.{col, explode, split}
     val toks = spark.read.parquet(s"$dir/documents.parquet")
