@@ -298,6 +298,25 @@ object Relational extends graft.Registry {
       .limit(25)
   }
 
+  /** Q16 — skew-proof fact⋈aggregate join via [[graft.operators.SaltedJoin]].
+    * `event_type` has a handful of distinct values, so each key carries
+    * ~1/5 of the events table — the textbook hot-key shape where a plain
+    * shuffle join sends a key's whole population to ONE reducer. The salt
+    * (deterministic `pmod(hash(event_id), 8)`) refines every hot key into
+    * 8 shuffle partitions; the 5-row build side is replicated 8×, which
+    * costs nothing. Result is provably identical to the unsalted join
+    * (SaltedJoinSpec), so the oracle is the plain SQL join. */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    val perType = t(s, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("type_n"))
+    graft.operators.SaltedJoin
+      .join(ev, perType, Seq("event_type"), salts = 8, saltBy = Seq("event_id"))
+      .select("event_id", "event_type", "value", "type_n")
+      .orderBy("event_id")
+      .limit(200)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_flagship_revenue_by_nation" -> flagship,
     "q01_projection" -> projection,
@@ -314,7 +333,8 @@ object Relational extends graft.Registry {
     "q12_retention" -> retention,
     "q13_view_revenue" -> viewRevenue,
     "q14_constant" -> constant,
-    "q15_bucketed_join" -> bucketedJoin
+    "q15_bucketed_join" -> bucketedJoin,
+    "q16_salted_join" -> saltedJoin
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -442,6 +462,13 @@ object Relational extends graft.Registry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey
         |ORDER BY total_cents DESC, o_orderkey
-        |LIMIT 25""".stripMargin
+        |LIMIT 25""".stripMargin,
+    "q16_salted_join" ->
+      """SELECT event_id, event_type, value, type_n
+        |FROM events
+        |JOIN (SELECT event_type, COUNT(*) AS type_n
+        |      FROM events GROUP BY event_type) USING (event_type)
+        |ORDER BY event_id
+        |LIMIT 200""".stripMargin
   )
 }
