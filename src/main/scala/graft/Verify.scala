@@ -7,7 +7,8 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = LocalSpark.hardened(SparkSession.builder())
+    val spark = InputTuning.configure(
+      LocalSpark.hardened(SparkSession.builder()), sfDir, cpus.toInt)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Input-sized session knobs: byte accounting is recursive and
+  * missing-dir-safe; the two regimes carry the expected settings. */
+class InputTuningSpec extends AnyFunSuite {
+
+  test("inputBytes sums files recursively, 0 for missing dirs") {
+    val root = Files.createTempDirectory("graft_tune")
+    Files.write(root.resolve("a.parquet"), Array.fill[Byte](100)(1))
+    val sub = Files.createDirectories(root.resolve("source=web"))
+    Files.write(sub.resolve("part-0.parquet"), Array.fill[Byte](50)(2))
+    assert(InputTuning.inputBytes(root.toString) === 150L)
+    assert(InputTuning.inputBytes(root.resolve("nope").toString) === 0L)
+    assert(InputTuning.smallInput(root.toString))
+  }
+
+  test("real testdata is below the adaptive threshold; a 100TB input is not") {
+    assert(InputTuning.smallInput("/root/testdata/sf0.1"))
+    assert(InputTuning.AdaptiveThresholdBytes === (1L << 30))
+  }
+
+  test("small regime: static plan, no shuffle compression, no locality wait") {
+    val s = InputTuning.settings(small = true).toMap
+    assert(s("spark.sql.adaptive.enabled") === "false")
+    assert(s("spark.shuffle.compress") === "false")
+    assert(s("spark.locality.wait") === "0")
+  }
+
+  test("large regime: AQE on, partitions sized by bytes") {
+    val l = InputTuning.settings(small = false).toMap
+    assert(l("spark.sql.adaptive.enabled") === "true")
+    assert(l("spark.sql.adaptive.coalescePartitions.parallelismFirst") === "false")
+    // and it must NOT carry any of the small-regime degradations
+    assert(!l.contains("spark.shuffle.compress"))
+  }
+}
