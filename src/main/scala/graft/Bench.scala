@@ -131,6 +131,17 @@ object Bench {
       results.collect { case (_, Some(_), ts) if ts.size > i => ts(i) }.sum
     }.sorted
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The stdout contract line must stay inside the driver's ~2KB log
+    // scrape window (see `ms` above). Round 7 proved a mass failure
+    // (20 erroring queries) pushes the full errors array past it and
+    // the driver parses null — exactly when the signal matters most.
+    // stdout carries a CAPPED errors list + the true count; the full
+    // array still goes to the detail file (and the mirror file is
+    // written regardless, which the driver can always read whole).
+    val errJsonCapped =
+      (errors.take(3).map("\"" + _ + "\"") ++
+        (if (errors.size > 3) Seq("\"+" + (errors.size - 3) + " more\"")
+         else Nil)).mkString("[", ",", "]")
     // Full-precision per-run arrays: a single noisy run on a shared
     // host swings ±30%+, and point estimates alone cannot show whether
     // a cross-round delta is regression or contention. Written to a
@@ -162,7 +173,7 @@ object Bench {
       }
     val detailJson = if (detailWritten) "\"" + detailPath + "\"" else "null"
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"runs_per_query":$Runs,"estimator":"min_of_runs","detail":$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJsonCapped,"errors_count":${errors.size},"runs_per_query":$Runs,"estimator":"min_of_runs","detail":$detailJson,"sf":"$sfDir"}"""
     // stdout (unprefixed — build.sbt routes forked stdout verbatim);
     // mirrored to a file when SPARK_GRAFT_BENCH_OUT is set so the
     // driver can read the result without scraping logs at all.

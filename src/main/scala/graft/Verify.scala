@@ -29,6 +29,13 @@ object Verify {
     // never sets it, so driver runs always dump the full surface).
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A throwing query must be VISIBLE in the artifact, not silently
+    // absent: round 7's events regression made 19 queries vanish from
+    // the correctness report while it still read as all-pass. Collect
+    // failures and dump them as _errors.json next to the outputs so
+    // any downstream compare (tools/compare.py, the driver) can record
+    // coverage loss instead of inferring it by diffing rounds.
+    var failures = Vector.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -36,6 +43,8 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failures :+= (name -> s"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" ").take(500)}")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -53,6 +62,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Underscore prefix keeps it lexically apart from query output dirs.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Loud summary but a normal exit: the partial outputs must still
+    // reach the driver's compare (a red exit could discard them all).
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} queries FAILED: ${failures.map(_._1).mkString(", ")}")
     spark.stop()
   }
 }

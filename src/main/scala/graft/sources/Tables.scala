@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet-backed table provider over the driver testdata layout
   * (`/root/testdata/sf{N}/{name}.parquet`, see TESTDATA.md).
@@ -29,20 +30,35 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     relations.computeIfAbsent((spark, dir, name), { _ =>
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-      // ([PARQUET_TYPE_ILLEGAL]) unless read as a raw long. Read nanos
-      // as long and convert to a microsecond TimestampType with integer
-      // division (a double-path division would lose precision: epoch
-      // nanos ~1.7e18 exceed 2^53).
+      // events.ts has shipped as THREE physical types across testdata
+      // generations: TIMESTAMP(NANOS) (which Spark 4 rejects with
+      // [PARQUET_TYPE_ILLEGAL] unless read as a raw long), raw int64
+      // nanos (ScaleGen-written localdata), and TIMESTAMP(MICROS)
+      // without UTC adjustment (current driver testdata → inferred
+      // TimestampNTZType). Normalize ALL of them to a microsecond
+      // TimestampType so every downstream query sees one stable type:
+      //  - long nanos → timestamp_micros(ts div 1000). Integer division
+      //    (a double-path division would lose precision: epoch nanos
+      //    ~1.7e18 exceed 2^53).
+      //  - TimestampNTZ → cast to TimestampType. Under the project-wide
+      //    UTC session timezone this is value-preserving (the naive
+      //    micros are reinterpreted as UTC micros, same physical value
+      //    the nanos path produced).
       // NB deliberate session-wide side effect: the nanosAsLong conf
       // must remain set for the lifetime of this (lazily executed)
-      // DataFrame, so it is never restored. Any OTHER nanos-timestamp
-      // source read in the session will therefore also surface as raw
-      // longs and needs its own conversion like this one.
+      // DataFrame, so it is never restored. It is a no-op for non-nanos
+      // files; any OTHER nanos-timestamp source read in the session
+      // will also surface as raw longs and needs its own conversion.
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        raw.schema("ts").dataType match {
+          case LongType =>
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast(TimestampType))
+          case _ => raw // already TimestampType
+        }
       } else {
         spark.read.parquet(s"$dir/$name.parquet")
       }

@@ -147,10 +147,18 @@ def main():
         else:
             n_fail += 1
             print(f"[FAIL] {name}: " + "; ".join(notes))
+    # Verify-side throw log (graft.Verify writes _errors.json): a query
+    # that crashed has no output dir, so without this it would surface
+    # only as "no spark output" with the cause lost.
+    err_path = Path(out_dir) / "_errors.json"
+    verify_errs = json.loads(err_path.read_text()) if err_path.exists() else {}
     missing = sorted(set(oracle) - set(names))
     for m in missing:
         n_fail += 1
-        print(f"[FAIL] {m}: oracle declared but no spark output")
+        if m in verify_errs:
+            print(f"[FAIL] {m}: verify threw: {verify_errs[m]}")
+        else:
+            print(f"[FAIL] {m}: oracle declared but no spark output")
     print(f"\n{n_pass} pass / {n_fail} fail / {len(names)} outputs")
     sys.exit(1 if n_fail else 0)
 
