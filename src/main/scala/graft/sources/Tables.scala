@@ -49,18 +49,24 @@ object Tables {
       // DataFrame, so it is never restored. It is a no-op for non-nanos
       // files; any OTHER nanos-timestamp source read in the session
       // will also surface as raw longs and needs its own conversion.
-      if (name == "events") {
+      val raw = if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(s"$dir/$name.parquet")
-        raw.schema("ts").dataType match {
+        val r = spark.read.parquet(s"$dir/$name.parquet")
+        r.schema("ts").dataType match {
           case LongType =>
-            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          case TimestampNTZType =>
-            raw.withColumn("ts", col("ts").cast(TimestampType))
-          case _ => raw // already TimestampType
+            r.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _ => r // TimestampNTZ handled generically below
         }
       } else {
         spark.read.parquet(s"$dir/$name.parquet")
+      }
+      // Generic: any NTZ timestamp column in any table becomes
+      // TimestampType, so a future testdata regeneration that flips a
+      // column's UTC-adjustment flag cannot change downstream types.
+      raw.schema.fields.foldLeft(raw) { (df, f) =>
+        if (f.dataType == TimestampNTZType)
+          df.withColumn(f.name, col(f.name).cast(TimestampType))
+        else df
       }
     })
 
