@@ -667,7 +667,53 @@ object VectorPipeline extends graft.Registry {
       .orderBy("seed_id")
   }
 
+  // Semantic-decontamination flag bar. Random 64-dim vectors have
+  // pairwise cosine ≈ N(0, 1/√64 = 0.125), so 0.35 ≈ 2.8σ flags the
+  // genuinely-similar tail without drowning the report; a production
+  // near-duplicate gate would run the same plan at ~0.9. The value
+  // only moves counts, never the plan shape.
+  private val DecontamCos = 0.35
+
+  /** Embedding-space decontamination audit (v11): for every held-out
+    * eval vector (`vec_id < NumQueries` — the same external query set
+    * the ANN operators use), scan the training corpus (all other
+    * vectors) and report how many corpus items are semantically too
+    * close (cosine ≥ [[DecontamCos]]) plus the worst offender's
+    * cosine. This is the embedding-side complement of td12's n-gram
+    * decontamination — the published contamination methodology (e.g.
+    * Brown et al. 2020 appendix C's overlap checks; SemDeDup's
+    * cosine regime) uses both lexical AND semantic filters, and a
+    * training-data engine needs the pair.
+    *
+    * Plan shape at scale: the eval set is broadcast (eval suites are
+    * thousands of rows; the corpus is the big side), the corpus makes
+    * ONE scan with the codegen'd ordered-fold dot product, and the
+    * per-query count/max aggregate is map-side combinable — each task
+    * emits ≤ |eval| partial rows, the exchange carries
+    * #partitions × |eval| tiny rows, nothing ever sorts or shuffles
+    * corpus rows. At 100 TB this is the same broadcast-audit layout
+    * as the DQ rules: cost = one pass, perfectly partition-parallel.
+    * Cosines are the bit-deterministic ordered fold shared with
+    * v01/v10 (see the object Scaladoc), so count and max match the
+    * oracle bitwise. */
+  def semanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    e.where(col("vec_id") >= NumQueries)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"),
+        (expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      .groupBy("query_id")
+      .agg(
+        count(when(col("cos") >= DecontamCos, lit(1))).as("n_contaminated"),
+        max("cos").as("max_cos"))
+      .orderBy("query_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v11_semantic_decontam" -> semanticDecontam,
     "v10_semdedup" -> semDedup,
     "v01_ann_cosine_topk" -> annBrute,
     "v02_ann_lsh_topk" -> annLsh,
@@ -681,6 +727,22 @@ object VectorPipeline extends graft.Registry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v11_semantic_decontam" ->
+      s"""WITH $normDuckCte,
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+         |  FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.query_id,
+         |         ${dotDuck("q.qe", "c.embedding")} / (q.qn * c.nrm) AS cos
+         |  FROM e c CROSS JOIN q
+         |  WHERE c.vec_id >= $NumQueries)
+         |SELECT query_id,
+         |       COUNT(*) FILTER (WHERE cos >= CAST($DecontamCos AS DOUBLE)) AS n_contaminated,
+         |       MAX(cos) AS max_cos
+         |FROM scored
+         |GROUP BY query_id
+         |ORDER BY query_id""".stripMargin,
     "v10_semdedup" ->
       s"""WITH $normDuckCte,
          |seeds AS (

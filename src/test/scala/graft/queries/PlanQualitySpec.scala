@@ -52,6 +52,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("vec_dot"), "native kernel must appear in the plan")
   }
 
+  test("semantic decontam (v11): broadcast eval set, partial count/max, corpus filter pushed") {
+    val p = plan(VectorPipeline.semanticDecontam(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), GreaterThanOrEqual(vec_id,10)]"),
+      "corpus-side predicate must reach the scan")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "eval set must broadcast (bounded side) against one corpus scan")
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      "per-query audit aggregate needs a map-side partial phase")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus rows must never shuffle for this audit")
+  }
+
   test("top-n per group (q11): window top-k prunes partially") {
     val p = plan(Relational.topNPerGroup(spark, dir))
     assert(p.contains("WindowGroupLimit"))
