@@ -130,6 +130,11 @@ object VectorPipeline extends graft.Registry {
         expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"))
   }
 
+  /** The held-out eval set (query vectors) + norms — shared with the
+    * streaming decontamination gate ([[graft.streaming.VectorStreams]]). */
+  private[graft] def evalSet(s: SparkSession, dir: String): DataFrame =
+    withNorm(s, dir).where(col("vec_id") < NumQueries)
+
   private val normDuckCte: String =
     s"""e AS (
        |  SELECT vec_id, embedding,
@@ -672,7 +677,7 @@ object VectorPipeline extends graft.Registry {
   // genuinely-similar tail without drowning the report; a production
   // near-duplicate gate would run the same plan at ~0.9. The value
   // only moves counts, never the plan shape.
-  private val DecontamCos = 0.35
+  private[graft] val DecontamCos = 0.35
 
   /** Embedding-space decontamination audit (v11): for every held-out
     * eval vector (`vec_id < NumQueries` — the same external query set

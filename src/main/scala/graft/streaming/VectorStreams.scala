@@ -23,6 +23,8 @@ object VectorStreams {
 
   final case class QueryVec(queryId: Long, embedding: Seq[Float], ts: Timestamp)
 
+  final case class CandVec(vecId: Long, embedding: Seq[Float], ts: Timestamp)
+
   /** Score a stream of query vectors (`query_id`, `embedding`, `ts`)
     * against the corpus at `dir`: emits (query_id, neighbor_id, cos,
     * ts) for same-bucket candidates with cos ≥ `minCos`. Works
@@ -43,5 +45,54 @@ object VectorStreams {
         expr("vec_dot(qe, embedding)").divide(col("qn") * col("nrm")).as("cos"),
         col("ts"))
       .where(col("cos") >= minCos)
+  }
+
+  /** Ingest-time semantic decontamination gate: every arriving
+    * candidate TRAINING vector (`vec_id`, `embedding`, `ts`) is
+    * audited against the full held-out eval set and emitted as
+    * (vec_id, ts, n_flagged, max_eval_cos, admitted) — the online
+    * half of the batch v11 audit, with identical cosine arithmetic.
+    *
+    * Scale design: the eval set is bounded by construction (an eval
+    * SUITE, thousands of rows — not a corpus), so it is collected
+    * once and shipped inside the plan as ONE array literal of
+    * (embedding, norm, id) structs — the same broadcast-the-small-
+    * side discipline as v11's batch plan, minus any join machinery.
+    * The per-row audit is a codegen'd fold over that array: exact
+    * cosine against EVERY eval vector (decontamination wants recall
+    * 1.0 — LSH bucketing would silently miss borderline pairs), max
+    * + threshold-count computed row-locally. The stream therefore
+    * needs NO state, NO watermark, and NO shuffle: each microbatch is
+    * a map over arriving rows, trivially parallel at any rate. An
+    * eval suite too large for a plan literal would move to the
+    * [[similar]] bucket-join layout with banding sized for recall.
+    *
+    * Works unchanged on a batch frame (used by the suite to compare
+    * against [[graft.queries.VectorPipeline.semanticDecontam]]). */
+  def decontamGate(spark: SparkSession, dir: String,
+      candidates: DataFrame,
+      bar: Double = VectorPipeline.DecontamCos): DataFrame = {
+    val (normC, _) = VectorPipeline.normAndBucket(spark)
+    // Driver-side collect of the STATIC eval side only (bounded); the
+    // raw float embeddings + separate norms keep the per-pair
+    // arithmetic bit-identical to the batch audit's dot/(qn*nrm).
+    val evals = VectorPipeline.evalSet(spark, dir)
+      .select(col("embedding"), col("nrm"))
+      .collect()
+      .map(r => (r.getAs[scala.collection.Seq[Float]]("embedding").toSeq,
+        r.getAs[Double]("nrm")))
+    val evalMatrix = typedlit(evals)
+    candidates
+      .select(col("vec_id"), col("ts"), col("embedding"),
+        normC.as("nrm"), evalMatrix.as("evals"))
+      .select(col("vec_id"), col("ts"),
+        expr(s"transform(evals, s -> vec_dot(s._1, embedding) / (s._2 * nrm))")
+          .as("eval_cos"))
+      .select(
+        col("vec_id"), col("ts"),
+        expr(s"size(filter(eval_cos, c -> c >= ${bar}D))").cast("long")
+          .as("n_flagged"),
+        array_max(col("eval_cos")).as("max_eval_cos"))
+      .withColumn("admitted", col("n_flagged") === 0L)
   }
 }

@@ -53,4 +53,51 @@ class VectorStreamsSpec extends SparkSpec {
       got.foreach { case (k, c) => assert(c === expected(k), s"cos mismatch at $k") }
     } finally q.stop()
   }
+
+  test("streamed decontamination gate matches a batch recount against the eval set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // candidates disjoint from the eval set (vec_id < 10)
+    val cands = graft.sources.Tables.table(spark, dir, "embeddings")
+      .where("vec_id >= 100 AND vec_id < 110").collect()
+      .map(r => CandVec(r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq,
+        new Timestamp(1700000000000L)))
+    val src = MemoryStream[CandVec]
+    val out = decontamGate(spark, dir,
+      src.toDF().withColumnRenamed("vecId", "vec_id"))
+    val q = out.writeStream.format("memory").queryName("stream_decontam")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(cands.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("stream_decontam").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("n_flagged"), r.getAs[Double]("max_eval_cos"),
+            r.getAs[Boolean]("admitted")))).toMap
+      assert(got.size === 10)
+      // independent batch recount (same arithmetic as the v11 audit)
+      graft.functions.Functions.register(spark)
+      graft.sources.Tables.table(spark, dir, "embeddings")
+        .createOrReplaceTempView("emb_sdg")
+      val expect = spark.sql(
+        """WITH e AS (SELECT vec_id, embedding,
+          |  sqrt(vec_dot(embedding, embedding)) AS nrm FROM emb_sdg)
+          |SELECT c.vec_id,
+          |  count(CASE WHEN vec_dot(q.embedding, c.embedding)/(q.nrm*c.nrm)
+          |             >= 0.35D THEN 1 END) AS n_flagged,
+          |  max(vec_dot(q.embedding, c.embedding)/(q.nrm*c.nrm)) AS max_cos
+          |FROM e c JOIN e q ON q.vec_id < 10
+          |WHERE c.vec_id >= 100 AND c.vec_id < 110
+          |GROUP BY c.vec_id""".stripMargin).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("n_flagged"), r.getAs[Double]("max_cos")))).toMap
+      assert(got.keySet === expect.keySet)
+      got.foreach { case (id, (n, mx, adm)) =>
+        assert(n === expect(id)._1, s"n_flagged mismatch at $id")
+        assert(mx === expect(id)._2, s"max_eval_cos mismatch at $id")
+        assert(adm === (n == 0L))
+      }
+    } finally q.stop()
+  }
 }
