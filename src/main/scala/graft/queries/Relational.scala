@@ -17,8 +17,10 @@ import graft.sources.Tables
   * back to double so both engines emit the identical value. Testdata
   * money columns are 2-decimal, so the decimal cast is lossless.
   * Integer-valued doubles (l_quantity) sum exactly in binary and need
-  * no cast. `events.ts` is nanosecond parquet — any query touching it
-  * truncates to seconds on both sides.
+  * no cast. `events.ts` arrives in several physical parquet forms
+  * across testdata generations (see [[graft.sources.Tables]], which
+  * normalizes them all to microsecond TimestampType) — any query
+  * touching it truncates to seconds on both sides.
   *
   * Scale notes: fact⋈fact joins shuffle on the join key; dimension
   * joins (region 5, nation 25 rows) broadcast explicitly. Filters and

@@ -27,11 +27,13 @@ import org.apache.spark.sql.functions._
   *    positions: norms and within-replica cosines are preserved
   *    bit-exactly (rotation is an orthonormal permutation), rotated
   *    random vectors are uncorrelated across replicas.
-  *  - `events.ts` is kept as the raw int64 nanos it arrives as (the
-  *    session reads TIMESTAMP(NANOS) parquet via `nanosAsLong`, and
-  *    [[graft.sources.Tables]] converts `ts div 1000` on read — which
-  *    works for a plain long column but not for a re-written µs
-  *    timestamp).
+  *  - `events.ts` is passed through in whatever physical form it
+  *    arrives: TIMESTAMP(NANOS) driver dirs are read as raw int64
+  *    nanos (`nanosAsLong`) and re-written as plain longs; the
+  *    current TIMESTAMP-µs (NTZ) driver dirs round-trip as µs
+  *    timestamps. [[graft.sources.Tables]] normalizes every form to
+  *    microsecond TimestampType on read, so generated dirs behave
+  *    identically to driver dirs.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
