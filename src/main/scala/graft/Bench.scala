@@ -26,10 +26,15 @@ object Bench {
     // Execution knobs whose right value depends on input size (AQE,
     // shuffle compression, locality wait) are chosen by measuring the
     // input — see InputTuning for the rationale and threshold.
+    // Partition default (= cpus) first, InputTuning after: the
+    // small-input regime overrides it with the measured static value
+    // (see InputTuning.staticShufflePartitions); the large regime
+    // keeps cpus as AQE's starting point.
     val base = InputTuning.configure(
-      LocalSpark.hardened(SparkSession.builder()), sfDir, cpus.toInt)
+      LocalSpark.hardened(SparkSession.builder())
+        .config("spark.sql.shuffle.partitions", cpus),
+      sfDir, cpus.toInt)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // Overrides apply after the defaults so an A/B on any key wins.
@@ -176,10 +181,14 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJsonCapped,"errors_count":${errors.size},"runs_per_query":$Runs,"estimator":"min_of_runs","detail":$detailJson,"sf":"$sfDir"}"""
     // stdout (unprefixed — build.sbt routes forked stdout verbatim);
     // mirrored to a file when SPARK_GRAFT_BENCH_OUT is set so the
-    // driver can read the result without scraping logs at all.
+    // driver can read the result without scraping logs at all. The
+    // mirror has no scrape-window constraint, so it carries the FULL
+    // errors array; only the stdout line caps it.
     println(line)
+    val mirrorLine =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"errors_count":${errors.size},"runs_per_query":$Runs,"estimator":"min_of_runs","detail":$detailJson,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), mirrorLine + "\n")
     }
     spark.stop()
   }

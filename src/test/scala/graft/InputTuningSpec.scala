@@ -24,14 +24,19 @@ class InputTuningSpec extends AnyFunSuite {
   }
 
   test("small regime: static plan, no shuffle compression, no locality wait") {
-    val s = InputTuning.settings(small = true).toMap
+    val s = InputTuning.settings(small = true, cpus = 32).toMap
     assert(s("spark.sql.adaptive.enabled") === "false")
     assert(s("spark.shuffle.compress") === "false")
     assert(s("spark.locality.wait") === "0")
+    // Static parallelism: cores/2 with a floor of 8 (measured — see
+    // staticShufflePartitions scaladoc).
+    assert(s("spark.sql.shuffle.partitions") === "16")
+    assert(InputTuning.staticShufflePartitions(4) === 8)
+    assert(InputTuning.staticShufflePartitions(64) === 32)
   }
 
   test("large regime: AQE on, partitions sized by bytes") {
-    val l = InputTuning.settings(small = false).toMap
+    val l = InputTuning.settings(small = false, cpus = 32).toMap
     assert(l("spark.sql.adaptive.enabled") === "true")
     assert(l("spark.sql.adaptive.coalescePartitions.parallelismFirst") === "false")
     // and it must NOT carry any of the small-regime degradations

@@ -47,14 +47,16 @@ class PlanQualitySpec extends SparkSpec {
 
   test("ANN brute force: query-set predicate pushed, partial top-k before shuffle") {
     val p = plan(VectorPipeline.annBrute(spark, dir))
-    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"))
+    assert(p.contains(
+      s"PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,${VectorPipeline.NumQueries})]"))
     assert(p.contains("WindowGroupLimit"), "per-query top-k must prune before exchange")
     assert(p.contains("vec_dot"), "native kernel must appear in the plan")
   }
 
   test("semantic decontam (v11): broadcast eval set, partial count/max, corpus filter pushed") {
     val p = plan(VectorPipeline.semanticDecontam(spark, dir))
-    assert(p.contains("PushedFilters: [IsNotNull(vec_id), GreaterThanOrEqual(vec_id,10)]"),
+    assert(p.contains(
+      s"PushedFilters: [IsNotNull(vec_id), GreaterThanOrEqual(vec_id,${VectorPipeline.NumQueries})]"),
       "corpus-side predicate must reach the scan")
     assert(p.contains("BroadcastNestedLoopJoin"),
       "eval set must broadcast (bounded side) against one corpus scan")
@@ -94,13 +96,17 @@ class PlanQualitySpec extends SparkSpec {
       "the per-source report needs a map-side partial phase")
   }
 
-  test("kmeans step (v06): integer folds, partial sums, no sort-merge or cartesian") {
+  test("kmeans step (v06): row-local argmin, partial counts, no sort-merge or cartesian") {
     val p = plan(VectorPipeline.kmeansStep(spark, dir))
-    assert(p.contains("partial_sum"),
-      "centroid sums must aggregate map-side before the (cluster, dim) shuffle")
-    // every join in the iteration carries a broadcast-size side (k
-    // centroid rows); a sort-merge or cartesian join here means the
-    // corpus became a join build side and the plan died at scale
+    // assignment must be a row-local argmin over the driver-held
+    // centroid literal (MLlib layout) — one corpus scan, no join and
+    // no N×k expansion; the reassignment count aggregates map-side
+    assert(p.contains("array_min"),
+      "assignment must be the row-local array_min argmin, not a join")
+    assert(p.contains("partial_count"),
+      "reassignment counts must aggregate map-side before the cluster shuffle")
+    // the only join is the k-row report ⋈ k-row recount; a sort-merge
+    // or cartesian join here means a corpus-sized side slipped in
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
