@@ -24,7 +24,10 @@ class GitHubClient(
     repo: String, // "owner/repo"
     defaultBranch: String = "main",
     authorName: String = "graft",
-    authorEmail: String = "graft@localhost") {
+    authorEmail: String = "graft@localhost",
+    // Injectable for GitHub Enterprise installs and loopback tests;
+    // the default is the public API host the reference targets.
+    apiBase: String = "https://api.github.com") {
   import GitHubClient.GitHubError
 
   private val mapper = new ObjectMapper()
@@ -39,7 +42,7 @@ class GitHubClient(
   private def api(path: String): String = {
     if (repo == null || repo.isEmpty)
       throw GitHubError("GITHUB_REPO is not set (expected 'owner/repo')")
-    s"https://api.github.com/repos/$repo$path"
+    s"$apiBase/repos/$repo$path"
   }
 
   /** Percent-encode one URL path/query value (spaces, '#', '?', …

@@ -81,6 +81,11 @@ object VectorStreams {
       .collect()
       .map(r => (r.getAs[scala.collection.Seq[Float]]("embedding").toSeq,
         r.getAs[Double]("nrm")))
+    // A decontamination gate with an empty eval side would fail OPEN
+    // (zero flags, admitted=true for everything) — refuse loudly
+    // instead of silently admitting the whole stream.
+    require(evals.nonEmpty,
+      s"decontamGate: empty eval set (no vec_id < ${VectorPipeline.NumQueries} in $dir)")
     val evalMatrix = typedlit(evals)
     candidates
       .select(col("vec_id"), col("ts"), col("embedding"),

@@ -142,7 +142,8 @@ class PipelineSpec extends SparkSpec {
     // The flag bar actually separates: some query must see at least
     // one contaminated corpus item OR a max_cos below the bar —
     // i.e. the report is not vacuously all-zero with max at the bar.
-    assert(rows.forall(r => r.getAs[Double]("max_cos") <= 1.0 + 1e-12))
+    assert(rows.exists(r => r.getAs[Long]("n_contaminated") > 0) ||
+      rows.exists(r => r.getAs[Double]("max_cos") < VectorPipeline.DecontamCos))
   }
 
   test("brute-force ANN returns exactly top-k per query, cos in [-1,1]") {

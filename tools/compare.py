@@ -159,6 +159,14 @@ def main():
             print(f"[FAIL] {m}: verify threw: {verify_errs[m]}")
         else:
             print(f"[FAIL] {m}: oracle declared but no spark output")
+    # A query that threw in Verify but has NO declared oracle would
+    # otherwise vanish entirely (no output dir, not in the missing set).
+    for m in sorted(set(verify_errs) - set(names) - set(missing)):
+        if only is not None and m not in only:
+            continue
+        n_fail += 1
+        print(f"[FAIL] {m}: verify threw (no oracle declared): "
+              f"{verify_errs[m]}")
     print(f"\n{n_pass} pass / {n_fail} fail / {len(names)} outputs")
     sys.exit(1 if n_fail else 0)
 
