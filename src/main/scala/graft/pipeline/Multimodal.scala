@@ -54,12 +54,19 @@ object Multimodal {
       entropyBits: Double,
       histogram: Array[Double])
 
-  /** One sampled video frame (byte slice; REAL slicing, fake codec). */
+  /** One sampled video frame. The slice is REAL (mdat offsets from
+    * the container's sample table); `width`/`height` are the frame's
+    * REAL pixel dimensions when the sample bitstream is
+    * self-contained and JDK-decodable (MJPEG tracks — each sample is
+    * a complete JPEG), 0 for inter-coded codecs (H.264 etc.) whose
+    * frame decode needs a native decoder. */
   final case class Frame(
       mediaId: Long,
       frameIdx: Int,
       offset: Long,
-      bytes: Array[Byte])
+      bytes: Array[Byte],
+      width: Int = 0,
+      height: Int = 0)
 
   /** Codec boundary: dimension probe + pixel resample. */
   trait Codec extends Serializable {
@@ -113,7 +120,13 @@ object Multimodal {
     * mixed-media batch degrades to a fake row instead of killing the
     * whole task — the per-row error contract a large decode pass needs. */
   object ImageIoCodec extends Codec {
-    override def dimensions(content: Array[Byte]): (Int, Int, Int) =
+    /** Header-only probe: Some((w, h, channels)) when an installed
+      * reader recognizes the bytes, None otherwise — the
+      * distinguishes-real-decode form [[Multimodal.sampleFrames]]
+      * needs (the [[Codec]] contract below folds None into the stub
+      * fallback). */
+    private[pipeline] def headerDimensions(
+        content: Array[Byte]): Option[(Int, Int, Int)] =
       withReader(content) { reader =>
         val channels =
           try {
@@ -122,7 +135,10 @@ object Multimodal {
             else 3
           } catch { case scala.util.control.NonFatal(_) => 3 }
         (reader.getWidth(0), reader.getHeight(0), channels)
-      }.getOrElse(StubCodec.dimensions(content))
+      }
+
+    override def dimensions(content: Array[Byte]): (Int, Int, Int) =
+      headerDimensions(content).getOrElse(StubCodec.dimensions(content))
 
     override def resample(content: Array[Byte], w: Int, h: Int,
         tw: Int, th: Int): Array[Byte] = {
@@ -542,8 +558,14 @@ object Multimodal {
     * slices are REAL: [[Mp4Codec]] materializes the video track's
     * per-sample (offset, size) table from stsz/stco/stsc, and
     * `nFrames` evenly-spaced SAMPLES are cut at their actual mdat
-    * offsets (each capped at `frameBytes`). Non-BMFF payloads keep
-    * the deterministic evenly-spaced byte-stride slices. */
+    * offsets (each capped at `frameBytes`). When a sample's bitstream
+    * is itself a complete JPEG (MJPEG tracks — sniffed by the FFD8
+    * SOI marker, which also covers QuickTime `jpeg`/`mjpa` sample
+    * entries), the FULL sample is header-decoded through the
+    * [[ImageIoCodec]] path and the frame reports its real pixel
+    * dimensions; inter-coded codecs (H.264 …) report 0×0 — their
+    * frame decode needs a native decoder. Non-BMFF payloads keep the
+    * deterministic evenly-spaced byte-stride slices. */
   def sampleFrames(ds: Dataset[MediaFile], nFrames: Int = 4,
       frameBytes: Int = 256): Dataset[Frame] = {
     import ds.sparkSession.implicits._
@@ -558,8 +580,23 @@ object Multimodal {
           val n = math.min(nFrames, samples.length)
           (0 until n).iterator.map { f =>
             val (off, sz) = samples((samples.length.toLong * f / n).toInt)
+            val isJpeg = sz >= 2 &&
+              (m.content(off.toInt) & 0xff) == 0xFF &&
+              (m.content(off.toInt + 1) & 0xff) == 0xD8
+            val (fw, fh) =
+              if (!isJpeg) (0, 0)
+              else {
+                // Full sample, not the frameBytes cap: a truncated
+                // JPEG has no readable header-decode guarantee.
+                ImageIoCodec.headerDimensions(
+                  java.util.Arrays.copyOfRange(
+                    m.content, off.toInt, off.toInt + sz))
+                  .map { case (w, h, _) => (w, h) }
+                  .getOrElse((0, 0))
+              }
             Frame(m.mediaId, f, off, java.util.Arrays.copyOfRange(
-              m.content, off.toInt, off.toInt + math.min(sz, frameBytes)))
+              m.content, off.toInt, off.toInt + math.min(sz, frameBytes)),
+              fw, fh)
           }
         case None =>
           if (len == 0) Iterator.empty

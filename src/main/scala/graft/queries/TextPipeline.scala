@@ -736,7 +736,11 @@ object TextPipeline extends graft.Registry {
       .select("shingle").distinct()
     idx
       .join(broadcast(evalIds), col("doc_id") === col("eval_id"), "left_anti")
-      .join(evalShingles, "shingle")
+      // The eval shingle set is bounded (it IS the benchmark corpus),
+      // but it reaches here through a join+distinct, so Catalyst has
+      // no size statistic and would shuffle the whole corpus index
+      // into a sort-merge join without the hint.
+      .join(broadcast(evalShingles), "shingle")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_shingles"))
       .where(col("n_shared_shingles") >= 10)

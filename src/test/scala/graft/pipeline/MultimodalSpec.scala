@@ -246,6 +246,86 @@ class MultimodalSpec extends SparkSpec {
     val junk = Array[Byte](0, 0, 0, 16) ++
       "ftyp".getBytes("US-ASCII") ++ Array.fill(24)(9.toByte)
     assert(AutoCodec.dimensions(junk) === StubCodec.dimensions(junk))
+    // avc1 samples are inter-coded bitstream, not self-contained
+    // images: frames must report 0x0, never a fake dimension
+    assert(frames.forall(f => f.width === 0 && f.height === 0))
+  }
+
+  test("MJPEG track: each sample is a real JPEG, frames report real pixel dims") {
+    import spark.implicits._
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      buf.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      buf.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8040)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val j1 = jpeg(20, 12)
+    val j2 = jpeg(16, 10)
+    assert((j1(0) & 0xff) === 0xFF && (j1(1) & 0xff) === 0xD8) // SOI
+    val ftyp = box("ftyp",
+      "qt  qt  ".getBytes("US-ASCII") ++ Array.fill(4)(0.toByte))
+    val mdat = box("mdat", j1 ++ j2)
+    val chunk1 = ftyp.length + 8L
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(100)
+      p.putInt(0).putInt(0).putInt(0).putInt(600).putInt(1200)
+      p.array()
+    }
+    def hdlr(handler: String) = {
+      val p = java.nio.ByteBuffer.allocate(25)
+      p.putInt(0).putInt(0).put(handler.getBytes("US-ASCII"))
+      p.array()
+    }
+    val stsd = {                            // one 86-byte 'jpeg' entry
+      val p = java.nio.ByteBuffer.allocate(94)
+      p.putInt(0).putInt(1).putInt(86).put("jpeg".getBytes("US-ASCII"))
+      p.position(8 + 8 + 6); p.putShort(1)
+      p.position(8 + 8 + 8 + 16)
+      p.putShort(20.toShort).putShort(12.toShort)
+      p.array()
+    }
+    val stsz = {
+      val p = java.nio.ByteBuffer.allocate(20)
+      p.putInt(0).putInt(0).putInt(2).putInt(j1.length).putInt(j2.length)
+      p.array()
+    }
+    val stsc = {
+      val p = java.nio.ByteBuffer.allocate(20)
+      p.putInt(0).putInt(1).putInt(1).putInt(2).putInt(1)
+      p.array()
+    }
+    val stco = {
+      val p = java.nio.ByteBuffer.allocate(12)
+      p.putInt(0).putInt(1).putInt(chunk1.toInt)
+      p.array()
+    }
+    val videoTrak = box("trak", box("mdia",
+      box("hdlr", hdlr("vide")) ++ box("minf", box("stbl",
+        box("stsd", stsd) ++ box("stsz", stsz) ++
+          box("stsc", stsc) ++ box("stco", stco)))))
+    val file = ftyp ++ mdat ++ box("moov", box("mvhd", mvhd) ++ videoTrak)
+
+    val info = Mp4Codec.parse(file).get
+    assert(info.samples === Vector(
+      (chunk1, j1.length), (chunk1 + j1.length, j2.length)))
+    val ds = spark.createDataset(Seq(
+      MediaFile(400L, "video", file, Map.empty)))
+    val frames = sampleFrames(ds, nFrames = 2, frameBytes = 64)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.length === 2)
+    // real pixel dimensions decoded from each sample's own JPEG header
+    assert((frames(0).width, frames(0).height) === (20, 12))
+    assert((frames(1).width, frames(1).height) === (16, 10))
+    // the stored slice is still capped, but the decode used the full sample
+    assert(frames.forall(_.bytes.length <= 64))
   }
 
   test("describe joins decode + features without losing rows") {
