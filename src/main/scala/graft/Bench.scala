@@ -110,13 +110,25 @@ object Bench {
       }
       (name, if (failed) None else Some(times.min), times)
     }
-    // ms precision is plenty for seconds-scale timings, and keeps the
-    // stdout contract line SHORT — the driver scrapes it from the last
-    // ~2KB of build output, so a long line (round 4 inlined per-run
-    // arrays, ~4KB) starts before the scrape window and parses as null.
+    // The driver scrapes the contract line from the LAST 2000 chars of
+    // build output, and sbt appends its own "[success] Total time: …"
+    // line (~75 chars) after ours — so the whole stdout line must stay
+    // under ~1900 chars or its FRONT (metric/value) is cut and the
+    // driver records parsed:null. That is exactly what happened in
+    // rounds 7 (mass-error arrays) and 8 (69 per-query entries at 3
+    // decimals): both tails are 2000 chars with the line's head
+    // missing. Two formats therefore exist below: the stdout line
+    // carries only the required contract fields with per-query values
+    // at 2 decimals (~1700 chars at 69 queries, headroom for the
+    // capped error list), while the mirror file (no scrape window) and
+    // the detail file carry every field at full precision.
     def ms(x: Double): String = String.format(java.util.Locale.ROOT, "%.3f", x)
+    def cs(x: Double): String = String.format(java.util.Locale.ROOT, "%.2f", x)
     val qs = results
       .map { case (k, v, _) => "\"" + k + "\":" + v.fold("null")(ms) }
+      .mkString("{", ",", "}")
+    val qsShort = results
+      .map { case (k, v, _) => "\"" + k + "\":" + v.fold("null")(cs) }
       .mkString("{", ",", "}")
     // `value` (and the per-query map) = sum of per-query MINIMA.
     val total = results.flatMap(_._2).sum
@@ -177,14 +189,26 @@ object Bench {
           false
       }
     val detailJson = if (detailWritten) "\"" + detailPath + "\"" else "null"
-    val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJsonCapped,"errors_count":${errors.size},"runs_per_query":$Runs,"estimator":"min_of_runs","detail":$detailJson,"sf":"$sfDir"}"""
-    // stdout (unprefixed — build.sbt routes forked stdout verbatim);
-    // mirrored to a file when SPARK_GRAFT_BENCH_OUT is set so the
-    // driver can read the result without scraping logs at all. The
-    // mirror has no scrape-window constraint, so it carries the FULL
-    // errors array; only the stdout line caps it.
+    // stdout: the minimal scrape-safe contract line (see the length
+    // budget at `cs` above) — required fields + capped errors only.
+    // If the surface grows past the budget anyway, degrade per-query
+    // precision to 1 decimal before sacrificing parseability (full
+    // precision always survives in the mirror + detail files).
+    def contractLine(q: String): String =
+      s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$q,"errors":$errJsonCapped,"errors_count":${errors.size},"detail":$detailJson,"sf":"$sfDir"}"""
+    val qsCoarse = results
+      .map { case (k, v, _) =>
+        "\"" + k + "\":" + v.fold("null")(x =>
+          String.format(java.util.Locale.ROOT, "%.1f", x))
+      }
+      .mkString("{", ",", "}")
+    val line = {
+      val l = contractLine(qsShort)
+      if (l.length <= 1900) l else contractLine(qsCoarse)
+    }
     println(line)
+    // Mirror file (SPARK_GRAFT_BENCH_OUT): no scrape window, so it
+    // carries every field at full precision and the FULL errors array.
     val mirrorLine =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"errors_count":${errors.size},"runs_per_query":$Runs,"estimator":"min_of_runs","detail":$detailJson,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>

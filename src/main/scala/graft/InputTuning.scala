@@ -65,7 +65,7 @@ object InputTuning {
     */
   def configure(b: SparkSession.Builder, dir: String,
       cpus: Int): SparkSession.Builder =
-    settings(smallInput(dir), cpus).foldLeft(b) {
+    settings(smallInput(dir), cpus, inputBytes(dir)).foldLeft(b) {
       case (bb, (k, v)) => bb.config(k, v)
     }
 
@@ -83,10 +83,27 @@ object InputTuning {
     * and this value is irrelevant. */
   def staticShufflePartitions(cpus: Int): Int = math.max(8, cpus / 2)
 
+  /** AQE's post-shuffle partition size target. 64 MB (Spark's
+    * default) is the right IO-healthy size when parallelism is
+    * plentiful — a 100 TB shuffle at 64 MB yields millions of
+    * partitions. But when the whole input is barely past the adaptive
+    * threshold on one node, a 64 MB target coalesces a CPU-bound
+    * shuffle BELOW the core count and serializes it: measured at sf10
+    * (1.6 GB input, local[32]) the sessionize window sort coalesced
+    * to ~5 partitions and ran 12.9 s; capping the advisory size at
+    * `inputBytes / (4 × cores)` (~12 MB there) kept all cores busy
+    * and ran the same query in 2.6 s — e01/e03/e05 sped up 2.5–3.5×
+    * the same way. The `max(1 MB)` floor keeps tiny inputs from
+    * degenerate 1-row partitions; the 64 MB cap means a genuinely
+    * large deployment sees exactly Spark's default behavior. */
+  def advisoryPartitionBytes(inputBytes: Long, cpus: Int): Long =
+    math.min(64L << 20, math.max(1L << 20, inputBytes / (4L * cpus)))
+
   /** The knob values for each regime, as data (unit-tested directly —
     * asserting them through a live session would mutate the suite's
     * shared SparkContext). */
-  def settings(small: Boolean, cpus: Int): Seq[(String, String)] =
+  def settings(small: Boolean, cpus: Int,
+      inputBytes: Long = 0L): Seq[(String, String)] =
     if (small) Seq(
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.shuffle.partitions" -> staticShufflePartitions(cpus).toString,
@@ -97,7 +114,10 @@ object InputTuning {
     else Seq(
       "spark.sql.adaptive.enabled" -> "true",
       // Size shuffle partitions by bytes, not the parallelism floor:
-      // healthy ~64MB partitions at scale instead of `cpus` fixed-count
-      // ones.
-      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false")
+      // healthy partitions at scale instead of `cpus` fixed-count
+      // ones — but never a coarser target than keeps every core busy
+      // on this input (see advisoryPartitionBytes).
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        advisoryPartitionBytes(inputBytes, cpus).toString)
 }

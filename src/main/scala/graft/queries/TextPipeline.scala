@@ -816,27 +816,33 @@ object TextPipeline extends graft.Registry {
     * by IEEE, so a log-based score could differ between engines in
     * the last ulp — integer df sums cannot.
     *
-    * Scale shape: one distinct-pass df aggregation keyed on token,
-    * then a token-keyed join back to the exploded corpus —
-    * deliberately UNHINTED like td03's vocabulary join, because a
-    * web-corpus vocabulary outgrows any broadcast threshold — and a
-    * final doc-keyed aggregation. The corpus-size scalar rides a
-    * 1-row broadcast. */
+    * Scale shape: the exploded corpus compacts FIRST to distinct
+    * (doc, token) pairs with occurrence counts — one doc-keyed
+    * shuffle — and everything downstream runs on that strictly
+    * smaller relation: the df aggregation, and the token-keyed join
+    * back (deliberately UNHINTED like td03's vocabulary join,
+    * because a web-corpus vocabulary outgrows any broadcast
+    * threshold) now carry one row per distinct pair instead of one
+    * per token occurrence, and the final doc-keyed aggregation needs
+    * no COUNT(DISTINCT) (each pair row IS distinct), so Catalyst
+    * plans it without the multi-distinct Expand. The corpus-size
+    * scalar rides a 1-row broadcast. */
   def rarityScore(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
+    val pairs = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val dfTab = toks.distinct().groupBy("token")
-      .agg(count(lit(1)).as("df"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("occ"))
+    val dfTab = pairs.groupBy("token").agg(count(lit(1)).as("df"))
     val total = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-    toks.join(dfTab, Seq("token"))
+    pairs.join(dfTab, Seq("token"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct("token").as("n_distinct"),
-        sum("df").as("sum_token_df"),
-        sum(when(col("df") * 100 < col("n_docs"), 1L).otherwise(0L))
-          .as("n_rare"))
+        sum("occ").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("df") * col("occ")).as("sum_token_df"),
+        sum(when(col("df") * 100 < col("n_docs"), col("occ"))
+          .otherwise(0L)).as("n_rare"))
       .orderBy("doc_id")
       .limit(200)
   }

@@ -36,9 +36,19 @@ class InputTuningSpec extends AnyFunSuite {
   }
 
   test("large regime: AQE on, partitions sized by bytes") {
-    val l = InputTuning.settings(small = false, cpus = 32).toMap
+    val l = InputTuning.settings(small = false, cpus = 32,
+      inputBytes = 1680L << 20).toMap
     assert(l("spark.sql.adaptive.enabled") === "true")
     assert(l("spark.sql.adaptive.coalescePartitions.parallelismFirst") === "false")
+    // advisory target = input/(4*cores), clamped to [1 MB, 64 MB]:
+    // 1.68 GB / 128 ≈ 13 MB here — small enough that AQE cannot
+    // coalesce a CPU-bound shuffle below the core count
+    assert(l("spark.sql.adaptive.advisoryPartitionSizeInBytes") ===
+      ((1680L << 20) / 128).toString)
+    // a genuinely large input sees Spark's default 64 MB target…
+    assert(InputTuning.advisoryPartitionBytes(1L << 40, 32) === (64L << 20))
+    // …and a just-past-threshold input keeps the 1 MB floor
+    assert(InputTuning.advisoryPartitionBytes(1L << 30, 1024) === (1L << 20))
     // and it must NOT carry any of the small-regime degradations
     assert(!l.contains("spark.shuffle.compress"))
   }
