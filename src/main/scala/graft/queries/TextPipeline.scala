@@ -847,6 +847,67 @@ object TextPipeline extends graft.Registry {
       .limit(200)
   }
 
+  /** td25: bigram novelty profile — per document: how much of its
+    * word-pair content exists nowhere else in the corpus. For every
+    * bigram the corpus-wide document frequency (df) is computed; a
+    * document's occurrences of df = 1 bigrams are NOVEL (it is the
+    * only document that ever says that word pair), and the summed df
+    * gives the complementary commonness signal. This is the n-gram
+    * novelty/memorization accounting of the dedup literature (Lee et
+    * al. 2021 measure duplicated-substring mass; McCoy et al. 2023
+    * "How much do language models copy?" measure novel n-gram
+    * fraction) one level up from td17's token-df rarity: bigrams see
+    * phrase reuse that token frequencies cannot (every token of
+    * "click here to subscribe" is common; the PAIRS are what repeat).
+    * High novel_frac → unique content worth keeping (or garbage worth
+    * review); low novel_frac + high avg df → templated/boilerplate
+    * mass, the td06/td15 dedup candidates.
+    *
+    * Scale shape (td15's single-scan window form at bigram
+    * granularity): bigrams hash to 63-bit keys at the source (td15's
+    * two-md5-word construction — collisions at 2⁻³² odds for 10⁹
+    * distinct phrases, mirrored into the oracle so they cannot
+    * diverge the engines), the exploded stream compacts FIRST to
+    * distinct (doc, g) pairs with occurrence counts — one shuffle
+    * with map-side partial aggregation — and df comes from a COUNT
+    * window over g on that compacted relation: pair rows are
+    * distinct by construction, so the per-g partition holds at most
+    * one row per document that uses the phrase, and a viral bigram
+    * arrives pre-compacted, never as raw occurrences. ONE corpus
+    * scan, three long-keyed exchanges, no join (a df-table join
+    * would re-run the explode+compaction subtree — Catalyst cannot
+    * reuse the exchange across the two different aggregates;
+    * measured 2.4× slower at sf0.1). Integer counts end-to-end; the
+    * two ratios are single exact IEEE divisions mirrored textually
+    * into the oracle. */
+  def bigramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(x, y) -> concat(x, ' ', y))")).as("bigram"))
+      .select(col("doc_id"),
+        (h32(col("bigram")) * lit(2147483648L) +
+          shiftright(h32b(col("bigram")), 1)).as("g"))
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("occ"))
+    pairs
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("doc_id")
+      .agg(
+        sum("occ").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        sum(when(col("df") === 1, col("occ")).otherwise(0L)).as("n_novel"),
+        sum(col("df") * col("occ")).as("sum_bigram_df"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("n_novel"), col("sum_bigram_df"),
+        expr("CAST(n_novel AS DOUBLE) / n_bigrams").as("novel_frac"),
+        expr("CAST(sum_bigram_df AS DOUBLE) / n_bigrams").as("avg_bigram_df"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
   /** td18: sequence packing by concat-and-chunk — the GPT-style
     * pretraining layout: order each language's documents
     * deterministically (content hash, id tiebreak), lay them end to
@@ -1181,6 +1242,21 @@ object TextPipeline extends graft.Registry {
       .orderBy("component", "doc_id")
   }
 
+  /** Edge count at or below which connected components run as a
+    * driver-side union-find instead of the distributed propagation
+    * loop. The pair graph is the OUTPUT of banded candidate
+    * generation — near-dup pairs, not the corpus — so it is usually
+    * minuscule relative to the data (tens of thousands of rows at
+    * sf10 for a 10M-doc corpus), yet the iterative loop pays ~2
+    * Spark jobs per round regardless. Like td08's banding switch
+    * ([[BlockPairMinDocs]]), the regime is chosen from the TRUE
+    * measured cardinality at run time: ≤ 1M edges (two longs each,
+    * a few tens of MB transient on the driver) collect and solve in
+    * microseconds; anything larger — the genuine web-scale dup
+    * graph — takes the Pregel path below, which never materializes
+    * the graph on one machine. */
+  private[queries] val DriverCcMaxEdges = 1000000L
+
   /** Min-label connected components over an undirected pair list
     * (`doc_a`, `doc_b`): each round propagates the min label across
     * edges, then POINTER-JUMPS (root ← root-of-root) — composing the
@@ -1190,11 +1266,42 @@ object TextPipeline extends graft.Registry {
     * an unchanged label sum means the exact fixpoint was reached).
     * sum() over an empty frame is null → 0 (an empty pair graph is a
     * legal input and must yield an empty, not crashed, result).
-    * Returns (labels(node, root), rounds used). */
+    * Pair lists at or below `driverMaxEdges` (see
+    * [[DriverCcMaxEdges]]) skip the loop entirely: a bounded collect
+    * + union-find with min-root attachment produces the identical
+    * labeling (property-tested against the same oracle) without the
+    * per-round job floor. Returns (labels(node, root), rounds used —
+    * 0 on the driver path). */
   private[queries] def connectedComponents(
-      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      pairs: DataFrame, maxRounds: Int = 50,
+      driverMaxEdges: Long = DriverCcMaxEdges): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val pairsC = pairs.cache()
+    if (pairsC.count() <= driverMaxEdges) {
+      // Union-find, larger root attached under smaller: every tree
+      // root stays the min id of its tree (the exact labeling the
+      // distributed fixpoint converges to — see ComponentsProperties).
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // Iterative find + full path compression: a pathological union
+      // order can build O(n) parent chains, and a recursive find
+      // would blow the stack at the 1M-edge bound.
+      def find(x: Long): Long = {
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairsC.collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toSeq.sorted.map(k => (k, find(k)))
+      import spark.implicits._
+      return (labels.toDF("node", "root"), 0)
+    }
+    val edges = pairsC
+      .union(pairsC.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("root", col("node"))
@@ -1264,7 +1371,8 @@ object TextPipeline extends graft.Registry {
     "td21_source_quality" -> sourceQuality,
     "td22_sample_weights" -> sampleWeights,
     "td23_ingest_dedup" -> ingestDedup,
-    "td24_source_drift" -> sourceDrift
+    "td24_source_drift" -> sourceDrift,
+    "td25_bigram_novelty" -> bigramNovelty
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -1470,6 +1578,31 @@ object TextPipeline extends graft.Registry {
          |       MAX(CASE WHEN rn = 1 THEN token END) AS top_token,
          |       MAX(CASE WHEN rn = 1 THEN dev END) AS top_dev_ppm
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "td25_bigram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS a
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |ix AS (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM t),
+        |p AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS bigram FROM ix),
+        |ph AS (SELECT doc_id,
+        |              ${h32Sql("bigram")} * 2147483648 + ${h32bSql("bigram")} // 2 AS g
+        |       FROM p),
+        |pc AS (SELECT doc_id, g, COUNT(*) AS occ
+        |       FROM ph GROUP BY doc_id, g),
+        |wd AS (SELECT doc_id, occ, COUNT(*) OVER (PARTITION BY g) AS df
+        |       FROM pc),
+        |agg AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+        |         COUNT(*) AS n_distinct_bigrams,
+        |         CAST(SUM(CASE WHEN df = 1 THEN occ ELSE 0 END) AS BIGINT)
+        |           AS n_novel,
+        |         CAST(SUM(df * occ) AS BIGINT) AS sum_bigram_df
+        |  FROM wd
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_distinct_bigrams, n_novel, sum_bigram_df,
+        |       CAST(n_novel AS DOUBLE) / n_bigrams AS novel_frac,
+        |       CAST(sum_bigram_df AS DOUBLE) / n_bigrams AS avg_bigram_df
+        |FROM agg ORDER BY doc_id LIMIT 200""".stripMargin,
     "td15_substring_dedup" ->
       s"""WITH t AS (
          |  SELECT source, string_split(text, ' ') AS t FROM documents

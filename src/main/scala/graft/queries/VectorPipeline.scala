@@ -734,7 +734,47 @@ object VectorPipeline extends graft.Registry {
       .orderBy("query_id")
   }
 
+  /** v12 output dimensionality (64 → 8). */
+  private[graft] val RpDims = 8
+
+  /** v12 projection vectors: [[RpDims]] further members of the
+    * [[ndPlane]] hash family, offset past the near-dup planes so the
+    * two sets share no index — independent pseudo-random integer
+    * vectors from the same frozen [[mix]] formula, mirrored exactly
+    * into the oracle. */
+  private def rpPlane(p: Int): IndexedSeq[Int] =
+    (0 until Dim).map(i => math.floorMod(mix((NdPlanes + p) * Dim + i), 11) - 5)
+
+  /** v12: random-projection dimensionality reduction (the
+    * Johnson–Lindenstrauss / Achlioptas database-friendly variant:
+    * fixed sparse integer projection vectors instead of Gaussians —
+    * Achlioptas 2003, JCSS 66(4)). Materializes the 64-dim corpus at
+    * [[RpDims]] dims: the index-build step that makes downstream
+    * distance work 8× narrower (coarse ANN, clustering seeds, dup
+    * triage) while approximately preserving relative angles — the
+    * preservation quality is pinned by PipelineSpec's rank-correlation
+    * test, not assumed.
+    *
+    * Plan shape at scale: the projection is [[RpDims]] ordered-fold
+    * dot products per row against constant array literals — ONE scan,
+    * fully codegen'd, zero shuffles (the declared query's ORDER BY +
+    * LIMIT plans as TakeOrderedAndProject, a bounded heap, not a
+    * global sort). At 100 TB this is a map-only pass writing the
+    * narrow index alongside the corpus. Determinism: integer plane
+    * weights are exact as floats, the folds are the shared ordered
+    * IEEE fold (object Scaladoc), so every projected coordinate is
+    * bit-identical across engines. */
+  def randomProjection(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Functions.register(s)
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id") +:
+        (0 until RpDims).map(p => projColOf(rpPlane(p)).as(s"p$p")): _*)
+      .orderBy("vec_id")
+      .limit(128)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v12_random_projection" -> randomProjection,
     "v11_semantic_decontam" -> semanticDecontam,
     "v10_semdedup" -> semDedup,
     "v01_ann_cosine_topk" -> annBrute,
@@ -749,6 +789,13 @@ object VectorPipeline extends graft.Registry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v12_random_projection" ->
+      s"""SELECT vec_id,
+         |       ${(0 until RpDims)
+               .map(p => s"${projDuckOf(rpPlane(p))} AS p$p")
+               .mkString(",\n       ")}
+         |FROM embeddings
+         |ORDER BY vec_id LIMIT 128""".stripMargin,
     "v11_semantic_decontam" ->
       s"""WITH $normDuckCte,
          |q AS (

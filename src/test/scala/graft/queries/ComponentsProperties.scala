@@ -42,17 +42,28 @@ object ComponentsProperties extends Properties("connectedComponents") {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  /** Both regimes of the adaptive switch run against the oracle on
+    * every generated graph: driverMaxEdges = 0 forces the distributed
+    * Pregel path, the default takes the driver union-find — the
+    * equivalence the size-based regime choice depends on. */
   property("labels equal a union-find oracle on random graphs") =
     forAll(edges) { es =>
       val spark = graft.SparkSpec.session
       import spark.implicits._
       val (labels, rounds) =
-        TextPipeline.connectedComponents(es.toDF("doc_a", "doc_b"))
+        TextPipeline.connectedComponents(
+          es.toDF("doc_a", "doc_b"), driverMaxEdges = 0)
       val got = labels.collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("root")).toMap
+      val (driverLabels, driverRounds) =
+        TextPipeline.connectedComponents(es.toDF("doc_a", "doc_b"))
+      val gotDriver = driverLabels.collect()
         .map(r => r.getAs[Long]("node") -> r.getAs[Long]("root")).toMap
       val want = unionFindRoots(es)
       Prop.all(
-        Prop(got == want) :| s"labels mismatch: got=$got want=$want",
-        Prop(rounds <= 50) :| s"did not converge (rounds=$rounds)")
+        Prop(got == want) :| s"distributed labels mismatch: got=$got want=$want",
+        Prop(gotDriver == want) :| s"driver labels mismatch: got=$gotDriver want=$want",
+        Prop(rounds <= 50) :| s"did not converge (rounds=$rounds)",
+        Prop(driverRounds == 0) :| "driver path must not iterate")
     }
 }

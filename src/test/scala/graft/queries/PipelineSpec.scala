@@ -106,12 +106,103 @@ class PipelineSpec extends SparkSpec {
     // worst case for plain min-label propagation: one long path, whose
     // diameter (200) would need 200 rounds without pointer-jumping
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (labels, rounds) = TextPipeline.connectedComponents(chain)
+    // driverMaxEdges = 0 forces the distributed Pregel path — the
+    // adaptive regime would otherwise solve 200 edges on the driver
+    val (labels, rounds) =
+      TextPipeline.connectedComponents(chain, driverMaxEdges = 0)
     assert(rounds < 15, s"pointer-jumping should converge in ~log2(200) rounds, took $rounds")
     val byNode = labels.collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("root")).toMap
     assert(byNode.size === 201)
     assert(byNode.values.toSet === Set(0L), "all chain nodes must share root 0")
+  }
+
+  test("bigram novelty agrees with an in-memory recount") {
+    val texts = graft.sources.Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent recount: split mirrors Spark's split (keep empties)
+    def bigrams(t: String): Seq[String] = {
+      val a = t.split(" ", -1)
+      if (a.length < 2) Seq.empty
+      else a.init.zip(a.tail).map { case (x, y) => s"$x $y" }
+    }
+    val perDoc = texts.map { case (id, t) => id -> bigrams(t) }
+    val df = perDoc.values.flatMap(_.distinct)
+      .groupBy(identity).map { case (b, occ) => b -> occ.size.toLong }
+    val got = TextPipeline.bigramNovelty(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bs = perDoc(id)
+      assert(r.getAs[Long]("n_bigrams") === bs.size.toLong)
+      assert(r.getAs[Long]("n_distinct_bigrams") === bs.distinct.size.toLong)
+      assert(r.getAs[Long]("n_novel") === bs.count(b => df(b) == 1L).toLong)
+      assert(r.getAs[Long]("sum_bigram_df") === bs.map(df).sum)
+    }
+    // the signal must separate: the corpus has both novel and shared mass
+    assert(got.exists(_.getAs[Long]("n_novel") > 0))
+    assert(got.exists(r => r.getAs[Long]("n_novel") < r.getAs[Long]("n_bigrams")))
+  }
+
+  test("random projection is an unbiased JL sketch that preserves angle signal") {
+    // independent reimplementation of the frozen plane formula
+    def mix(x0: Int): Int = {
+      var x = x0
+      x ^= x >>> 16; x *= 0x85ebca6b
+      x ^= x >>> 13; x *= 0xc2b2ae35
+      x ^= x >>> 16
+      x
+    }
+    def plane(p: Int): Array[Double] =
+      Array.tabulate(64)(i => (math.floorMod(mix((64 + p) * 64 + i), 11) - 5).toDouble)
+    val planes = Array.tabulate(8)(plane)
+    val vecs = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    val got = VectorPipeline.randomProjection(spark, dir).collect()
+    assert(got.length === 128)
+    // 1. each coordinate is exactly the plane dot product
+    got.take(5).foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      (0 until 8).foreach { p =>
+        val want = planes(p).zip(v).map { case (w, x) => w * x }.sum
+        assert(math.abs(r.getAs[Double](s"p$p") - want) < 1e-6)
+      }
+    }
+    // 2. unbiased norm estimator: E[|Pv|²] = |v|² · Σₚ mean(wₚ²); the
+    //    measured mean ratio over 128 vectors must sit near that factor
+    //    (k = 8 ⇒ relative σ ≈ √(2/k) ≈ 0.5 per vector, ~0.04 for the mean)
+    val expectFactor = planes.map(_.map(w => w * w).sum / 64.0).sum
+    val ratios = got.map { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val pn = (0 until 8).map(p => { val x = r.getAs[Double](s"p$p"); x * x }).sum
+      pn / v.map(x => x * x).sum
+    }
+    val meanRatio = ratios.sum / ratios.length
+    assert(meanRatio > 0.6 * expectFactor && meanRatio < 1.4 * expectFactor,
+      s"norm ratio $meanRatio vs expected $expectFactor")
+    // 3. angle signal survives: pairwise cosine before vs after must
+    //    correlate positively (deterministic data ⇒ a fixed value,
+    //    measured 0.29 at k = 8 — the JL noise floor for 64→8 dims)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val ids = got.map(_.getAs[Long]("vec_id")).take(60)
+    val projs = got.take(60).map(r => (0 until 8).map(p => r.getAs[Double](s"p$p")).toArray)
+    val pairs = for { i <- ids.indices; j <- 0 until i } yield (i, j)
+    val xs = pairs.map { case (i, j) => cos(vecs(ids(i)), vecs(ids(j))) }
+    val ys = pairs.map { case (i, j) => cos(projs(i), projs(j)) }
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val (va, vb) = (a.map(x => (x - ma) * (x - ma)).sum, b.map(y => (y - mb) * (y - mb)).sum)
+      cov / math.sqrt(va * vb)
+    }
+    assert(pearson(xs, ys) > 0.2, s"cosine correlation ${pearson(xs, ys)} too weak")
   }
 
   test("exact dedup reports a full-corpus summary") {

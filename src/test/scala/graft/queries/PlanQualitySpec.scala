@@ -141,6 +141,27 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bigram novelty (td25): one scan, no join, no Expand, bounded sort") {
+    val p = plan(TextPipeline.bigramNovelty(spark, dir))
+    // the df-table join formulation re-ran the explode+compaction
+    // subtree (Catalyst can't reuse the exchange across the two
+    // aggregates — measured 2.4× slower); the window form reads once
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      "df must come from a window over the compacted pairs, not a second scan")
+    assert(!p.contains("Join"), "td25 needs no join")
+    assert(!p.contains("Expand"),
+      "pair compaction makes every df row distinct — no COUNT(DISTINCT) Expand")
+    assert(p.contains("TakeOrderedAndProject"), "ordered limit must not globally sort")
+  }
+
+  test("random projection (v12): map-only — no shuffle, no join, bounded sort") {
+    val p = plan(VectorPipeline.randomProjection(spark, dir))
+    assert(!p.contains("Exchange"), "projection is one codegen'd scan, no shuffle")
+    assert(!p.contains("Join"), "projection joins nothing")
+    assert(p.contains("vec_dot"), "native fold kernel must appear in the plan")
+    assert(p.contains("TakeOrderedAndProject"), "ordered limit must not globally sort")
+  }
+
   test("pack chunks (td18): offsets and report share one lang shuffle") {
     val p = plan(TextPipeline.packChunks(spark, dir))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
