@@ -311,6 +311,59 @@ object EventPipeline extends graft.Registry {
       .orderBy("event_type")
   }
 
+  /** e07 decay calibration: the week-0 weight (2¹²). Weights halve
+    * per whole week of age — 4096, 2048, 1024, … — and zero out past
+    * 12 weeks (the explicit truncation horizon both engines apply
+    * identically; a longer memory raises the base). */
+  private val DecayBaseQ = 4096
+  private val DecayZeroWeeks = 13
+
+  /** e07: recency-weighted user engagement — the feature-store
+    * staple (recommendation/churn features weight activity by
+    * exponential decay) computed in EXACT integer space: the usual
+    * `Σ value·e^(−λ·age)` is a cross-row float sum whose result
+    * depends on aggregation order (and on each engine's exp), so it
+    * can never hash-match an oracle nor reproduce across re-runs or
+    * repartitions. Halving per WHOLE WEEK of age instead makes every
+    * weight a power of two ([[DecayBaseQ]] ≫ weeks) — integers, so
+    * the per-user decayed mass is an exact integer sum, and the
+    * normalized score divides by 2¹² (exact in IEEE). Half-life
+    * granularity (a week) trades smoothness for bit-reproducibility;
+    * per-day halving is the same plan with a bigger base.
+    *
+    * Scale shape: the reference instant is a 1-row broadcast (the
+    * corpus max ts — production passes NOW); weights are row-local;
+    * ONE user-keyed shuffle with map-side partial sums; the ordered
+    * report is a TakeOrderedAndProject heap, never a global sort. */
+  def decayedEngagement(s: SparkSession, dir: String): DataFrame = {
+    val ref = events(s, dir).agg(max(us(col("ts"))).as("ref_us"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), us(col("ts")).as("ev_us"))
+      .crossJoin(broadcast(ref))
+      .select(col("user_id"), col("event_type"),
+        expr("(ref_us - ev_us) div 86400000000").as("age_days"))
+      .select(col("user_id"), col("age_days"),
+        when(expr("age_days div 7") >= DecayZeroWeeks, lit(0L))
+          .otherwise(expr(
+            s"shiftright($DecayBaseQ, CAST(age_days div 7 AS INT))"))
+          .as("w_q"),
+        col("event_type"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("age_days") < 7, 1L).otherwise(0L)).as("n_recent"),
+        min("age_days").as("last_seen_days"),
+        sum("w_q").as("engagement_q"),
+        sum(when(col("event_type") === ProbeType, col("w_q"))
+          .otherwise(0L)).as("purchase_q"))
+      .select(col("user_id"), col("n_events"), col("n_recent"),
+        col("last_seen_days"), col("engagement_q"),
+        (col("engagement_q").cast("double") / DecayBaseQ).as("engagement"),
+        col("purchase_q"))
+      .orderBy(desc("engagement_q"), col("user_id"))
+      .limit(100)
+  }
+
   // -------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -319,7 +372,8 @@ object EventPipeline extends graft.Registry {
     "e03_range_join" -> rangeJoinViews,
     "e04_json_props" -> jsonProps,
     "e05_funnel" -> funnel,
-    "e06_gap_quantiles" -> gapQuantiles
+    "e06_gap_quantiles" -> gapQuantiles,
+    "e07_decayed_engagement" -> decayedEngagement
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -442,6 +496,32 @@ object EventPipeline extends graft.Registry {
          |            AS BIGINT) AS n_conversions
          |FROM (SELECT user_id, MIN(us) AS first_view_us
          |      FROM v GROUP BY user_id) u
-         |ORDER BY u.user_id""".stripMargin
+         |ORDER BY u.user_id""".stripMargin,
+    "e07_decayed_engagement" ->
+      s"""WITH r AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+         |a AS (
+         |  SELECT user_id, event_type,
+         |         (r.ref_us - epoch_us(ts)) // 86400000000 AS age_days
+         |  FROM events CROSS JOIN r),
+         |wq AS (
+         |  SELECT user_id, event_type, age_days,
+         |         CASE WHEN age_days // 7 >= $DecayZeroWeeks
+         |              THEN CAST(0 AS BIGINT)
+         |              ELSE CAST($DecayBaseQ AS BIGINT) >> (age_days // 7)
+         |         END AS w_q
+         |  FROM a),
+         |g AS (
+         |  SELECT user_id, COUNT(*) AS n_events,
+         |         CAST(SUM(CASE WHEN age_days < 7 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_recent,
+         |         MIN(age_days) AS last_seen_days,
+         |         CAST(SUM(w_q) AS BIGINT) AS engagement_q,
+         |         CAST(SUM(CASE WHEN event_type = '$ProbeType' THEN w_q
+         |                       ELSE 0 END) AS BIGINT) AS purchase_q
+         |  FROM wq GROUP BY user_id)
+         |SELECT user_id, n_events, n_recent, last_seen_days, engagement_q,
+         |       CAST(engagement_q AS DOUBLE) / $DecayBaseQ AS engagement,
+         |       purchase_q
+         |FROM g ORDER BY engagement_q DESC, user_id LIMIT 100""".stripMargin
   )
 }

@@ -367,6 +367,18 @@ object VectorPipeline extends graft.Registry {
     s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
       s"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
 
+  /** Exact integer dot product between two BIGINT vectors (Spark
+    * side): an ordered integer fold, like [[qdistSql]]. */
+  private def qdotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+      s"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** Same integer dot fold in DuckDB. */
+  private def qdotDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), " +
+      s"(acc, v) -> acc + v)"
+
   /** Same integer fold in DuckDB. */
   private def qdistDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -773,7 +785,65 @@ object VectorPipeline extends graft.Registry {
       .limit(128)
   }
 
+  /** v13 probe vector: one further member of the [[mix]] plane
+    * family, offset past the near-dup and projection planes. */
+  private def piPlane: IndexedSeq[Int] =
+    (0 until Dim).map(i =>
+      math.floorMod(mix((NdPlanes + RpDims) * Dim + i), 11) - 5)
+
+  /** v13 scaling shift for the per-row projection (overflow audit at
+    * [[pcaPowerStep]]). */
+  private val PiShift = 12
+
+  /** v13: one power-iteration step toward the embedding corpus's
+    * dominant second-moment direction — the spectral probe (PCA
+    * without centering; these embeddings are ~zero-mean, and
+    * centering is a one-pass upstream subtraction) that decides
+    * whitening/anisotropy questions before index builds: a corpus
+    * whose mass concentrates in one direction hurts both LSH and IVF
+    * recall. One step, exact, mirroring v06's one-Lloyd-step framing:
+    * iterating is running the same plan on the returned vector.
+    *
+    * v' = Σ_rows qv·(qv·w ≫ [[PiShift]]) over the [[KmQ]]-quantized
+    * integer vectors with a frozen integer probe w ([[piPlane]]):
+    * every per-row projection is an ordered integer fold, the shift
+    * is an arithmetic (floor) shift on BOTH engines (verified:
+    * DuckDB `>>` and Spark `shiftright` agree on negatives), and the
+    * per-dimension accumulation is a pure integer sum — bit-exact
+    * across engines and partitionings, where the textbook float form
+    * is order-dependent. Overflow audit: |qv| < 2²¹, |qv·w| <
+    * 64·5·2²¹ < 2³¹, shifted < 2¹⁹, per-row product < 2⁴⁰, summed
+    * over ≤ 2²³ (8M) rows < 2⁶³; a larger corpus raises the shift or
+    * swaps the sum to DECIMAL(38,0).
+    *
+    * Scale shape: ONE corpus scan; the probe rides as a literal; the
+    * row-local posexplode emits (dim, v·t) pairs that partial-sum
+    * map-side to ≤ partitions × 64 rows before the ONE tiny
+    * exchange; the 64-row report sorts trivially. */
+  def pcaPowerStep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Functions.register(s)
+    val e = quantized(s, dir)
+    // The fold stays in its own projection BELOW the explode: listed
+    // alongside posexplode, Catalyst extracts the generator and
+    // leaves the projection ABOVE it — re-running the 64-element
+    // fold once per exploded row (measured 64× the work, 1.2 s vs
+    // 0.2 s at sf0.1).
+    e.withColumn("w", typedlit(piPlane.map(_.toLong)))
+      .select(col("qv"),
+        expr(s"shiftright(${qdotSql("qv", "w")}, $PiShift)").as("t_s"))
+      .select(col("t_s"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(expr("v * t_s")).as("s_q"),
+        sum("t_s").as("sum_t_s"))
+      .select(col("dim").cast("long").as("dim"), col("n_vecs"),
+        col("s_q"), col("sum_t_s"))
+      .orderBy("dim")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v13_pca_power_step" -> pcaPowerStep,
     "v12_random_projection" -> randomProjection,
     "v11_semantic_decontam" -> semanticDecontam,
     "v10_semdedup" -> semDedup,
@@ -789,6 +859,23 @@ object VectorPipeline extends graft.Registry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v13_pca_power_step" ->
+      s"""WITH qe AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |t AS (
+         |  SELECT qv,
+         |         (${qdotDuck("qv", s"[${piPlane.mkString(", ")}]")})
+         |           >> $PiShift AS t_s
+         |  FROM qe),
+         |x AS (SELECT i AS dim, qv[i + 1] AS v, t_s
+         |      FROM t, range($Dim) r(i))
+         |SELECT dim, COUNT(*) AS n_vecs,
+         |       CAST(SUM(v * t_s) AS BIGINT) AS s_q,
+         |       CAST(SUM(t_s) AS BIGINT) AS sum_t_s
+         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
     "v12_random_projection" ->
       s"""SELECT vec_id,
          |       ${(0 until RpDims)

@@ -184,4 +184,36 @@ class EventPipelineSpec extends SparkSpec {
         "the distinct-value histogram")
     assert(!gaps.contains("Join"), "e06 needs no join")
   }
+
+  test("decayed engagement (e07): weekly halving, 13-week zero horizon, exact sums") {
+    // Planted log spanning weeks of age relative to the newest event
+    // (day 100): weights must be 4096 ≫ (age_days div 7), zero from
+    // week 13, n_recent counts age < 7 days, ties order by user_id.
+    val d = java.nio.file.Files.createTempDirectory("graft-e07").toString
+    val day = 86400L
+    val rows = Seq(
+      // (event_id, day-of-event, user_id, type) — ref is day 100
+      (1L, 100L, 1L, "view"),     // age 0d  -> w 4096, recent
+      (2L, 97L, 1L, "click"),     // age 3d  -> w 4096, recent
+      (3L, 92L, 1L, "purchase"),  // age 8d  -> w 2048 (week 1)
+      (4L, 86L, 2L, "view"),      // age 14d -> w 1024 (week 2)
+      (5L, 78L, 2L, "view"),      // age 22d -> w 512  (week 3)
+      (6L, 8L, 2L, "purchase"),   // age 92d -> w 0    (week 13: horizon)
+      (7L, 100L, 3L, "purchase")) // age 0d  -> w 4096, recent
+    import spark.implicits._
+    rows.toDF("event_id", "d", "user_id", "event_type")
+      .selectExpr("event_id", s"d * $day * 1000000000 AS ts", "user_id",
+        "event_type", "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventPipeline.decayedEngagement(spark, d).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_recent"),
+          r.getAs[Long]("last_seen_days"), r.getAs[Long]("engagement_q"),
+          r.getAs[Double]("engagement"), r.getAs[Long]("purchase_q"))))
+    // engagement_q: u1 = 4096+4096+2048, u2 = 1024+512+0, u3 = 4096
+    assert(got.toSeq === Seq(
+      1L -> ((3L, 2L, 0L, 10240L, 2.5d, 2048L)),
+      3L -> ((1L, 1L, 0L, 4096L, 1.0d, 4096L)),
+      2L -> ((3L, 0L, 14L, 1536L, 0.375d, 0L))))
+  }
 }

@@ -205,6 +205,40 @@ class PipelineSpec extends SparkSpec {
     assert(pearson(xs, ys) > 0.2, s"cosine correlation ${pearson(xs, ys)} too weak")
   }
 
+  test("pca power step agrees with an exact integer recount") {
+    def mix(x0: Int): Int = {
+      var x = x0
+      x ^= x >>> 16; x *= 0x85ebca6b
+      x ^= x >>> 13; x *= 0xc2b2ae35
+      x ^= x >>> 16
+      x
+    }
+    // the v13 probe: plane family member after near-dup (64) + rp (8)
+    val w = Array.tabulate(64)(i =>
+      (math.floorMod(mix((64 + 8) * 64 + i), 11) - 5).toLong)
+    val qvs = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray)
+    val sQ = Array.fill(64)(0L)
+    var sumTs = 0L
+    qvs.foreach { qv =>
+      val t = qv.zip(w).map { case (a, b) => a * b }.sum
+      val ts = t >> 12 // arithmetic shift = the engines' floor shift
+      sumTs += ts
+      (0 until 64).foreach(i => sQ(i) += qv(i) * ts)
+    }
+    val got = VectorPipeline.pcaPowerStep(spark, dir).collect()
+    assert(got.length === 64)
+    got.foreach { r =>
+      val d = r.getAs[Long]("dim").toInt
+      assert(r.getAs[Long]("n_vecs") === qvs.length.toLong)
+      assert(r.getAs[Long]("s_q") === sQ(d), s"dim $d")
+      assert(r.getAs[Long]("sum_t_s") === sumTs)
+    }
+    assert(sQ.exists(_ != 0L), "the spectral probe must carry signal")
+  }
+
   test("exact dedup reports a full-corpus summary") {
     val r = TextPipeline.dedupExact(spark, dir).collect()(0)
     assert(r.getAs[Long]("n_docs") === 500L)

@@ -162,6 +162,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "ordered limit must not globally sort")
   }
 
+  test("pca power step (v13): projection fold runs once per row, below the explode") {
+    val p = plan(VectorPipeline.pcaPowerStep(spark, dir))
+    // parents print above children: the fold expression must appear
+    // AFTER the Generate line, i.e. in a projection the explode reads
+    // from — listed beside posexplode it lands above and re-runs the
+    // 64-element fold per exploded row (measured 64× the work)
+    val gi = p.indexOf("Generate")
+    val fi = p.indexOf("aggregate(zip_with")
+    assert(gi >= 0 && fi > gi,
+      "qv·w fold must be computed below the posexplode, once per vector")
+    assert(p.contains("partial_sum"), "per-dim sums must combine map-side")
+    assert(!p.contains("Join"), "v13 joins nothing")
+  }
+
+  test("decayed engagement (e07): one user shuffle, bounded sort, no SMJ") {
+    val p = plan(EventPipeline.decayedEngagement(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "weights are row-local; only the per-user aggregation may hash-shuffle")
+    assert(p.contains("TakeOrderedAndProject"), "ordered limit must not globally sort")
+    assert(p.contains("partial_sum"), "decayed sums must combine map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the scalar reference instant must broadcast")
+  }
+
   test("pack chunks (td18): offsets and report share one lang shuffle") {
     val p = plan(TextPipeline.packChunks(spark, dir))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
