@@ -1107,7 +1107,8 @@ object TextPipeline extends graft.Registry {
     * the whole vocabulary; this shape shuffles O(partitions ×
     * capacity) then O(capacity), independent of vocabulary size. */
   def heavyHitters(s: SparkSession, dir: String): DataFrame =
-    heavyHittersOf(s, docs(s, dir), HhK, HhCapacity)
+    heavyHittersOf(s, docs(s, dir), HhK, HhCapacity,
+      exactDirect = graft.InputTuning.smallInput(dir))
 
   /** [[heavyHitters]] over an explicit `(text)` frame with explicit
     * k/capacity/ceiling, so specs can plant corpora that force sketch
@@ -1121,10 +1122,10 @@ object TextPipeline extends graft.Registry {
     * (like td09 on non-convergence) rather than return a maybe-list. */
   private[graft] def heavyHittersOf(
       s: SparkSession, d: DataFrame, k: Int, capacity: Int,
-      maxCapacity: Int = 1 << 20): DataFrame =
+      maxCapacity: Int = 1 << 20, exactDirect: Boolean = false): DataFrame =
     heavyHittersOfTokens(s,
       d.select(explode(split(col("text"), " ")).as("token")), k, capacity,
-      maxCapacity)
+      maxCapacity, exactDirect)
 
   /** The sketch kernel of [[heavyHittersOf]] over an already-exploded
     * single-column `token` frame — reused by [[bigramStep]] (td20),
@@ -1141,11 +1142,25 @@ object TextPipeline extends graft.Registry {
     * vocabulary is 10× per decade with near-equal counts — a
     * deliberately sketch-adversarial shape), where exactness needs
     * capacity ≥ distinct-token count. Past `maxCapacity` the operator
-    * still refuses loudly rather than approximate. */
+    * still refuses loudly rather than approximate.
+    *
+    * `exactDirect` is the measured-input regime switch (td08/td09
+    * pattern, keyed off [[graft.InputTuning.smallInput]] by the
+    * declared queries): the sketch exists to keep the shuffle at
+    * O(partitions × capacity) when the vocabulary is too large to
+    * shuffle — below the AQE input threshold the whole vocabulary
+    * fits a single healthy shuffle, and the sketch's two full passes
+    * (typed-aggregate sketch + candidate recount) cost roughly twice
+    * the one exact groupBy. Both paths return the identical exact
+    * top-k with the same (count desc, token) tiebreak. */
   private[graft] def heavyHittersOfTokens(
       s: SparkSession, toks: DataFrame, k: Int, capacity: Int,
-      maxCapacity: Int = 1 << 20): DataFrame = {
+      maxCapacity: Int = 1 << 20, exactDirect: Boolean = false): DataFrame = {
     import s.implicits._
+    if (exactDirect)
+      return toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("token"))
+        .limit(k)
     var cap = capacity
     var result: Option[Seq[(String, Long)]] = None
     var lastDiag = ""
@@ -1222,7 +1237,8 @@ object TextPipeline extends graft.Registry {
           "CASE WHEN size(a) > 1 THEN zip_with(" +
             "slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), " +
             "(x, y) -> concat(x, ' ', y)) ELSE array() END")).as("token")),
-      BpeK, BpeCapacity)
+      BpeK, BpeCapacity,
+      exactDirect = graft.InputTuning.smallInput(dir))
       .withColumnRenamed("token", "bigram")
 
   /** Dedup keep-list: connected components over the Jaccard near-dup

@@ -239,6 +239,17 @@ class PipelineSpec extends SparkSpec {
     assert(sQ.exists(_ != 0L), "the spectral probe must carry signal")
   }
 
+  test("heavy hitters: exact-direct and sketch regimes return identical top-k") {
+    val d = graft.sources.Tables.table(spark, dir, "documents")
+    val direct = TextPipeline.heavyHittersOf(
+      spark, d, TextPipeline.HhK, TextPipeline.HhCapacity, exactDirect = true)
+      .collect().map(_.toSeq).toSeq
+    val sketch = TextPipeline.heavyHittersOf(
+      spark, d, TextPipeline.HhK, TextPipeline.HhCapacity, exactDirect = false)
+      .collect().map(_.toSeq).toSeq
+    assert(direct === sketch)
+  }
+
   test("exact dedup reports a full-corpus summary") {
     val r = TextPipeline.dedupExact(spark, dir).collect()(0)
     assert(r.getAs[Long]("n_docs") === 500L)
