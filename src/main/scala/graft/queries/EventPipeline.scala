@@ -315,8 +315,8 @@ object EventPipeline extends graft.Registry {
     * per whole week of age — 4096, 2048, 1024, … — and zero out past
     * 12 weeks (the explicit truncation horizon both engines apply
     * identically; a longer memory raises the base). */
-  private val DecayBaseQ = 4096
-  private val DecayZeroWeeks = 13
+  private[graft] val DecayBaseQ = 4096
+  private[graft] val DecayZeroWeeks = 13
 
   /** e07: recency-weighted user engagement — the feature-store
     * staple (recommendation/churn features weight activity by
@@ -340,8 +340,17 @@ object EventPipeline extends graft.Registry {
     events(s, dir)
       .select(col("user_id"), col("event_type"), us(col("ts")).as("ev_us"))
       .crossJoin(broadcast(ref))
+      // CALENDAR-day ages (reference day − event day), not elapsed
+      // micros / 86400e6: daily-snapshot aging is the feature-store
+      // semantics (a score computed "as of today" treats everything
+      // from one calendar day alike), and it is what makes the
+      // operator streamable with bounded per-day state — the
+      // streaming twin (EventStreams.decayedEngagement) keeps one
+      // bucket per (user, day) and any reader folds the same weights
+      // at its own reference day.
       .select(col("user_id"), col("event_type"),
-        expr("(ref_us - ev_us) div 86400000000").as("age_days"))
+        expr("ref_us div 86400000000 - ev_us div 86400000000")
+          .as("age_days"))
       .select(col("user_id"), col("age_days"),
         when(expr("age_days div 7") >= DecayZeroWeeks, lit(0L))
           .otherwise(expr(
@@ -501,7 +510,8 @@ object EventPipeline extends graft.Registry {
       s"""WITH r AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
          |a AS (
          |  SELECT user_id, event_type,
-         |         (r.ref_us - epoch_us(ts)) // 86400000000 AS age_days
+         |         r.ref_us // 86400000000 - epoch_us(ts) // 86400000000
+         |           AS age_days
          |  FROM events CROSS JOIN r),
          |wq AS (
          |  SELECT user_id, event_type, age_days,

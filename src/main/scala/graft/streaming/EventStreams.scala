@@ -360,4 +360,83 @@ object EventStreams {
           }
       }
   }
+
+  final case class DayBucket(day: Long, n: Long, nPurchase: Long)
+
+  final case class EngagementBuckets(
+      userId: Long, nEvents: Long, lastDay: Long, buckets: Seq[DayBucket])
+
+  final case class EngagementScore(
+      userId: Long, nEvents: Long, nRecent: Long, lastSeenDays: Long,
+      engagementQ: Long, engagement: Double, purchaseQ: Long)
+
+  private[streaming] final case class EngState(
+      buckets: Map[Long, (Long, Long)], nEvents: Long)
+
+  /** Streaming twin of the batch `e07_decayed_engagement`: per-user
+    * decayed-engagement STATE maintained continuously. The batch
+    * operator's calendar-day aging is exactly what makes this
+    * streamable with bounded state: the ref-dependent part of the
+    * score is only the per-day weight, so the state is the per-user
+    * histogram of (event day → count, purchases) and ANY reader folds
+    * the same power-of-two weights at its own reference day
+    * ([[scoreAt]]) — bit-identical to running the batch query with
+    * that reference, because both sides do exact integer arithmetic.
+    *
+    * State bound: buckets [[graft.queries.EventPipeline.DecayZeroWeeks]]
+    * weeks behind the user's newest day carry weight zero at every
+    * later reference, so they are pruned on update — at most ~13
+    * weeks × 7 day-entries per active user, regardless of history
+    * length (`nEvents` keeps counting the pruned mass, matching the
+    * batch `n_events`). Emitted in Update mode per trigger; the
+    * latest row per user is the user's current histogram. */
+  def decayedEngagement(events: Dataset[Event],
+      purchaseType: String = "purchase"): Dataset[EngagementBuckets] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizonDays = 7L * graft.queries.EventPipeline.DecayZeroWeeks
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[EngState, EngagementBuckets](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[EngState]) =>
+          val prev = state.getOption.getOrElse(EngState(Map.empty, 0L))
+          var buckets = prev.buckets
+          var n = prev.nEvents
+          evs.foreach { e =>
+            val day = Math.floorDiv(e.ts.getTime, 86400000L)
+            val (c, p) = buckets.getOrElse(day, (0L, 0L))
+            buckets += day ->
+              (c + 1L, p + (if (e.eventType == purchaseType) 1L else 0L))
+            n += 1
+          }
+          val maxDay = buckets.keys.max
+          buckets = buckets.filter { case (d, _) => maxDay - d < horizonDays }
+          state.update(EngState(buckets, n))
+          EngagementBuckets(userId, n, maxDay,
+            buckets.toSeq.sortBy(_._1)
+              .map { case (d, (c, p)) => DayBucket(d, c, p) })
+      }
+  }
+
+  /** Fold a user's day histogram into the batch e07 report row at
+    * reference day `refDay` — the read-side scoring every consumer
+    * runs against its own "now". Exact integer arithmetic identical
+    * to the batch operator's. */
+  def scoreAt(b: EngagementBuckets, refDay: Long): EngagementScore = {
+    import graft.queries.EventPipeline.{DecayBaseQ, DecayZeroWeeks}
+    def wq(ageDays: Long): Long = {
+      val weeks = Math.floorDiv(ageDays, 7L)
+      if (weeks >= DecayZeroWeeks) 0L else DecayBaseQ.toLong >> weeks.toInt
+    }
+    val ages = b.buckets.map(d => (refDay - d.day, d))
+    EngagementScore(
+      b.userId,
+      b.nEvents,
+      ages.collect { case (a, d) if a < 7 => d.n }.sum,
+      refDay - b.lastDay,
+      ages.map { case (a, d) => d.n * wq(a) }.sum,
+      ages.map { case (a, d) => d.n * wq(a) }.sum.toDouble / DecayBaseQ,
+      ages.map { case (a, d) => d.nPurchase * wq(a) }.sum)
+  }
 }

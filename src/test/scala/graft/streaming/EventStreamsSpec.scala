@@ -68,6 +68,62 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decayed engagement folds to the batch e07 rows exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    // the batch spec's multi-week log (days relative to ref day 100),
+    // plus a same-day second event to exercise in-bucket accumulation
+    val log = Seq(
+      (1L, 100L, 1L, "view"), (2L, 97L, 1L, "click"),
+      (3L, 92L, 1L, "purchase"), (8L, 92L, 1L, "view"),
+      (4L, 99L, 2L, "view"), (5L, 78L, 2L, "view"),
+      // 96 days behind user 2's own newest day (99): beyond the
+      // 13-week horizon relative to the USER's max — pruned
+      (6L, 3L, 2L, "purchase"),
+      (7L, 100L, 3L, "purchase"))
+    val d = java.nio.file.Files.createTempDirectory("graft-e07s").toString
+    log.toDF("event_id", "d", "user_id", "event_type")
+      .selectExpr("event_id", s"d * $day * 1000000000 AS ts", "user_id",
+        "event_type", "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val batch = graft.queries.EventPipeline.decayedEngagement(spark, d)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        EngagementScore(r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_recent"), r.getAs[Long]("last_seen_days"),
+          r.getAs[Long]("engagement_q"), r.getAs[Double]("engagement"),
+          r.getAs[Long]("purchase_q"))).toMap
+    val src = MemoryStream[Event]
+    val q = EventStreams.decayedEngagement(src.toDS())
+      .writeStream.format("memory").queryName("engagement")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // two arrival batches split mid-user to exercise state carry-over
+      val evs = log.map { case (id, dd, u, t) =>
+        Event(id, u, t, 1.0, new Timestamp(dd * day * 1000L)) }
+      src.addData(evs.take(4): _*)
+      q.processAllAvailable()
+      src.addData(evs.drop(4): _*)
+      q.processAllAvailable()
+      val latest = spark.table("engagement").as[EngagementBuckets]
+        .collect().groupBy(_.userId)
+        .map { case (u, rows) => u -> rows.maxBy(_.nEvents) }
+      val refDay = 100L // the log's max day = the batch query's ref day
+      latest.foreach { case (u, b) =>
+        assert(EventStreams.scoreAt(b, refDay) === batch(u),
+          s"user $u: streamed fold must equal the batch row")
+      }
+      assert(latest.keySet === batch.keySet)
+      // state bound: the bucket 96 days behind user 2's newest day is
+      // pruned (weight 0 at any reference ≥ the user's max day), but
+      // nEvents still counts it like batch n_events
+      val u2 = latest(2L)
+      assert(!u2.buckets.exists(_.day == 3L), "zero-weight bucket must be pruned")
+      assert(u2.nEvents === 3L)
+    } finally q.stop()
+  }
+
   test("streaming funnel agrees with the batch operator, incl. reordered arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
