@@ -373,6 +373,35 @@ object EventPipeline extends graft.Registry {
       .limit(100)
   }
 
+  /** e08: event-transition matrix — first-order Markov counts over
+    * each user's time-ordered event stream (prev type → next type),
+    * with the conditional transition probability in exact integer
+    * ppm. The session-model fingerprint behind funnel design and
+    * behavioral-sequence training data (which transitions exist, at
+    * what rate), and the drift monitor's structural complement: a
+    * shifted transition matrix flags instrumentation changes that
+    * marginal type counts cannot see.
+    *
+    * Scale shape: ONE user-keyed lag window (the e06 pattern), then
+    * a groupBy on (prev, next) that compacts map-side to the ≤
+    * |types|² domain; the per-prev totals come from a SUM window
+    * over that bounded matrix, never a second pass over events.
+    * Integer counts and `div` ppm end-to-end. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ev_us", "event_id")
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), us(col("ts")).as("ev_us"),
+        col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(wOrd))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_ppm",
+        expr("n_transitions * 1000000 div " +
+          "sum(n_transitions) OVER (PARTITION BY prev_type)"))
+      .orderBy("prev_type", "next_type")
+  }
+
   // -------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -382,7 +411,8 @@ object EventPipeline extends graft.Registry {
     "e04_json_props" -> jsonProps,
     "e05_funnel" -> funnel,
     "e06_gap_quantiles" -> gapQuantiles,
-    "e07_decayed_engagement" -> decayedEngagement
+    "e07_decayed_engagement" -> decayedEngagement,
+    "e08_event_transitions" -> eventTransitions
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -532,6 +562,25 @@ object EventPipeline extends graft.Registry {
          |SELECT user_id, n_events, n_recent, last_seen_days, engagement_q,
          |       CAST(engagement_q AS DOUBLE) / $DecayBaseQ AS engagement,
          |       purchase_q
-         |FROM g ORDER BY engagement_q DESC, user_id LIMIT 100""".stripMargin
+         |FROM g ORDER BY engagement_q DESC, user_id LIMIT 100""".stripMargin,
+    "e08_event_transitions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ev_us, event_id
+         |  FROM events),
+         |p AS (
+         |  SELECT event_type AS next_type,
+         |         LAG(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY ev_us, event_id) AS prev_type
+         |  FROM e),
+         |m AS (
+         |  SELECT prev_type, next_type, COUNT(*) AS n_transitions
+         |  FROM p WHERE prev_type IS NOT NULL
+         |  GROUP BY prev_type, next_type)
+         |SELECT prev_type, next_type, n_transitions,
+         |       n_transitions * 1000000
+         |         // CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+         |                AS BIGINT)
+         |         AS p_ppm
+         |FROM m ORDER BY prev_type, next_type""".stripMargin
   )
 }

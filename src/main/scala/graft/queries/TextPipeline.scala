@@ -908,6 +908,48 @@ object TextPipeline extends graft.Registry {
       .limit(200)
   }
 
+  /** td26 chunking geometry: window/stride in tokens (overlap =
+    * [[ChunkW]] − [[ChunkS]]). Frozen, mirrored into the oracle. */
+  private val ChunkW = 64L
+  private val ChunkS = 48L
+
+  /** td26: RAG chunking overhead report — per source, what a
+    * sliding-window chunking (window [[ChunkW]], stride [[ChunkS]],
+    * the standard retrieval-index layout: overlap so no answer span
+    * straddles a boundary unseen) costs in index duplication:
+    * chunk counts, summed chunk tokens, and the duplication factor
+    * (chunk tokens / corpus tokens, in exact ppm) — the number that
+    * sizes the vector index a corpus will need before it is built.
+    * Chunk starts are 0, S, 2S, …; the last window is clamped to the
+    * document end; a document at or under one window is one chunk.
+    *
+    * Scale shape: the chunk arithmetic is a row-local integer fold
+    * over `sequence(0, n_chunks−1)` (codegen'd, no explode — the
+    * chunks are COUNTED, never materialized), then ONE bounded
+    * groupBy(source) with map-side partials. Integer end-to-end;
+    * ppm via `div` like td22/td24. */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("n_chunks",
+        when(col("n") <= ChunkW, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(n - $ChunkW + $ChunkS - 1) div $ChunkS")))
+      .withColumn("chunk_toks", expr(
+        s"aggregate(sequence(CAST(0 AS BIGINT), n_chunks - 1), " +
+          s"CAST(0 AS BIGINT), " +
+          s"(acc, i) -> acc + least($ChunkW, n - i * $ChunkS))"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        sum("n_chunks").as("total_chunks"),
+        sum("chunk_toks").as("total_chunk_tokens"))
+      .withColumn("dup_factor_ppm",
+        expr("total_chunk_tokens * 1000000 div total_tokens"))
+      .orderBy("source")
+
   /** td18: sequence packing by concat-and-chunk — the GPT-style
     * pretraining layout: order each language's documents
     * deterministically (content hash, id tiebreak), lay them end to
@@ -1388,7 +1430,8 @@ object TextPipeline extends graft.Registry {
     "td22_sample_weights" -> sampleWeights,
     "td23_ingest_dedup" -> ingestDedup,
     "td24_source_drift" -> sourceDrift,
-    "td25_bigram_novelty" -> bigramNovelty
+    "td25_bigram_novelty" -> bigramNovelty,
+    "td26_chunk_overlap" -> chunkOverlap
   )
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -1619,6 +1662,29 @@ object TextPipeline extends graft.Registry {
         |       CAST(n_novel AS DOUBLE) / n_bigrams AS novel_frac,
         |       CAST(sum_bigram_df AS DOUBLE) / n_bigrams AS avg_bigram_df
         |FROM agg ORDER BY doc_id LIMIT 200""".stripMargin,
+    "td26_chunk_overlap" ->
+      s"""WITH d AS (
+         |  SELECT source, len(string_split(text, ' ')) AS n FROM documents),
+         |c AS (
+         |  SELECT source, n,
+         |         CASE WHEN n <= $ChunkW THEN CAST(1 AS BIGINT)
+         |              ELSE 1 + (n - $ChunkW + $ChunkS - 1) // $ChunkS
+         |         END AS n_chunks
+         |  FROM d),
+         |t AS (
+         |  SELECT source, n, n_chunks,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(0, n_chunks),
+         |             i -> least($ChunkW, n - i * $ChunkS))),
+         |           (acc, v) -> acc + v) AS chunk_toks
+         |  FROM c)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+         |       CAST(SUM(chunk_toks) AS BIGINT) AS total_chunk_tokens,
+         |       CAST(SUM(chunk_toks) AS BIGINT) * 1000000
+         |         // CAST(SUM(n) AS BIGINT) AS dup_factor_ppm
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "td15_substring_dedup" ->
       s"""WITH t AS (
          |  SELECT source, string_split(text, ' ') AS t FROM documents

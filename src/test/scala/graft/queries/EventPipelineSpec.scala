@@ -185,6 +185,22 @@ class EventPipelineSpec extends SparkSpec {
     assert(!gaps.contains("Join"), "e06 needs no join")
   }
 
+  test("event transitions (e08): Markov counts respect equal-ts event-id ordering") {
+    // planted log, user 1: p22@900 v10@1000 p21@1500 v11@2000 p20@2000
+    // c25@3900 (v11 before p20 at the SAME ts via event_id) ⇒
+    // p→v, v→p, p→v, v→p, p→c; user 2: v12@5000 v13@5000 p23@6000
+    // p24@9000 ⇒ v→v, v→p, p→p
+    val got = EventPipeline.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_transitions"), r.getAs[Long]("p_ppm")))
+    assert(got.toSeq === Seq(
+      ("purchase", "click", 1L, 250000L),
+      ("purchase", "purchase", 1L, 250000L),
+      ("purchase", "view", 2L, 500000L),
+      ("view", "purchase", 3L, 750000L),
+      ("view", "view", 1L, 250000L)))
+  }
+
   test("decayed engagement (e07): weekly halving, 13-week zero horizon, exact sums") {
     // Planted log spanning weeks of age relative to the newest event
     // (day 100): weights must be 4096 ≫ (age_days div 7), zero from

@@ -239,6 +239,34 @@ class PipelineSpec extends SparkSpec {
     assert(sQ.exists(_ != 0L), "the spectral probe must carry signal")
   }
 
+  test("chunk overlap agrees with an in-memory chunking reference") {
+    val (w, s) = (64L, 48L)
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    def chunks(n: Long): Seq[(Long, Long)] = { // (start, len)
+      val k = if (n <= w) 1L else 1L + (n - w + s - 1) / s
+      (0L until k).map(i => (i * s, math.min(w, n - i * s)))
+    }
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val cs = ds.map(d => chunks(d._2))
+      src -> (ds.length.toLong, ds.map(_._2).sum,
+        cs.map(_.length.toLong).sum, cs.map(_.map(_._2).sum).sum)
+    }
+    val got = TextPipeline.chunkOverlap(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nd, nt, nc, nct) = expect(r.getString(0))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("total_tokens") === nt)
+      assert(r.getAs[Long]("total_chunks") === nc)
+      assert(r.getAs[Long]("total_chunk_tokens") === nct)
+      assert(r.getAs[Long]("dup_factor_ppm") === nct * 1000000L / nt)
+      // overlap duplication must actually occur for multi-chunk sources
+      if (nc > nd) assert(nct > nt)
+    }
+  }
+
   test("heavy hitters: exact-direct and sketch regimes return identical top-k") {
     val d = graft.sources.Tables.table(spark, dir, "documents")
     val direct = TextPipeline.heavyHittersOf(

@@ -186,6 +186,24 @@ class PlanQualitySpec extends SparkSpec {
       "the scalar reference instant must broadcast")
   }
 
+  test("chunk overlap (td26): chunks are counted row-locally, never materialized") {
+    val p = plan(TextPipeline.chunkOverlap(spark, dir))
+    assert(!p.contains("Generate"),
+      "chunk math is a row-local integer fold — no explode of chunk rows")
+    assert(!p.contains("Join"), "td26 needs no join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "only the bounded per-source aggregation may shuffle")
+    assert(p.contains("partial_sum"))
+  }
+
+  test("event transitions (e08): lag window + bounded matrix, no join") {
+    val p = plan(EventPipeline.eventTransitions(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 3,
+      "exactly three shuffles: the user_id lag window, the (prev, next) " +
+        "matrix groupBy, then the bounded per-prev totals window")
+    assert(!p.contains("Join"), "e08 needs no join")
+  }
+
   test("pack chunks (td18): offsets and report share one lang shuffle") {
     val p = plan(TextPipeline.packChunks(spark, dir))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
