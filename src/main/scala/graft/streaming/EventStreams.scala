@@ -425,6 +425,12 @@ object EventStreams {
     * to the batch operator's. */
   def scoreAt(b: EngagementBuckets, refDay: Long): EngagementScore = {
     import graft.queries.EventPipeline.{DecayBaseQ, DecayZeroWeeks}
+    // A reference before the user's newest event would mean negative
+    // ages (a negative shift count — silent garbage in JVM `>>`);
+    // the state is also only exact for references at or after its
+    // pruning horizon's anchor. Refuse loudly instead.
+    require(refDay >= b.lastDay,
+      s"refDay $refDay precedes user ${b.userId}'s newest day ${b.lastDay}")
     def wq(ageDays: Long): Long = {
       val weeks = Math.floorDiv(ageDays, 7L)
       if (weeks >= DecayZeroWeeks) 0L else DecayBaseQ.toLong >> weeks.toInt
