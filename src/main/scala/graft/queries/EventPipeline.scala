@@ -402,6 +402,45 @@ object EventPipeline extends graft.Registry {
       .orderBy("prev_type", "next_type")
   }
 
+  /** e09: daily-volume anomaly flags — each event type's daily count
+    * against that type's own distribution over the observed days,
+    * flagged when the squared deviation exceeds four times the
+    * population variance (|z| > 2). The pipeline-health monitor that
+    * catches an instrumentation outage or a bot flood the day it
+    * happens: a type whose volume collapses (or spikes) shows up as a
+    * flagged day without anyone choosing a threshold per type.
+    *
+    * Determinism: the z-test is evaluated entirely in BIGINT —
+    * with n days, s1 = Σcnt and s2 = Σcnt², the |z| > 2 test
+    * `(cnt−μ)² > 4σ²` multiplies out to
+    * `(cnt·n − s1)² > 4·(n·s2 − s1²)`, exact on both engines (no
+    * float mean/stddev anywhere). Range audit: safe while daily
+    * counts stay below ~5×10⁷ at 30-day windows (4n²·cnt² < 2⁶³);
+    * beyond that, swap the inequality's operands to DECIMAL(38,0) —
+    * the plan shape is unchanged.
+    *
+    * Scale shape: ONE groupBy shuffle compacts events map-side to the
+    * (type × day) domain; the per-type moment windows then run over
+    * that bounded matrix, never over raw events. */
+  def dailyAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("s1", sum("cnt").over(w))
+      .withColumn("s2", sum(expr("cnt * cnt")).over(w))
+      .select(col("event_type"), col("day"), col("cnt"),
+        (col("cnt") * col("n_days") - col("s1")).as("dev_n"),
+        when(
+          expr("(cnt * n_days - s1) * (cnt * n_days - s1)" +
+            " > 4 * (n_days * s2 - s1 * s1)"), 1L)
+          .otherwise(0L).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   // -------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -412,7 +451,8 @@ object EventPipeline extends graft.Registry {
     "e05_funnel" -> funnel,
     "e06_gap_quantiles" -> gapQuantiles,
     "e07_decayed_engagement" -> decayedEngagement,
-    "e08_event_transitions" -> eventTransitions
+    "e08_event_transitions" -> eventTransitions,
+    "e09_daily_anomaly" -> dailyAnomaly
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -581,6 +621,26 @@ object EventPipeline extends graft.Registry {
          |         // CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
          |                AS BIGINT)
          |         AS p_ppm
-         |FROM m ORDER BY prev_type, next_type""".stripMargin
+         |FROM m ORDER BY prev_type, next_type""".stripMargin,
+    "e09_daily_anomaly" ->
+      s"""WITH c AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |         COUNT(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, day, cnt,
+         |         CAST(COUNT(*) OVER (PARTITION BY event_type)
+         |              AS BIGINT) AS n_days,
+         |         CAST(SUM(cnt) OVER (PARTITION BY event_type)
+         |              AS BIGINT) AS s1,
+         |         CAST(SUM(cnt * cnt) OVER (PARTITION BY event_type)
+         |              AS BIGINT) AS s2
+         |  FROM c)
+         |SELECT event_type, day, cnt,
+         |       cnt * n_days - s1 AS dev_n,
+         |       CAST(CASE WHEN (cnt * n_days - s1) * (cnt * n_days - s1)
+         |                      > 4 * (n_days * s2 - s1 * s1)
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM w ORDER BY event_type, day""".stripMargin
   )
 }

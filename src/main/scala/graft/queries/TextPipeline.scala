@@ -1431,8 +1431,62 @@ object TextPipeline extends graft.Registry {
     "td23_ingest_dedup" -> ingestDedup,
     "td24_source_drift" -> sourceDrift,
     "td25_bigram_novelty" -> bigramNovelty,
-    "td26_chunk_overlap" -> chunkOverlap
+    "td26_chunk_overlap" -> chunkOverlap,
+    "td27_phrase_detect" -> phraseDetect
   )
+
+  /** Mikolov count discount δ: pairs must beat it to score at all. */
+  private[graft] val PhraseDelta = 5L
+  /** Report size of [[phraseDetect]]. */
+  private[graft] val PhraseTopK = 50
+
+  /** td27: collocation / phrase detection — the word2vec phrase-merge
+    * score (Mikolov et al. 2013, "Distributed Representations of
+    * Words and Phrases", §4): for each adjacent word pair,
+    * `score = (c_xy − δ)·N / (c_x·c_y)` in exact integer basis
+    * points, reported as the top-[[PhraseTopK]] by score. Pairs that
+    * co-occur far above their unigram chance rate are the "new_york"
+    * candidates a tokenizer or phrase-aware dedup wants merged;
+    * δ = [[PhraseDelta]] discounts rare-pair noise. The unigram-
+    * normalized complement of td20's raw BPE pair counts.
+    *
+    * Determinism: counts are BIGINT; the score runs through
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) intermediates, so it is
+    * exact at any corpus size with no overflow caveat; ties break on
+    * the bigram string (unique per row).
+    *
+    * Scale shape: one (x,y) pair-count shuffle and one token
+    * shuffle, both compacted map-side to the (bigram / vocabulary)
+    * domain before exchanging; the two unigram joins are deliberately
+    * unhinted like td03's vocab join (broadcast while the vocabulary
+    * fits, SMJ at web scale); N is a 1-row broadcast; the report is a
+    * TakeOrderedAndProject heap, never a global sort. */
+  def phraseDetect(s: SparkSession, dir: String): DataFrame = {
+    val uni = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .cache()
+    val nTok = uni.agg(sum("c").as("n_tok"))
+    val pairs = docs(s, dir)
+      .select(split(col("text"), " ").as("a"))
+      .where(size(col("a")) > 1)
+      .select(explode(expr(
+        "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), " +
+          "(x, y) -> named_struct('x', x, 'y', y))")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    pairs.where(col("c_xy") > PhraseDelta)
+      .join(uni.select(col("token").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("token").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(nTok))
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("c_xy"), col("c_x"), col("c_y"),
+        expr(s"CAST(CAST(c_xy - $PhraseDelta AS DECIMAL(38,0)) * n_tok " +
+          s"* 10000 div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)")
+          .as("score_bp"))
+      .orderBy(desc("score_bp"), col("bigram"))
+      .limit(PhraseTopK)
+  }
 
   // DuckDB oracles — generated from the SAME constants as the Spark
   // queries (TextPrep.MinHashAB etc.), so both sides stay in lockstep.
@@ -1685,6 +1739,27 @@ object TextPipeline extends graft.Registry {
          |       CAST(SUM(chunk_toks) AS BIGINT) * 1000000
          |         // CAST(SUM(n) AS BIGINT) AS dup_factor_ppm
          |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "td27_phrase_detect" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),
+         |tok AS (SELECT unnest(a) AS token FROM t),
+         |uni AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+         |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+         |ix AS (SELECT a, unnest(range(1, len(a))) AS i
+         |       FROM t WHERE len(a) > 1),
+         |p AS (SELECT a[i] AS x, a[i + 1] AS y FROM ix),
+         |bg AS (SELECT x, y, COUNT(*) AS c_xy FROM p GROUP BY x, y),
+         |sc AS (
+         |  SELECT x || ' ' || y AS bigram, bg.c_xy, ux.c AS c_x,
+         |         uy.c AS c_y,
+         |         CAST(CAST(bg.c_xy - $PhraseDelta AS HUGEINT) * nt.n_tok
+         |              * 10000 // (CAST(ux.c AS HUGEINT) * uy.c)
+         |              AS BIGINT) AS score_bp
+         |  FROM bg JOIN uni ux ON bg.x = ux.token
+         |          JOIN uni uy ON bg.y = uy.token
+         |          CROSS JOIN nt
+         |  WHERE bg.c_xy > $PhraseDelta)
+         |SELECT bigram, c_xy, c_x, c_y, score_bp
+         |FROM sc ORDER BY score_bp DESC, bigram LIMIT $PhraseTopK""".stripMargin,
     "td15_substring_dedup" ->
       s"""WITH t AS (
          |  SELECT source, string_split(text, ' ') AS t FROM documents

@@ -842,7 +842,143 @@ object VectorPipeline extends graft.Registry {
       .orderBy("dim")
   }
 
+  /** Fraction (percent) of each cluster pruned as "too prototypical"
+    * by [[prototypePrune]]. */
+  private[graft] val PrunePct = 20L
+
+  /** v14: prototypicality pruning — rank every vector inside its
+    * cluster by distance to the cluster centroid and mark the closest
+    * [[PrunePct]]% for removal. This is the SSL-prototypes data-pruning
+    * rule (Sorscher et al. 2022, "Beyond neural scaling laws"): in a
+    * big corpus the most prototypical examples are the least
+    * informative, so pruning the densest core of each cluster beats
+    * random subsampling at equal budget. Complementary to v10
+    * (SemDeDup removes near-identical PAIRS; this thins the
+    * cluster CORE even where no pair is near-identical).
+    *
+    * Determinism: distances are exact integer squared-L2 in
+    * [[KmQ]]-quantized space ([[qdistSql]] range audit), ranks break
+    * ties on vec_id, and the per-cluster prune budget is
+    * `n·PrunePct div 100` — all BIGINT.
+    *
+    * Scale shape: the k centroids collapse to ONE broadcast row
+    * (bounded `collect_list` over k = [[NumSeeds]] rows — never a
+    * driver collect), assignment is a row-local
+    * `array_min(transform(...))` argmin over the broadcast array (no
+    * N×k join), and the only corpus shuffle is the per-cluster rank
+    * window. At production scale k grows with the corpus (k ∝ √N
+    * keeps cluster populations bounded), which is exactly what keeps
+    * that window's partitions parallel. */
+  def prototypePrune(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val cents = e.where(col("vec_id") < NumSeeds)
+      .select(struct(col("qv").as("sq"), col("vec_id").as("cluster")).as("c"))
+      .agg(collect_list("c").as("cents"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        expr("array_min(transform(cents, c -> named_struct(" +
+          s"'qd', ${qdistSql("qv", "c.sq")}, 'cluster', c.cluster)))")
+          .as("dc"))
+      .select(col("vec_id"), col("dc.cluster").as("cluster"),
+        col("dc.qd").as("qd"))
+    val wRank = Window.partitionBy("cluster").orderBy(col("qd"), col("vec_id"))
+    val wN = Window.partitionBy("cluster")
+    assigned
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("n_cluster", count(lit(1)).over(wN))
+      .select(col("vec_id"), col("cluster"), col("qd"), col("rnk"),
+        when(col("rnk") <= expr(s"n_cluster * $PrunePct div 100"), 1L)
+          .otherwise(0L).as("pruned"))
+      .orderBy("cluster", "rnk")
+  }
+
+  /** Quantization scale of [[labelDispersion]] — coarser than [[KmQ]]
+    * on purpose: the centered second moment sums n·64·(2·2¹⁰)² ≤
+    * n·2²⁸, exact in BIGINT to n ≈ 3×10¹⁰ rows per label (KmQ's 2²⁰
+    * would cap that at ~32k rows). Dispersion RANKING is insensitive
+    * to the extra quantization noise; distances are not reported. */
+  private val VdQ: Long = 1L << 10
+
+  /** v15: per-label semantic diversity — the exact within-class
+    * inertia Σ‖q − μ_label‖² in [[VdQ]]-quantized integer space, plus
+    * its per-row mean. The curation dashboard number behind mixture
+    * design: a label (or source, or topic bucket) whose dispersion
+    * collapses is boilerplate/templated content even when its volume
+    * and dedup rates look healthy, and one whose dispersion explodes
+    * is a mislabeled grab-bag. (SemDeDup prunes by pairwise cosine;
+    * this is the aggregate, O(N) version of the same signal.)
+    *
+    * Determinism: integer centroids via the same
+    * `floor(CAST(sum AS DOUBLE)/n)` floor-division both engines
+    * replay bit-identically (v06's form), then an exact integer
+    * squared-L2 fold per row. Two corpus passes, both map-side
+    * partial-aggregated; the (label × dim) moment table and the
+    * centroid-array frame are bounded by the class domain and
+    * broadcast back. */
+  def labelDispersion(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(s, dir, "embeddings")
+      .select(col("label"),
+        expr("transform(embedding, " +
+          s"x -> CAST(floor(CAST(x AS DOUBLE) * $VdQ) AS BIGINT))").as("qv"))
+      .cache()
+    val mu = e
+      .select(col("label"), posexplode(col("qv")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(named_struct(" +
+        "'d', d, 'm', CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT)))), " +
+        "x -> x.m)").as("muv"))
+    e.join(broadcast(mu), Seq("label"))
+      .select(col("label"), expr(qdistSql("qv", "muv")).as("dist"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("dist").as("inertia_q"))
+      .select(col("label"), col("n"), col("inertia_q"),
+        expr("inertia_q div n").as("avg_inertia_q"))
+      .orderBy("label")
+  }
+
+  /** v16: modality-agreement audit — the lang × label contingency
+    * lift over the documents⋈embeddings id join, in exact integer
+    * basis points: `lift = P(lang, label) / (P(lang)·P(label))`,
+    * computed as `n·N·10⁴ / (n_lang·n_label)` through DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB) intermediates so the arithmetic is
+    * exact at ANY corpus size — no BIGINT range caveat. The
+    * cross-modal sanity check a multimodal corpus needs before
+    * training: embedding clusters that ignore the text's language
+    * (lift ≈ 10⁴ everywhere) mean the encoder — or the id join —
+    * is broken; a cell far above 10⁴ is a language-dominated
+    * cluster.
+    *
+    * Scale shape: ONE id-keyed equijoin (both sides corpus-sized —
+    * sort-merge at scale, AQE broadcasts if a side fits), compacted
+    * map-side by the groupBy to the lang × label domain; margins are
+    * windows over that bounded matrix and the total is a 1-row
+    * broadcast. */
+  def modalityLift(s: SparkSession, dir: String): DataFrame = {
+    val cont = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(Tables.table(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("label")), Seq("doc_id"))
+      .groupBy("lang", "label").agg(count(lit(1)).as("n"))
+    val tot = cont.agg(sum("n").as("n_total"))
+    val wL = Window.partitionBy("lang")
+    val wB = Window.partitionBy("label")
+    cont
+      .withColumn("n_lang", sum("n").over(wL))
+      .withColumn("n_label", sum("n").over(wB))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("label"), col("n"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * n_total * 10000 div " +
+          "(CAST(n_lang AS DECIMAL(38,0)) * n_label) AS BIGINT)")
+          .as("lift_bp"))
+      .orderBy("lang", "label")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v16_modality_lift" -> modalityLift,
+    "v15_label_dispersion" -> labelDispersion,
+    "v14_prototype_prune" -> prototypePrune,
     "v13_pca_power_step" -> pcaPowerStep,
     "v12_random_projection" -> randomProjection,
     "v11_semantic_decontam" -> semanticDecontam,
@@ -859,6 +995,71 @@ object VectorPipeline extends graft.Registry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v14_prototype_prune" ->
+      s"""WITH qe AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cluster, qv AS sq
+         |          FROM qe WHERE vec_id < $NumSeeds),
+         |asg AS (
+         |  SELECT vec_id, cluster, qd FROM (
+         |    SELECT q.vec_id, s.cluster,
+         |           ${qdistDuck("q.qv", "s.sq")} AS qd,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${qdistDuck("q.qv", "s.sq")}, s.cluster) AS arn
+         |    FROM qe q CROSS JOIN seeds s) WHERE arn = 1),
+         |r AS (
+         |  SELECT vec_id, cluster, qd,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster
+         |                            ORDER BY qd, vec_id) AS rnk,
+         |         COUNT(*) OVER (PARTITION BY cluster) AS n_cluster
+         |  FROM asg)
+         |SELECT vec_id, cluster, qd, CAST(rnk AS BIGINT) AS rnk,
+         |       CAST(CASE WHEN rnk <= n_cluster * $PrunePct // 100
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS pruned
+         |FROM r ORDER BY cluster, rnk""".stripMargin,
+    "v15_label_dispersion" ->
+      s"""WITH qe AS (
+         |  SELECT label,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * $VdQ) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |sums AS (
+         |  SELECT label, i AS d, CAST(SUM(qv[i + 1]) AS BIGINT) AS sv,
+         |         COUNT(*) AS n
+         |  FROM qe, range($Dim) r(i)
+         |  GROUP BY label, i),
+         |mu AS (
+         |  SELECT label,
+         |         list(CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT)
+         |              ORDER BY d) AS muv
+         |  FROM sums GROUP BY label),
+         |j AS (
+         |  SELECT qe.label, ${qdistDuck("qe.qv", "mu.muv")} AS dist
+         |  FROM qe JOIN mu ON qe.label = mu.label),
+         |g AS (
+         |  SELECT label, COUNT(*) AS n, CAST(SUM(dist) AS BIGINT) AS inertia_q
+         |  FROM j GROUP BY label)
+         |SELECT label, n, inertia_q, inertia_q // n AS avg_inertia_q
+         |FROM g ORDER BY label""".stripMargin,
+    "v16_modality_lift" ->
+      s"""WITH j AS (
+         |  SELECT d.lang, e.label
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |c AS (SELECT lang, label, COUNT(*) AS n FROM j GROUP BY 1, 2),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c),
+         |w AS (
+         |  SELECT lang, label, n,
+         |         CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+         |         CAST(SUM(n) OVER (PARTITION BY label) AS BIGINT) AS n_label
+         |  FROM c)
+         |SELECT lang, label, n,
+         |       CAST(CAST(n AS HUGEINT) * n_total * 10000
+         |            // (CAST(n_lang AS HUGEINT) * n_label) AS BIGINT)
+         |         AS lift_bp
+         |FROM w CROSS JOIN t ORDER BY lang, label""".stripMargin,
     "v13_pca_power_step" ->
       s"""WITH qe AS (
          |  SELECT vec_id,

@@ -232,4 +232,51 @@ class EventPipelineSpec extends SparkSpec {
       3L -> ((1L, 1L, 0L, 4096L, 1.0d, 4096L)),
       2L -> ((3L, 0L, 14L, 1536L, 0.375d, 0L))))
   }
+
+  test("daily anomaly (e09): |z|>2 spike flagged, zero-variance never flags") {
+    // click: 5 events/day for days 0..8, 50 on day 9 →
+    //   n=10, s1=95, s2=2725; day 9 dev = 50·10−95 = 405,
+    //   405² = 164025 > 4·(10·2725−95²) = 72900 → flagged;
+    //   quiet days dev = −45, 2025 < 72900 → not flagged.
+    // steady: 7/day for 3 days → variance 0, dev 0, 0 > 0 false.
+    val d = java.nio.file.Files.createTempDirectory("graft-e09").toString
+    import spark.implicits._
+    var id = 0L
+    val rows =
+      (0 to 9).flatMap { day =>
+        val n = if (day == 9) 50 else 5
+        (1 to n).map { k =>
+          id += 1
+          (id, day * 86400L + k, 1L, "click", 1.0)
+        }
+      } ++
+        (0 to 2).flatMap { day =>
+          (1 to 7).map { k =>
+            id += 1
+            (id, day * 86400L + k, 2L, "steady", 1.0)
+          }
+        }
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .selectExpr("event_id", "sec * 1000000000 AS ts", "user_id",
+        "event_type", "value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventPipeline.dailyAnomaly(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("click", 9L)) === ((50L, 405L, 1L)))
+    (0L to 8L).foreach { day =>
+      assert(got(("click", day)) === ((5L, -45L, 0L)))
+    }
+    (0L to 2L).foreach { day =>
+      assert(got(("steady", day)) === ((7L, 0L, 0L)))
+    }
+    assert(got.size === 13)
+    // plan: groupBy compaction then the bounded per-type window —
+    // no join anywhere
+    val p = EventPipeline.dailyAnomaly(spark, d)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Join"), "e09 needs no join")
+    assert(p.contains("partial_count"),
+      "the day-count groupBy must compact map-side")
+  }
 }

@@ -1007,4 +1007,107 @@ class PipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not certifiable"))
   }
+
+  test("v14 prototype prune matches an in-memory assignment + rank + quota") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-v14").toString
+    // 8 seeds (vec_id < NumSeeds) spread on a line; 13 corpus vectors
+    // near seed 0 at strictly increasing distances, one on seed 5.
+    val vecs: Seq[(Long, Array[Float])] =
+      (0L to 7L).map(i => i -> Array(i * 10.0f, 0.0f)) ++
+        (8L to 20L).map(j => j -> Array((j - 8) * 0.1f, 0.5f)) :+
+        (21L -> Array(50.0f, 0.001f))
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // in-memory reference with the SAME 2^20 quantization
+    def q(x: Float): Long = math.floor(x.toDouble * (1L << 20)).toLong
+    val quant = vecs.map { case (id, v) => id -> v.map(q) }
+    val seeds = quant.filter(_._1 < 8L)
+    val assigned = quant.map { case (id, v) =>
+      val (qd, cl) = seeds.map { case (sid, sv) =>
+        (sv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, sid)
+      }.min
+      (id, cl, qd)
+    }
+    val expected = assigned.groupBy(_._2).toSeq.flatMap { case (cl, rows) =>
+      val ranked = rows.sortBy(r => (r._3, r._1)).zipWithIndex
+      val nPrune = rows.length.toLong * 20L / 100L
+      ranked.map { case ((id, _, qd), i) =>
+        (id, cl, qd, i + 1L, if (i + 1L <= nPrune) 1L else 0L)
+      }
+    }.sortBy(r => (r._2, r._4))
+    val got = VectorPipeline.prototypePrune(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // the quota must actually bite: cluster 0 holds seed 0 + 13 near
+    // vectors = 14 rows → 2 pruned, closest-first (the seed itself)
+    val cl0 = got.filter(_._2 === 0L)
+    assert(cl0.length === 14 && cl0.count(_._5 === 1L) === 2)
+    assert(cl0.filter(_._5 === 1L).map(_._1).contains(0L))
+  }
+
+  test("v15 label dispersion: zero for identical vectors, exact for a planted pair") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-v15").toString
+    // label 1: three identical vectors → inertia exactly 0
+    // label 2: (0,0) and (1,1) → q = (0,0), (1024,1024); centroid
+    //          floor(1024/2) = 512 → each row contributes 2·512² and
+    //          the pair sums to 4·512² = 1048576 (VdQ = 2^10)
+    val rows = Seq(
+      (1L, Array(0.5f, 0.5f), 1),
+      (2L, Array(0.5f, 0.5f), 1),
+      (3L, Array(0.5f, 0.5f), 1),
+      (4L, Array(0.0f, 0.0f), 2),
+      (5L, Array(1.0f, 1.0f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = VectorPipeline.labelDispersion(spark, d).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1 -> ((3L, 0L, 0L)),
+      2 -> ((2L, 1048576L, 524288L))))
+  }
+
+  test("v16 modality lift: 10^4 under independence, 2·10^4 on a perfect pairing") {
+    import spark.implicits._
+    def plant(pairs: Seq[(String, Int)]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-v16").toString
+      pairs.zipWithIndex.map { case ((lang, _), i) =>
+        (i.toLong, s"text $i", lang, "web", 6L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      pairs.zipWithIndex.map { case ((_, label), i) =>
+        (i.toLong, Array(0.1f, 0.2f), label)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    // independent 2×2: every cell's lift is exactly 10^4
+    val ind = plant(Seq(("aa", 0), ("aa", 1), ("bb", 0), ("bb", 1)))
+    val gotInd = VectorPipeline.modalityLift(spark, ind).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(gotInd.values.toSet === Set(10000L))
+    // perfect pairing: lang determines label → lift = 1/P(label) = 2·10^4
+    val per = plant(Seq(("aa", 0), ("aa", 0), ("bb", 1), ("bb", 1)))
+    val gotPer = VectorPipeline.modalityLift(spark, per).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(gotPer === Map(("aa", 0) -> 20000L, ("bb", 1) -> 20000L))
+  }
+
+  test("td27 phrase detect: planted collocation scores exactly, δ filters noise") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-td27").toString
+    // "new york" co-occurs 6 times; every other adjacent pair occurs
+    // once (≤ δ = 5, filtered). N = 24 tokens, c_new = c_york = 6:
+    // score = (6 − 5)·24·10⁴ / 36 = 6666 (floor)
+    (1L to 6L).map(i => (i, s"f${i}a new york f${i}b", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextPipeline.phraseDetect(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(("new york", 6L, 6L, 6L, 6666L)))
+  }
 }

@@ -372,4 +372,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(masksSmall === Set("255"),
       s"small-corpus td08 must use single 8-bit bands, saw $masksSmall")
   }
+
+  test("prototype prune (v14): row-local argmin, one corpus shuffle, no N×k join") {
+    val p = plan(VectorPipeline.prototypePrune(spark, dir))
+    assert(p.contains("array_min"),
+      "assignment must be a row-local argmin over the broadcast " +
+        "centroid array, not an N×k join + window")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no corpus-sized join anywhere")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "exactly one corpus shuffle: the per-cluster rank window")
+  }
+
+  test("label dispersion (v15): centroid frame broadcasts back, partial sums") {
+    val p = plan(VectorPipeline.labelDispersion(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded (label → centroid) frame must broadcast to the corpus")
+    assert(p.contains("partial_sum"),
+      "both moment passes must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("modality lift (v16): map-side compaction, no cartesian blowup") {
+    val p = plan(VectorPipeline.modalityLift(spark, dir))
+    assert(p.contains("partial_count"),
+      "the contingency groupBy must compact to lang×label map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("phrase detect (td27): heap top-k, map-side pair compaction") {
+    val p = plan(TextPipeline.phraseDetect(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-50 report must be a heap, never a global sort")
+    assert(p.contains("partial_count"),
+      "pair and unigram counts must compact map-side before exchanging")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
