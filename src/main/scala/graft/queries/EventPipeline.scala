@@ -441,6 +441,38 @@ object EventPipeline extends graft.Registry {
       .orderBy("event_type", "day")
   }
 
+  /** e10: rolling user-activity features — per (user, day): that
+    * day's event count plus the trailing-7-day event count and
+    * active-day count via a RANGE window over the integer day axis.
+    * The feature-store staple (rolling engagement windows feed every
+    * churn/propensity model) and e07's uniform-window complement:
+    * e07 weights by recency, this counts inside a sharp horizon.
+    *
+    * Determinism: counts and integer day numbers only. The RANGE
+    * frame is over the integer `day` ORDER BY key — identical
+    * semantics on both engines (frame = days in [day−6, day], not
+    * 7 physical rows, so gap days are handled correctly).
+    *
+    * Scale shape: the explicit `repartition(user_id)` makes the
+    * day-compaction groupBy and the per-user RANGE window REUSE one
+    * user-keyed exchange (HashPartitioning(user_id) satisfies the
+    * clustered distribution of both (user_id, day) and user_id —
+    * e02's one-shuffle layout); the window then runs over per-day
+    * compacted rows, never raw events. */
+  def rollingFeatures(s: SparkSession, dir: String): DataFrame = {
+    val w7 = Window.partitionBy("user_id").orderBy("day")
+      .rangeBetween(-6, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .repartition(col("user_id"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_day"))
+      .withColumn("n_7d", sum("n_day").over(w7))
+      .withColumn("active_days_7d", count(lit(1)).over(w7))
+      .orderBy("user_id", "day")
+  }
+
   // -------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -452,7 +484,8 @@ object EventPipeline extends graft.Registry {
     "e06_gap_quantiles" -> gapQuantiles,
     "e07_decayed_engagement" -> decayedEngagement,
     "e08_event_transitions" -> eventTransitions,
-    "e09_daily_anomaly" -> dailyAnomaly
+    "e09_daily_anomaly" -> dailyAnomaly,
+    "e10_rolling_features" -> rollingFeatures
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -641,6 +674,18 @@ object EventPipeline extends graft.Registry {
          |       CAST(CASE WHEN (cnt * n_days - s1) * (cnt * n_days - s1)
          |                      > 4 * (n_days * s2 - s1 * s1)
          |                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-         |FROM w ORDER BY event_type, day""".stripMargin
+         |FROM w ORDER BY event_type, day""".stripMargin,
+    "e10_rolling_features" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |         COUNT(*) AS n_day
+         |  FROM events GROUP BY 1, 2)
+         |SELECT user_id, day, n_day,
+         |       CAST(SUM(n_day) OVER w AS BIGINT) AS n_7d,
+         |       CAST(COUNT(*) OVER w AS BIGINT) AS active_days_7d
+         |FROM daily
+         |WINDOW w AS (PARTITION BY user_id ORDER BY day
+         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, day""".stripMargin
   )
 }

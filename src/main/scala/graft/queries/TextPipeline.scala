@@ -1432,8 +1432,58 @@ object TextPipeline extends graft.Registry {
     "td24_source_drift" -> sourceDrift,
     "td25_bigram_novelty" -> bigramNovelty,
     "td26_chunk_overlap" -> chunkOverlap,
-    "td27_phrase_detect" -> phraseDetect
+    "td27_phrase_detect" -> phraseDetect,
+    "td28_containment_dedup" -> ((s, dir) => containmentDedup(s, dir))
   )
+
+  /** Containment bar: a pair is flagged when its larger-direction
+    * containment reaches 80%. */
+  private[graft] val ContainmentPpm = 800000L
+
+  /** td28: containment dedup — Broder's asymmetric containment
+    * C(A→B) = |A∩B| / |A| over 3-token shingle sets, in exact integer
+    * ppm, flagging pairs whose LARGER direction reaches
+    * [[ContainmentPpm]]. The subset-duplicate detector Jaccard
+    * (td06) structurally misses: a short document wholly quoted
+    * inside a long one has near-1.0 containment but tiny Jaccard
+    * (|A∩B|/|A∪B| is diluted by the long side), and it is exactly the
+    * quote/boilerplate-expansion case web-scale dedup pipelines
+    * (Broder 1997's resemblance vs containment split) treat as a
+    * separate rule. Both directions are reported, so the CONTAINED
+    * side (the one to drop) is identifiable per pair.
+    *
+    * Scale shape: identical candidate generation to td06 — the
+    * hot-shingle df cap (broadcast anti-join) kills df² skew, the
+    * pair join is a (shingle) equijoin, sizes shuffle-join (corpus
+    * cardinality — never broadcast). Containment arithmetic is
+    * row-local BIGINT ppm (non-negative ⇒ `div` ≡ `//`). */
+  def containmentDedup(s: SparkSession, dir: String,
+      dfCap: Long = MaxShingleDf): DataFrame = {
+    val shAll = shingleIndex(s, dir).select("doc_id", "shingle")
+    val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap)
+      .select("shingle")
+    val sh = shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("na"), col("nb"),
+        expr("n_common * 1000000 div na").as("cont_a_ppm"),
+        expr("n_common * 1000000 div nb").as("cont_b_ppm"))
+      .where(greatest(col("cont_a_ppm"), col("cont_b_ppm"))
+        >= ContainmentPpm)
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Mikolov count discount δ: pairs must beat it to score at all. */
   private[graft] val PhraseDelta = 5L
@@ -1760,6 +1810,24 @@ object TextPipeline extends graft.Registry {
          |  WHERE bg.c_xy > $PhraseDelta)
          |SELECT bigram, c_xy, c_x, c_y, score_bp
          |FROM sc ORDER BY score_bp DESC, bigram LIMIT $PhraseTopK""".stripMargin,
+    "td28_containment_dedup" ->
+      s"""WITH $shinglesSqlCte,
+         |$cappedShinglesSqlCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM shf a JOIN shf b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, n_common, sa.n AS na, sb.n AS nb,
+         |       n_common * 1000000 // sa.n AS cont_a_ppm,
+         |       n_common * 1000000 // sb.n AS cont_b_ppm
+         |FROM inter
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE greatest(n_common * 1000000 // sa.n,
+         |               n_common * 1000000 // sb.n) >= $ContainmentPpm
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "td15_substring_dedup" ->
       s"""WITH t AS (
          |  SELECT source, string_split(text, ' ') AS t FROM documents

@@ -975,7 +975,38 @@ object VectorPipeline extends graft.Registry {
       .orderBy("lang", "label")
   }
 
+  /** v17: ANN index health — the degree histogram of the v03 LSH
+    * candidate graph (band collisions BEFORE the cosine filter),
+    * including the isolated-vector row at degree 0. The index-quality
+    * audit run before trusting an ANN layout: a fat tail (hub vectors
+    * colliding with everything) means the hash family is collapsing
+    * on the corpus's density and bucket work will skew; a large
+    * isolated mass means recall starves. Candidate degree — not
+    * near-dup degree — is the right signal because it measures the
+    * WORK the index does, independent of how many true pairs exist.
+    *
+    * Scale shape: v03's banded self-equijoin generates candidates
+    * (never all-pairs), the degree count is a (vec_id) groupBy of the
+    * pair list, and the histogram compacts to the bounded degree
+    * domain map-side; the two 1-row totals broadcast for the
+    * degree-0 row. */
+  def indexHealth(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val cand = ndCandidates(e)
+    val deg = cand.select(col("vec_a").as("vec_id"))
+      .unionAll(cand.select(col("vec_b").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("degree"))
+      .cache()
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_vecs"))
+    val zero = e.agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nonzero"))))
+      .select(lit(0L).as("degree"),
+        (col("n_total") - col("n_nonzero")).as("n_vecs"))
+    hist.unionAll(zero).orderBy("degree")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v17_index_health" -> indexHealth,
     "v16_modality_lift" -> modalityLift,
     "v15_label_dispersion" -> labelDispersion,
     "v14_prototype_prune" -> prototypePrune,
@@ -995,6 +1026,40 @@ object VectorPipeline extends graft.Registry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v17_index_health" -> {
+      val bkCols = (0 until NdBands)
+        .map(j => s"${ndBandKeyDuck(j)} AS bk$j").mkString(",\n         ")
+      val bandSelects = (0 until NdBands)
+        .map(j => s"SELECT vec_id, $j AS band, bk$j AS bkey FROM sig")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $normDuckCte,
+         |sig AS (
+         |  SELECT vec_id, embedding, nrm,
+         |         $bkCols
+         |  FROM e),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |       AND a.vec_id < b.vec_id),
+         |deg AS (
+         |  SELECT vec_id, COUNT(*) AS degree FROM (
+         |    SELECT vec_a AS vec_id FROM cand
+         |    UNION ALL SELECT vec_b AS vec_id FROM cand)
+         |  GROUP BY vec_id),
+         |hist AS (SELECT degree, COUNT(*) AS n_vecs FROM deg
+         |         GROUP BY degree),
+         |tot AS (SELECT COUNT(*) AS n_total FROM e),
+         |nz AS (SELECT COUNT(*) AS n_nonzero FROM deg)
+         |SELECT degree, n_vecs FROM hist
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT) AS degree,
+         |       CAST(n_total - n_nonzero AS BIGINT) AS n_vecs
+         |FROM tot CROSS JOIN nz
+         |ORDER BY degree""".stripMargin
+    },
     "v14_prototype_prune" ->
       s"""WITH qe AS (
          |  SELECT vec_id,

@@ -419,6 +419,61 @@ object EventStreams {
       }
   }
 
+  final case class DayCount(day: Long, n: Long)
+  final case class TypeDayCounts(
+      eventType: String, nDays: Long, buckets: Seq[DayCount])
+  final case class DayAnomaly(
+      eventType: String, day: Long, cnt: Long, devN: Long, isAnomaly: Long)
+  private[streaming] final case class DailyState(buckets: Map[Long, Long])
+
+  /** Streaming twin of the batch e09 daily-volume anomaly
+    * ([[graft.queries.EventPipeline.dailyAnomaly]]): per event type,
+    * maintain the (day → count) histogram as keyed state and emit it
+    * per trigger; the |z| > 2 decision needs the full-window moments,
+    * so the test itself is the read-side fold [[anomaliesAt]] over the
+    * emitted histogram — the e07 split (stream accumulates exact
+    * integers, reader folds), which keeps the stream bit-identical to
+    * the batch rows at any point in time.
+    *
+    * State bound: ONE bucket per calendar day per type — state grows
+    * with elapsed TIME (365 entries/type/year), not with event
+    * volume, and the type domain is the instrumentation's bounded
+    * vocabulary. A deployment wanting a rolling baseline prunes
+    * buckets older than its window here, exactly like e07's horizon
+    * prune; the batch operator's all-days semantics keeps them. */
+  def dailyCounts(events: Dataset[Event]): Dataset[TypeDayCounts] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.eventType)
+      .mapGroupsWithState[DailyState, TypeDayCounts](
+        GroupStateTimeout.NoTimeout) {
+        (tpe: String, evs: Iterator[Event], state: GroupState[DailyState]) =>
+          var buckets = state.getOption.map(_.buckets)
+            .getOrElse(Map.empty[Long, Long])
+          evs.foreach { e =>
+            val day = Math.floorDiv(e.ts.getTime, 86400000L)
+            buckets += day -> (buckets.getOrElse(day, 0L) + 1L)
+          }
+          state.update(DailyState(buckets))
+          TypeDayCounts(tpe, buckets.size.toLong,
+            buckets.toSeq.sortBy(_._1).map { case (d, n) => DayCount(d, n) })
+      }
+  }
+
+  /** Fold a type's day histogram into the batch e09 rows — the same
+    * all-BIGINT `(cnt·n − s1)² > 4·(n·s2 − s1²)` inequality. */
+  def anomaliesAt(t: TypeDayCounts): Seq[DayAnomaly] = {
+    val n = t.buckets.length.toLong
+    val s1 = t.buckets.map(_.n).sum
+    val s2 = t.buckets.map(b => b.n * b.n).sum
+    t.buckets.map { b =>
+      val dev = b.n * n - s1
+      DayAnomaly(t.eventType, b.day, b.n, dev,
+        if (dev * dev > 4L * (n * s2 - s1 * s1)) 1L else 0L)
+    }
+  }
+
   /** Fold a user's day histogram into the batch e07 report row at
     * reference day `refDay` — the read-side scoring every consumer
     * runs against its own "now". Exact integer arithmetic identical

@@ -279,4 +279,37 @@ class EventPipelineSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       "the day-count groupBy must compact map-side")
   }
+
+  test("rolling features (e10): RANGE frame over gap days, one user shuffle") {
+    val d = java.nio.file.Files.createTempDirectory("graft-e10").toString
+    import spark.implicits._
+    // user 1: 3 events day 0, 1 event day 2, 2 events day 8
+    //   → day 8's [2..8] window sees day 2 but not day 0
+    // user 2: day 0 and day 7 — day 7's [1..7] window excludes day 0
+    val rows = Seq(
+      (1L, 0L), (2L, 0L), (3L, 0L), (4L, 2L), (5L, 8L), (6L, 8L))
+      .map { case (id, day) => (id, day, 1L) } ++
+      Seq((7L, 0L, 2L), (8L, 7L, 2L))
+    rows.toDF("event_id", "d", "user_id")
+      .selectExpr("event_id", "d * 86400 * 1000000000 AS ts", "user_id",
+        "'view' AS event_type", "CAST(1.0 AS DOUBLE) AS value",
+        "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventPipeline.rollingFeatures(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 3L, 3L, 1L),
+      (1L, 2L, 1L, 4L, 2L),
+      (1L, 8L, 2L, 3L, 2L),
+      (2L, 0L, 1L, 1L, 1L),
+      (2L, 7L, 1L, 1L, 1L)))
+    // one user-keyed hash exchange: compaction groupBy and the RANGE
+    // window both reuse the explicit repartition
+    val p = EventPipeline.rollingFeatures(spark, d)
+      .queryExecution.explainString(SimpleMode)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "groupBy and window must share the user_id exchange")
+    assert(!p.contains("Join"), "e10 needs no join")
+  }
 }

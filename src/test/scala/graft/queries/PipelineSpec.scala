@@ -1096,6 +1096,47 @@ class PipelineSpec extends SparkSpec {
     assert(gotPer === Map(("aa", 0) -> 20000L, ("bb", 1) -> 20000L))
   }
 
+  test("td28 containment flags a subset-dup that jaccard misses") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-td28").toString
+    // doc 1 (4 tokens → 2 shingles) is wholly contained in doc 2
+    // (10 tokens → 8 shingles): containment A→B = 2/2 = 100%,
+    // B→A = 2/8 = 25%, jaccard = 2/8 = 0.25 — below td06's 0.8 bar
+    Seq(
+      (1L, "w1 w2 w3 w4", "en", "web"),
+      (2L, "w1 w2 w3 w4 x1 x2 x3 x4 x5 x6", "en", "web"),
+      (3L, "z1 z2 z3 z4 z5", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextPipeline.containmentDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq((1L, 2L, 2L, 2L, 8L, 1000000L, 250000L)))
+    // the same pair must NOT surface as a jaccard near-dup
+    val jac = TextPipeline.dedupJaccard(spark, d).collect()
+    assert(jac.isEmpty, "jaccard at 0.25 must stay below the 0.8 bar")
+  }
+
+  test("v17 index health equals an in-memory degree recount of the candidate graph") {
+    val norm = spark.read.parquet(s"$dir/embeddings.parquet")
+    // nrm is carried by the banding helper but unused for candidate
+    // generation; any placeholder works
+    val cand = VectorPipeline.ndCandidates(
+      norm.selectExpr("vec_id", "embedding", "CAST(1.0 AS DOUBLE) AS nrm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val degrees = cand.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (_, v) => v.length.toLong }
+    val wantHist = degrees.groupBy(identity)
+      .map { case (d, v) => d -> v.size.toLong }
+    val nTotal = norm.count()
+    val got = VectorPipeline.indexHealth(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) === nTotal - degrees.size.toLong)
+    wantHist.foreach { case (deg, n) => assert(got(deg) === n, s"degree $deg") }
+    // partition of the corpus: every vector lands in exactly one bucket
+    assert(got.values.sum === nTotal)
+  }
+
   test("td27 phrase detect: planted collocation scores exactly, δ filters noise") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-td27").toString

@@ -400,6 +400,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("containment dedup (td28): df-cap anti-join, shingle equijoin only") {
+    val p = plan(TextPipeline.containmentDedup(spark, dir))
+    assert(p.contains("LeftAnti, BuildRight"),
+      "df-cap filter must broadcast the (tiny) hot-shingle list")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "candidate generation must stay a shingle equijoin")
+  }
+
+  test("index health (v17): banded candidates, histogram compacts map-side") {
+    val p = plan(VectorPipeline.indexHealth(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the band equijoin, never all-pairs")
+    assert(p.contains("partial_count"),
+      "degree and histogram counts must partial-aggregate")
+  }
+
   test("phrase detect (td27): heap top-k, map-side pair compaction") {
     val p = plan(TextPipeline.phraseDetect(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),

@@ -366,4 +366,49 @@ class EventStreamsSpec extends SparkSpec {
     val out = windowedCounts(batch).collect()
     assert(out.map(_.getAs[Long]("n_events")).sum === 3)
   }
+
+  test("streaming daily counts fold to the batch e09 anomaly rows exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    // the batch spec's log: click 5/day on days 0..8 + 50 on day 9,
+    // steady 7/day on days 0..2 (zero variance, must never flag)
+    var id = 0L
+    val log = (0 to 9).flatMap { d =>
+      val n = if (d == 9) 50 else 5
+      (1 to n).map { k => id += 1; (id, d.toLong, 1L, "click") }
+    } ++ (0 to 2).flatMap { d =>
+      (1 to 7).map { k => id += 1; (id, d.toLong, 2L, "steady") }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-e09s").toString
+    log.toDF("event_id", "d", "user_id", "event_type")
+      .selectExpr("event_id", s"d * $day * 1000000000 AS ts", "user_id",
+        "event_type", "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.EventPipeline.dailyAnomaly(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val src = MemoryStream[Event]
+    val q = EventStreams.dailyCounts(src.toDS())
+      .writeStream.format("memory").queryName("daily_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val evs = log.map { case (i, d, u, t) =>
+        Event(i, u, t, 1.0, new Timestamp(d * day * 1000L)) }
+      // split mid-day-bucket to exercise state accumulation
+      src.addData(evs.take(7): _*)
+      q.processAllAvailable()
+      src.addData(evs.drop(7): _*)
+      q.processAllAvailable()
+      val latest = spark.table("daily_counts").as[TypeDayCounts]
+        .collect().groupBy(_.eventType)
+        .map { case (t, rows) => t -> rows.maxBy(_.buckets.map(_.n).sum) }
+      val folded = latest.values.flatMap(EventStreams.anomaliesAt)
+        .map(a => (a.eventType, a.day) -> ((a.cnt, a.devN, a.isAnomaly)))
+        .toMap
+      assert(folded === batch,
+        "streamed histogram fold must equal the batch e09 rows")
+    } finally q.stop()
+  }
 }
