@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   *    while CROSS-replica shingle sets are disjoint — without this,
   *    every doc would be a 10-way clone and the dedup operators would
   *    measure a pathological 45×-pair corpus, not a bigger one.
-  *  - `embeddings.embedding` (r > 0) is circularly rotated by r
-  *    positions: norms and within-replica cosines are preserved
-  *    bit-exactly (rotation is an orthonormal permutation), rotated
-  *    random vectors are uncorrelated across replicas.
+  *  - `embeddings.embedding` (r > 0) gets a signed rotation (rotate
+  *    by r mod dim, negate the first r div 64 coordinates): a signed
+  *    permutation is orthonormal, so norms and within-replica cosines
+  *    are preserved, and the transform is unique per replica up to
+  *    factor 4096, so replicas never clone each other's vectors.
   *  - `events.ts` is passed through in whatever physical form it
   *    arrives: TIMESTAMP(NANOS) driver dirs are read as raw int64
   *    nanos (`nanosAsLong`) and re-written as plain longs; the
@@ -118,11 +119,27 @@ object ScaleGen {
     })
     write("embeddings", replicate(embeddings) { (df, r) =>
       if (r == 0) df
-      else df
-        .withColumn("vec_id", col("vec_id") + lit(r * kVec))
-        .withColumn("embedding", expr(
-          s"concat(slice(embedding, $r + 1, size(embedding) - $r), " +
-            s"slice(embedding, 1, $r))"))
+      else {
+        // Signed rotation: rotate by r mod dim and negate the first
+        // r div 64 coordinates. Both are orthonormal (signed
+        // permutation), so norms and within-replica cosines are
+        // preserved; the (rotation, negation-prefix) pair is unique
+        // per replica up to factor 4096, so no two replicas carry
+        // identical vectors (a bare `rotate by r` underflowed
+        // slice() for r ≥ dim — factor 100 died here — and `r mod
+        // dim` alone would clone replicas r and r+dim).
+        require(r < 64 * 64,
+          s"replica $r: signed-rotation space is 4096 transforms")
+        df
+          .withColumn("vec_id", col("vec_id") + lit(r * kVec))
+          .withColumn("embedding", expr(
+            s"""transform(
+               |  concat(
+               |    slice(embedding, pmod($r, size(embedding)) + 1,
+               |          size(embedding) - pmod($r, size(embedding))),
+               |    slice(embedding, 1, pmod($r, size(embedding)))),
+               |  (x, i) -> IF(i < ${r / 64}, -x, x))""".stripMargin))
+      }
     })
   }
 }

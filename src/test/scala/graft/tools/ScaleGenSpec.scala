@@ -86,4 +86,27 @@ class ScaleGenSpec extends SparkSpec {
       .where(col("embedding") =!= col("e2")).count()
     assert(moved === kVec)
   }
+
+  test("embeddings: signed rotation survives factor > dim without cloning replicas") {
+    // factor 66 exercises r ≥ 64: the bare `rotate by r` slice
+    // underflowed there (factor-100 sf10 generation died on it), and
+    // `r mod dim` alone would make replica 65 clone replica 1. The
+    // signed rotation gives 65 the same permutation as 1 plus a
+    // one-coordinate negation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sf66x").toString
+    ScaleGen.run(spark, src, dir, 66)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = s("embeddings").count()
+    assert(e.count() === 66 * n)
+    val kVec = s("embeddings").agg(max(col("vec_id"))).first().getLong(0) + 1
+    val v1 = e.where(col("vec_id") === kVec)
+      .select("embedding").first().getSeq[Float](0)
+    val v65 = e.where(col("vec_id") === 65L * kVec)
+      .select("embedding").first().getSeq[Float](0)
+    assert(v1.map(x => math.abs(x.toDouble)) ===
+      v65.map(x => math.abs(x.toDouble)),
+      "same rotation ⇒ same magnitudes per position")
+    assert(v65.head === -v1.head && v65.tail === v1.tail,
+      "replica 65 = replica 1 with exactly the first coordinate negated")
+  }
 }
