@@ -473,9 +473,57 @@ object EventPipeline extends graft.Registry {
       .orderBy("user_id", "day")
   }
 
+  /** e11: cohort retention matrix — users grouped by first-active day
+    * (their cohort), then for every later active day the count of
+    * that cohort's users still active at that day offset, with the
+    * retained share in exact ppm of the cohort's size. The classic
+    * growth-accounting triangle (q12 reports one 7-day cut of it;
+    * this is the full cohort × offset surface a retention curve is
+    * drawn from).
+    *
+    * Determinism: BIGINT day numbers, counts, and `div` ppm
+    * end-to-end — no date types, no floats. Offset 0 always exists
+    * for every cohort (the first active day is active), so
+    * `cohort_size` is total on both engines. Range audit: the ppm
+    * product needs n_active_users < 2⁶³/10⁶ ≈ 9×10¹² users — beyond
+    * any cohort.
+    *
+    * Scale shape: the explicit `repartition(user_id)` lets the
+    * (user, day) activity compaction and the per-user MIN window
+    * REUSE one user-keyed exchange (e02/e10's one-shuffle layout);
+    * the cohort groupBy then compacts map-side onto the bounded
+    * cohort × offset triangle (≤ days² rows — grows with TIME², not
+    * volume), and the cohort-size window runs over that triangle,
+    * never over events. */
+  def cohortMatrix(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id")
+    val wCohort = Window.partitionBy("cohort_day")
+    events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .repartition(col("user_id"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_ev"))
+      .withColumn("cohort_day", min("day").over(wUser))
+      // second (and last) data exchange: hash on cohort_day alone so
+      // the triangle groupBy AND the cohort-size window both reuse it
+      .repartition(col("cohort_day"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active_users"),
+        sum("n_ev").cast("long").as("n_events"))
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_active_users")))
+          .over(wCohort))
+      .withColumn("retained_ppm",
+        expr("n_active_users * 1000000 div cohort_size"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   // -------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_cohort_matrix" -> cohortMatrix,
     "e01_asof_join" -> asofJoin,
     "e02_sessionize" -> sessionize,
     "e03_range_join" -> rangeJoinViews,
@@ -686,6 +734,31 @@ object EventPipeline extends graft.Registry {
          |FROM daily
          |WINDOW w AS (PARTITION BY user_id ORDER BY day
          |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-         |ORDER BY user_id, day""".stripMargin
+         |ORDER BY user_id, day""".stripMargin,
+    "e11_cohort_matrix" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |         COUNT(*) AS n_ev
+         |  FROM events GROUP BY 1, 2),
+         |f AS (
+         |  SELECT user_id, day, n_ev,
+         |         MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+         |  FROM d),
+         |m AS (
+         |  SELECT cohort_day, day - cohort_day AS day_offset,
+         |         CAST(COUNT(*) AS BIGINT) AS n_active_users,
+         |         CAST(SUM(n_ev) AS BIGINT) AS n_events
+         |  FROM f GROUP BY 1, 2),
+         |z AS (
+         |  SELECT cohort_day, day_offset, n_active_users, n_events,
+         |         CAST(MAX(CASE WHEN day_offset = 0 THEN n_active_users
+         |                       END)
+         |              OVER (PARTITION BY cohort_day) AS BIGINT)
+         |           AS cohort_size
+         |  FROM m)
+         |SELECT cohort_day, day_offset, n_active_users, n_events,
+         |       cohort_size,
+         |       n_active_users * 1000000 // cohort_size AS retained_ppm
+         |FROM z ORDER BY cohort_day, day_offset""".stripMargin
   )
 }

@@ -789,6 +789,48 @@ object TextPipeline extends graft.Registry {
         min("doc_id").as("first_doc"))
       .orderBy("split", "lang")
 
+  /** Number of training shards for [[shardAssign]]: frozen, it
+    * parameterizes the declared query and its oracle. */
+  private val Shards = 16L
+
+  /** td29: deterministic training-shard assignment + balance audit —
+    * every document lands in shard `h32("shard:" || doc_id) % 16`,
+    * and the report shows each shard's doc count, token mass,
+    * source spread and corpus share in exact ppm. This is the global
+    * "shuffle" a training run actually needs at 100 TB: a stateless
+    * per-row hash assignment (any worker can compute any document's
+    * shard with zero coordination, re-runs and re-partitions can
+    * never move a document) instead of a total sort of the corpus —
+    * and the audit is the evidence the shards came out balanced
+    * enough to stream to trainers. Keyed on the ID (unlike td16's
+    * content-hash split) because sharding wants exact-duplicate
+    * SPREAD — identical texts in one shard would skew a data-parallel
+    * epoch — while split assignment wants duplicate cohesion.
+    *
+    * Determinism: the md5-prefix hash is engine-identical
+    * ([[TextPrep.h32]]), counts/ppm are BIGINT `div` arithmetic.
+    *
+    * Scale shape: one narrow stage computes (shard, n_tok) per row;
+    * the distinct-source count plans as two aggregate phases whose
+    * exchanges BOTH carry map-side-compacted partials bounded by
+    * 16 × |sources| — never raw corpus rows; the share window runs
+    * over the 16-row report, not the corpus. */
+  def shardAssign(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        (h32(concat(lit("shard:"), col("doc_id").cast("string")))
+          % Shards).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("n_tokens"),
+        count_distinct(col("source")).as("n_sources"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .withColumn("share_ppm",
+        expr("n_docs * 1000000 div sum(n_docs) OVER ()"))
+      .orderBy("shard")
+
   /** Balanced training mixture: top-20 docs per language by quality
     * score (ties → doc_id) — per-group quota selection, the mixture-
     * construction step of a curation pipeline. WindowGroupLimit prunes
@@ -1433,7 +1475,8 @@ object TextPipeline extends graft.Registry {
     "td25_bigram_novelty" -> bigramNovelty,
     "td26_chunk_overlap" -> chunkOverlap,
     "td27_phrase_detect" -> phraseDetect,
-    "td28_containment_dedup" -> ((s, dir) => containmentDedup(s, dir))
+    "td28_containment_dedup" -> ((s, dir) => containmentDedup(s, dir)),
+    "td29_shard_assign" -> shardAssign
   )
 
   /** Containment bar: a pair is flagged when its larger-direction
@@ -1810,6 +1853,22 @@ object TextPipeline extends graft.Registry {
          |  WHERE bg.c_xy > $PhraseDelta)
          |SELECT bigram, c_xy, c_x, c_y, score_bp
          |FROM sc ORDER BY score_bp DESC, bigram LIMIT $PhraseTopK""".stripMargin,
+    "td29_shard_assign" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+         |         ${h32Sql("'shard:' || CAST(doc_id AS VARCHAR)")}
+         |           % $Shards AS shard
+         |  FROM documents),
+         |g AS (
+         |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |  FROM a GROUP BY 1)
+         |SELECT shard, n_docs, n_tokens, n_sources, first_doc, last_doc,
+         |       n_docs * 1000000
+         |         // CAST(SUM(n_docs) OVER () AS BIGINT) AS share_ppm
+         |FROM g ORDER BY shard""".stripMargin,
     "td28_containment_dedup" ->
       s"""WITH $shinglesSqlCte,
          |$cappedShinglesSqlCte,

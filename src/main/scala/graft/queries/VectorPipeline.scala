@@ -548,6 +548,68 @@ object VectorPipeline extends graft.Registry {
       .orderBy("query_id")
   }
 
+  /** Vote size for the kNN label-purity audit ([[knnLabelPurity]]). */
+  private val KnnK = 5L
+
+  /** v18: kNN label-purity audit — for each held-out query vector,
+    * its [[KnnK]] exact-cosine nearest neighbors vote on a label;
+    * the report shows the query's own label, the neighborhood's
+    * majority label (ties → smaller label id), how many of the K
+    * votes agree with the query's label (exact ppm), and a 0/1
+    * consistency flag. This is the Confident-Learning-style
+    * label-noise screen (Northcutt et al. 2021): a labeled example
+    * whose semantic neighborhood votes for a different class is a
+    * candidate mislabel — the audit a curation pipeline runs before
+    * trusting classifier labels as training supervision.
+    *
+    * Determinism: cosine ranking reuses v01's exact fold arithmetic
+    * (identical IEEE doubles on both engines, id tie-break); the
+    * OUTPUT is labels, counts and `div` ppm only — no float column.
+    * Majority = lexicographic min of (−votes, label), mirrored in
+    * the oracle as `ORDER BY cnt DESC, label`.
+    *
+    * Scale shape: the bounded query set broadcasts against ONE
+    * corpus scan (v01's layout — the only BNLJ is vs the broadcast
+    * bounded side); WindowGroupLimit prunes per-query top-K before
+    * the exchange, and both vote aggregations run over the
+    * ≤ queries × K matrix, never the corpus. At billion-vector scale
+    * the same audit swaps the brute scan for the v02/v04 bucketed
+    * candidates without touching the vote stages. */
+  def knnLabelPurity(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Functions.register(s)
+    val e = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"))
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("label").as("query_label"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("neighbor_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        (expr(dotSql("qe", "embedding")) / (col("qn") * col("nrm")))
+          .as("cos"))
+      .withColumn("rnk", row_number().over(wq).cast("long"))
+      .where(col("rnk") <= KnnK)
+      .groupBy("query_id", "query_label", "n_label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("query_id", "query_label")
+      .agg(
+        min(struct((-col("cnt")).as("nc"), col("n_label").as("lb")))
+          .as("best"),
+        sum(when(col("n_label") === col("query_label"), col("cnt"))
+          .otherwise(0L)).cast("long").as("n_agree"))
+      .select(col("query_id"), col("query_label"),
+        col("best.lb").as("majority_label"),
+        col("n_agree"),
+        expr(s"n_agree * 1000000 div $KnnK").as("agree_ppm"),
+        when(col("best.lb") === col("query_label"), 1L).otherwise(0L)
+          .as("is_consistent"))
+      .orderBy("query_id")
+  }
+
   /** PQ geometry: [[PqM]] subspaces of [[PqDsub]] dims each; the
     * first [[PqK]] vectors' subvectors form each subspace's codebook
     * (deterministic init, like v04's IVF seeds and v06's k-means
@@ -1006,6 +1068,7 @@ object VectorPipeline extends graft.Registry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v18_knn_label_purity" -> knnLabelPurity,
     "v17_index_health" -> indexHealth,
     "v16_modality_lift" -> modalityLift,
     "v15_label_dispersion" -> labelDispersion,
@@ -1213,6 +1276,45 @@ object VectorPipeline extends graft.Registry {
          |       MAX(CASE WHEN bad = 0 THEN nrm END) AS max_norm,
          |       quantile_cont(CASE WHEN bad = 0 THEN nrm END, 0.5) AS p50_norm
          |FROM e""".stripMargin,
+    // Same exact-cosine ranking as v01 (identical fold arithmetic),
+    // majority via ORDER BY cnt DESC, label — the lexicographic-min
+    // mirror of the Spark side's min(struct(-cnt, label)).
+    "v18_knn_label_purity" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, label,
+         |         sqrt(${dotDuck("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS query_label,
+         |             embedding AS qe, nrm AS qn
+         |      FROM e WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+         |         e.label AS n_label,
+         |         ${dotDuck("q.qe", "e.embedding")} / (q.qn * e.nrm) AS cos
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, query_label, neighbor_id, n_label,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored),
+         |votes AS (
+         |  SELECT query_id, query_label, n_label,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM ranked WHERE rnk <= $KnnK
+         |  GROUP BY query_id, query_label, n_label),
+         |v2 AS (
+         |  SELECT query_id, query_label, n_label, cnt,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cnt DESC, n_label) AS r,
+         |         CAST(SUM(CASE WHEN n_label = query_label THEN cnt
+         |                       ELSE 0 END)
+         |              OVER (PARTITION BY query_id) AS BIGINT) AS n_agree
+         |  FROM votes)
+         |SELECT query_id, query_label, n_label AS majority_label,
+         |       n_agree, n_agree * 1000000 // $KnnK AS agree_ppm,
+         |       CAST(CASE WHEN n_label = query_label THEN 1 ELSE 0 END
+         |            AS BIGINT) AS is_consistent
+         |FROM v2 WHERE r = 1 ORDER BY query_id""".stripMargin,
     "v01_ann_cosine_topk" ->
       s"""WITH $normDuckCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn

@@ -474,6 +474,63 @@ object EventStreams {
     }
   }
 
+  final case class UserActivity(
+      userId: Long, cohortDay: Long, buckets: Seq[DayCount])
+  final case class CohortCell(
+      cohortDay: Long, dayOffset: Long, nActiveUsers: Long,
+      nEvents: Long, cohortSize: Long, retainedPpm: Long)
+  private[streaming] final case class ActState(buckets: Map[Long, Long])
+
+  /** Streaming twin of the batch e11 cohort retention matrix
+    * ([[graft.queries.EventPipeline.cohortMatrix]]): per user,
+    * maintain the (active day → event count) histogram as keyed
+    * state and emit it (with the user's current cohort = min day)
+    * per trigger; the matrix needs cross-user aggregation, so the
+    * test is the read-side fold [[cohortMatrixAt]] over the latest
+    * per-user rows — the e07/e09 split (stream accumulates exact
+    * integers, reader folds). Out-of-order arrivals are absorbed by
+    * construction: a late earlier-day event just lowers the user's
+    * min, and the next emission re-states the whole histogram.
+    *
+    * State bound: one bucket per ACTIVE calendar day per user —
+    * grows with time, not event volume (e07's horizon-prune applies
+    * verbatim for deployments with a bounded retention window). */
+  def userActivity(events: Dataset[Event]): Dataset[UserActivity] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[ActState, UserActivity](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[ActState]) =>
+          var buckets = state.getOption.map(_.buckets)
+            .getOrElse(Map.empty[Long, Long])
+          evs.foreach { e =>
+            val day = Math.floorDiv(e.ts.getTime, 86400000L)
+            buckets += day -> (buckets.getOrElse(day, 0L) + 1L)
+          }
+          state.update(ActState(buckets))
+          UserActivity(userId, buckets.keys.min,
+            buckets.toSeq.sortBy(_._1).map { case (d, n) => DayCount(d, n) })
+      }
+  }
+
+  /** Fold the latest per-user activity rows into the batch e11
+    * matrix — identical BIGINT count/ppm arithmetic. */
+  def cohortMatrixAt(users: Seq[UserActivity]): Seq[CohortCell] = {
+    val cells = users
+      .flatMap(u => u.buckets.map(b =>
+        (u.cohortDay, b.day - u.cohortDay) -> b.n))
+      .groupBy(_._1)
+      .map { case ((c, o), vs) => (c, o, vs.size.toLong, vs.map(_._2).sum) }
+      .toSeq
+    val sizes = cells.collect { case (c, 0L, nu, _) => c -> nu }.toMap
+    cells.sortBy(x => (x._1, x._2)).map { case (c, o, nu, ne) =>
+      val size = sizes(c)
+      CohortCell(c, o, nu, ne, size, nu * 1000000L / size)
+    }
+  }
+
   /** Fold a user's day histogram into the batch e07 report row at
     * reference day `refDay` — the read-side scoring every consumer
     * runs against its own "now". Exact integer arithmetic identical

@@ -312,4 +312,36 @@ class EventPipelineSpec extends SparkSpec {
       "groupBy and window must share the user_id exchange")
     assert(!p.contains("Join"), "e10 needs no join")
   }
+
+  test("cohort matrix (e11): offsets, sizes, exact ppm, two shared exchanges") {
+    val d = java.nio.file.Files.createTempDirectory("graft-e11").toString
+    import spark.implicits._
+    // user 1: days 0 (×2), 1, 3; user 2: days 0, 1 (×2) → cohort 0
+    // user 3: days 1, 3 → cohort 1
+    val rows = Seq(
+      (1L, 0L, 1L), (2L, 0L, 1L), (3L, 1L, 1L), (4L, 3L, 1L),
+      (5L, 0L, 2L), (6L, 1L, 2L), (7L, 1L, 2L),
+      (8L, 1L, 3L), (9L, 3L, 3L))
+    rows.toDF("event_id", "d", "user_id")
+      .selectExpr("event_id", "d * 86400 * 1000000000 AS ts", "user_id",
+        "'view' AS event_type", "CAST(1.0 AS DOUBLE) AS value",
+        "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventPipeline.cohortMatrix(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 2L, 3L, 2L, 1000000L),
+      (0L, 1L, 2L, 3L, 2L, 1000000L),
+      (0L, 3L, 1L, 1L, 2L, 500000L),
+      (1L, 0L, 1L, 1L, 1L, 1000000L),
+      (1L, 2L, 1L, 1L, 1L, 1000000L)))
+    // exactly two data exchanges: user_id (compaction + MIN window),
+    // cohort_day (triangle groupBy + cohort-size window)
+    val p = EventPipeline.cohortMatrix(spark, d)
+      .queryExecution.explainString(SimpleMode)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      "compaction/window and triangle/size-window must share exchanges")
+    assert(!p.contains("Join"), "e11 needs no join")
+  }
 }

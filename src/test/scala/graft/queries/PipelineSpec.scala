@@ -1151,4 +1151,69 @@ class PipelineSpec extends SparkSpec {
         r.getLong(4)))
     assert(got.toSeq === Seq(("new york", 6L, 6L, 6L, 6666L)))
   }
+
+  test("td29 shard assignment equals an in-memory md5 recount and " +
+      "partitions the corpus") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"shard:$id".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex, 16) % 16L,
+          r.getAs[String]("source"),
+          // limit -1: Spark SQL split keeps trailing empties
+          r.getAs[String]("text").split(" ", -1).length.toLong, id)
+      }
+    val want = rows.groupBy(_._1).map { case (sh, vs) =>
+      sh -> ((vs.length.toLong, vs.map(_._3).sum,
+        vs.map(_._2).distinct.length.toLong,
+        vs.map(_._4).min, vs.map(_._4).max))
+    }
+    val total = rows.length.toLong
+    val got = TextPipeline.shardAssign(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum === total,
+      "shards must partition the corpus")
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (nd, nt, ns, fd, ld) = want(r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_tokens") === nt)
+      assert(r.getAs[Long]("n_sources") === ns)
+      assert(r.getAs[Long]("first_doc") === fd)
+      assert(r.getAs[Long]("last_doc") === ld)
+      assert(r.getAs[Long]("share_ppm") === nd * 1000000L / total)
+    }
+  }
+
+  test("v18 knn label purity equals an in-memory 5-NN majority vote") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Int]("label")))
+    // the exact ordered fold of vec_dot / the oracle's list_reduce
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val nrm = e.map { case (id, v, _) => id -> math.sqrt(dot(v, v)) }.toMap
+    val want = e.filter(_._1 < 10L).sortBy(_._1).map { case (q, qv, ql) =>
+      val votes = e.filter(_._1 != q)
+        .map { case (n, nv, nl) => (dot(qv, nv) / (nrm(q) * nrm(n)), n, nl) }
+        .sortBy { case (c, n, _) => (-c, n) }
+        .take(5)
+        .groupBy(_._3).map { case (l, v) => (l, v.length.toLong) }
+      val majority = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      val agree = votes.getOrElse(ql, 0L)
+      (q, ql, majority, agree, agree * 1000000L / 5L,
+        if (majority == ql) 1L else 0L)
+    }
+    val got = VectorPipeline.knnLabelPurity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === want.toSeq)
+  }
 }

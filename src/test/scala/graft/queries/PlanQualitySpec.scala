@@ -425,4 +425,31 @@ class PlanQualitySpec extends SparkSpec {
       "pair and unigram counts must compact map-side before exchanging")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("shard assignment (td29): row-local hash, one shuffle onto the shard domain") {
+    val p = plan(TextPipeline.shardAssign(spark, dir))
+    assert(!p.contains("Join"), "td29 needs no join")
+    // the distinct-source count plans as two aggregate phases; BOTH
+    // exchanges carry map-side-compacted partials bounded by
+    // 16 × |sources| — never raw corpus rows (a pre-repartition by
+    // shard would collapse them to one exchange but ship the whole
+    // corpus over the wire uncompacted)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      "both exchanges must be the bounded (shard[,source]) aggregates")
+    assert(p.contains("partial_count"),
+      "per-shard stats must compact map-side before exchanging")
+  }
+
+  test("knn label purity (v18): broadcast query set, top-K prunes, vote aggs partial") {
+    val p = plan(VectorPipeline.knnLabelPurity(spark, dir))
+    assert(p.contains(
+      s"PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,${VectorPipeline.NumQueries})]"),
+      "query-set predicate must reach the scan")
+    assert(p.contains("WindowGroupLimit"), "per-query top-K must prune before exchange")
+    assert(p.contains("vec_dot"), "native kernel must appear in the plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the only join is the BNLJ against the broadcast bounded query set")
+    assert(p.contains("partial_count"),
+      "vote counts must compact map-side")
+  }
 }

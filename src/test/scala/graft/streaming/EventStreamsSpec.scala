@@ -411,4 +411,52 @@ class EventStreamsSpec extends SparkSpec {
         "streamed histogram fold must equal the batch e09 rows")
     } finally q.stop()
   }
+
+  test("streaming user activity folds to the batch e11 cohort matrix, " +
+      "incl. a late earlier-day arrival that moves a user's cohort") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    // user 1: days 0,1,3 (cohort 0); user 2: days 1,1,2 (cohort 1);
+    // user 3: day 2 then a LATE day-0 event (cohort must drop 2 → 0)
+    var id = 0L
+    def e(u: Long, d: Long) = { id += 1; (id, u, d) }
+    val early = Seq(e(1, 0), e(1, 1), e(2, 1), e(2, 1), e(3, 2), e(1, 3))
+    val late = Seq(e(2, 2), e(3, 0))
+    val all = early ++ late
+    val dir = java.nio.file.Files.createTempDirectory("graft-e11s").toString
+    all.toDF("event_id", "user_id", "d")
+      .selectExpr("event_id", s"d * $day * 1000000000 AS ts", "user_id",
+        "'click' AS event_type", "CAST(1.0 AS DOUBLE) AS value",
+        "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.EventPipeline.cohortMatrix(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val src = MemoryStream[Event]
+    val q = EventStreams.userActivity(src.toDS())
+      .writeStream.format("memory").queryName("user_activity")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def evs(rows: Seq[(Long, Long, Long)]) = rows.map { case (i, u, d) =>
+        Event(i, u, "click", 1.0, new Timestamp(d * day * 1000L)) }
+      src.addData(evs(early): _*)
+      q.processAllAvailable()
+      src.addData(evs(late): _*)
+      q.processAllAvailable()
+      val latest = spark.table("user_activity").as[UserActivity]
+        .collect().groupBy(_.userId)
+        .map { case (_, rows) => rows.maxBy(_.buckets.map(_.n).sum) }
+        .toSeq
+      // the late day-0 event must have re-based user 3's cohort
+      assert(latest.find(_.userId == 3L).get.cohortDay === 0L)
+      val folded = EventStreams.cohortMatrixAt(latest)
+        .map(c => (c.cohortDay, c.dayOffset) ->
+          ((c.nActiveUsers, c.nEvents, c.cohortSize, c.retainedPpm)))
+        .toMap
+      assert(folded === batch,
+        "streamed activity fold must equal the batch e11 matrix")
+    } finally q.stop()
+  }
 }
