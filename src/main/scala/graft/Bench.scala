@@ -194,17 +194,51 @@ object Bench {
     // If the surface grows past the budget anyway, degrade per-query
     // precision to 1 decimal before sacrificing parseability (full
     // precision always survives in the mirror + detail files).
-    def contractLine(q: String): String =
-      s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$q,"errors":$errJsonCapped,"errors_count":${errors.size},"detail":$detailJson,"sf":"$sfDir"}"""
+    def contractLine(q: String, extra: String = ""): String =
+      s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$q,$extra"errors":$errJsonCapped,"errors_count":${errors.size},"detail":$detailJson,"sf":"$sfDir"}"""
     val qsCoarse = results
       .map { case (k, v, _) =>
         "\"" + k + "\":" + v.fold("null")(x =>
           String.format(java.util.Locale.ROOT, "%.1f", x))
       }
       .mkString("{", ",", "}")
+    // Last degrade tier (round 8 proved the first two are not enough:
+    // at 69+ queries even the 1-decimal map overflows the window, the
+    // tail cut the line's HEAD, and the driver recorded parsed:null —
+    // the whole line must PARSE, not just exist): keep only the
+    // slowest queries' entries, largest first, until the line fits,
+    // and report how many were dropped. The dropped ones are the
+    // interchangeable sub-0.x floor cohort; full per-query data
+    // always survives in the mirror + detail files.
+    def fittedLine(budget: Int): String = {
+      val entries = results
+        .sortBy { case (_, v, _) => -v.getOrElse(0.0) }
+        .map { case (k, v, _) =>
+          "\"" + k + "\":" + v.fold("null")(x =>
+            String.format(java.util.Locale.ROOT, "%.1f", x))
+        }
+      val omittedField = s""""queries_omitted":${entries.size},"""
+      val fixedLen = contractLine("{}", omittedField).length
+      var used = 0
+      val kept = entries.takeWhile { e =>
+        val ok = used + e.length + 1 <= budget - fixedLen
+        if (ok) used += e.length + 1
+        ok
+      }
+      contractLine(kept.mkString("{", ",", "}"),
+        s""""queries_omitted":${entries.size - kept.size},""")
+    }
+    // Budget 1750, not 1900: the scrape window is the LAST 2000 chars
+    // of build output and sbt's own "[success] Total time: …" trailer
+    // (~76 chars, more under warnings) lands after our line — at 1891
+    // chars the measured margin was only ~33 chars.
     val line = {
       val l = contractLine(qsShort)
-      if (l.length <= 1900) l else contractLine(qsCoarse)
+      if (l.length <= 1750) l
+      else {
+        val l1 = contractLine(qsCoarse)
+        if (l1.length <= 1750) l1 else fittedLine(1750)
+      }
     }
     println(line)
     // Mirror file (SPARK_GRAFT_BENCH_OUT): no scrape window, so it
