@@ -831,6 +831,54 @@ object TextPipeline extends graft.Registry {
         expr("n_docs * 1000000 div sum(n_docs) OVER ()"))
       .orderBy("shard")
 
+  /** Ingestion-order slice width (docs per bucket) for
+    * [[vocabGrowth]]: frozen, parameterizes query + oracle. */
+  private val GrowthBucketDocs = 250L
+
+  /** td30: vocabulary-growth (Heaps' law) curve — per 250-document
+    * ingestion slice: docs, token mass, NEW shingle types first seen
+    * in that slice, and the cumulative types-vs-tokens trajectory.
+    * This is the sizing pass run before fixing a tokenizer/vocab
+    * budget or an n-gram index: the measured Heaps exponent says how
+    * the type inventory will keep growing at 100 TB, and a slice
+    * whose new-type rate jumps off-trend is a domain shift or an
+    * encoding bug arriving in the crawl.
+    *
+    * Determinism: BIGINT counts and `div` bucket arithmetic only;
+    * first-seen = MIN(doc_id) per shingle on both engines.
+    *
+    * Scale shape: the cached shingle index ([[TextPrep.shingleIndex]],
+    * shared with the dedup operators) aggregates per-shingle
+    * MIN(doc_id) with map-side partials — the only corpus-sized
+    * shuffle, identical in kind to the df joins the dedup family
+    * already pays; everything after runs on the bounded bucket
+    * domain (corpus/250 rows), where the unpartitioned cumulative
+    * window is a deliberate single-partition pass over that bounded
+    * report, never over shingles. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byDoc = docs(s, dir)
+      .select(expr(s"doc_id div $GrowthBucketDocs").as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("n_tokens"))
+    val newTypes = TextPrep.shingleIndex(s, dir)
+      .groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      .groupBy(expr(s"first_doc div $GrowthBucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("n_new_shingles"))
+    // both report frames are bounded (corpus/250 rows); the hint
+    // stops Catalyst sort-merge-joining two stat-less aggregates
+    byDoc.join(broadcast(newTypes), Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new_shingles"), lit(0L)).as("n_new_shingles"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w).cast("long"))
+      .withColumn("cum_shingles",
+        sum("n_new_shingles").over(w).cast("long"))
+      .orderBy("bucket")
+  }
+
   /** Balanced training mixture: top-20 docs per language by quality
     * score (ties → doc_id) — per-group quota selection, the mixture-
     * construction step of a curation pipeline. WindowGroupLimit prunes
@@ -1476,7 +1524,8 @@ object TextPipeline extends graft.Registry {
     "td26_chunk_overlap" -> chunkOverlap,
     "td27_phrase_detect" -> phraseDetect,
     "td28_containment_dedup" -> ((s, dir) => containmentDedup(s, dir)),
-    "td29_shard_assign" -> shardAssign
+    "td29_shard_assign" -> shardAssign,
+    "td30_vocab_growth" -> vocabGrowth
   )
 
   /** Containment bar: a pair is flagged when its larger-direction
@@ -1869,6 +1918,27 @@ object TextPipeline extends graft.Registry {
          |       n_docs * 1000000
          |         // CAST(SUM(n_docs) OVER () AS BIGINT) AS share_ppm
          |FROM g ORDER BY shard""".stripMargin,
+    "td30_vocab_growth" ->
+      s"""WITH $shinglesSqlCte,
+         |f AS (SELECT shingle, MIN(doc_id) AS first_doc
+         |      FROM sh GROUP BY shingle),
+         |nt AS (SELECT first_doc // $GrowthBucketDocs AS bucket,
+         |              CAST(COUNT(*) AS BIGINT) AS n_new_shingles
+         |       FROM f GROUP BY 1),
+         |bd AS (SELECT doc_id // $GrowthBucketDocs AS bucket,
+         |              CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         |                AS n_tokens
+         |       FROM documents GROUP BY 1)
+         |SELECT bd.bucket, n_docs, n_tokens,
+         |       CAST(COALESCE(n_new_shingles, 0) AS BIGINT)
+         |         AS n_new_shingles,
+         |       CAST(SUM(n_tokens) OVER (ORDER BY bd.bucket)
+         |            AS BIGINT) AS cum_tokens,
+         |       CAST(SUM(COALESCE(n_new_shingles, 0))
+         |            OVER (ORDER BY bd.bucket) AS BIGINT) AS cum_shingles
+         |FROM bd LEFT JOIN nt USING (bucket)
+         |ORDER BY bucket""".stripMargin,
     "td28_containment_dedup" ->
       s"""WITH $shinglesSqlCte,
          |$cappedShinglesSqlCte,

@@ -1187,6 +1187,50 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("td30 vocab growth equals an in-memory first-seen recount") {
+    // sf0.01, not the suite's sf0.001: 500 docs = 2 ingestion buckets,
+    // so the deceleration assertion below is non-vacuous
+    val growthDir = "/root/testdata/sf0.01"
+    val docsRows = spark.read.parquet(s"$growthDir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val byDoc = docsRows
+      .map { case (id, t) => (id / 250L, t.split(" ", -1).length.toLong) }
+      .groupBy(_._1)
+      .map { case (b, v) => b -> ((v.length.toLong, v.map(_._2).sum)) }
+    val firstSeen = scala.collection.mutable.Map[String, Long]()
+    docsRows.sortBy(_._1).foreach { case (id, t) =>
+      val tok = t.split(" ", -1)
+      if (tok.length >= 3) tok.sliding(3).foreach { g =>
+        val sh = g.mkString(" ")
+        if (!firstSeen.contains(sh)) firstSeen(sh) = id
+      }
+    }
+    val wantNew = firstSeen.values.groupBy(_ / 250L)
+      .map { case (b, v) => b -> v.size.toLong }
+    val got = TextPipeline.vocabGrowth(spark, growthDir).collect()
+    assert(got.length > 1, "fixture must span multiple buckets")
+    assert(got.map(_.getAs[Long]("n_docs")).sum === docsRows.length.toLong)
+    var cumT = 0L
+    var cumS = 0L
+    got.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val (nd, nt) = byDoc(b)
+      cumT += nt
+      cumS += wantNew.getOrElse(b, 0L)
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_tokens") === nt)
+      assert(r.getAs[Long]("n_new_shingles") === wantNew.getOrElse(b, 0L))
+      assert(r.getAs[Long]("cum_tokens") === cumT)
+      assert(r.getAs[Long]("cum_shingles") === cumS)
+    }
+    // growth must decelerate on a finite-vocabulary corpus: the last
+    // bucket's new-type count stays below the first's
+    if (got.length > 1)
+      assert(got.last.getAs[Long]("n_new_shingles") <
+        got.head.getAs[Long]("n_new_shingles"))
+  }
+
   test("v18 knn label purity equals an in-memory 5-NN majority vote") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet").collect()
       .map(r => (r.getAs[Long]("vec_id"),

@@ -440,6 +440,15 @@ class PlanQualitySpec extends SparkSpec {
       "per-shard stats must compact map-side before exchanging")
   }
 
+  test("vocab growth (td30): partial min first-seen, bounded report join broadcasts") {
+    val p = plan(TextPipeline.vocabGrowth(spark, dir))
+    assert(p.contains("partial_min"),
+      "per-shingle first-seen must compact map-side")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded bucket-report join must broadcast, not SMJ")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("knn label purity (v18): broadcast query set, top-K prunes, vote aggs partial") {
     val p = plan(VectorPipeline.knnLabelPurity(spark, dir))
     assert(p.contains(
