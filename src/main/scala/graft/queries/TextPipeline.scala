@@ -1525,7 +1525,8 @@ object TextPipeline extends graft.Registry {
     "td27_phrase_detect" -> phraseDetect,
     "td28_containment_dedup" -> ((s, dir) => containmentDedup(s, dir)),
     "td29_shard_assign" -> shardAssign,
-    "td30_vocab_growth" -> vocabGrowth
+    "td30_vocab_growth" -> vocabGrowth,
+    "td31_pii_scan" -> piiScan
   )
 
   /** Containment bar: a pair is flagged when its larger-direction
@@ -1628,6 +1629,67 @@ object TextPipeline extends graft.Registry {
           .as("score_bp"))
       .orderBy(desc("score_bp"), col("bigram"))
       .limit(PhraseTopK)
+  }
+
+  /** td31 pattern set — the C4/Dolma-style hygiene categories
+    * (emails, phone numbers, IPv4 addresses, SSN-shaped ids), frozen
+    * and mirrored TEXTUALLY into the oracle like td15's hashing.
+    * Escape-free on purpose (the [[SubwordPattern]] rule): Spark SQL
+    * string literals consume backslash escapes while DuckDB's do
+    * not, so literal dots are `[.]` and digit classes `[0-9]` — both
+    * regex dialects (Java / RE2) read these identically, and both
+    * engines' `regexp_extract_all` scan leftmost non-overlapping
+    * with identical greedy quantifiers. */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,6}",
+    "phone" -> "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4" -> "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    "ssn" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}")
+
+  /** td31: PII detection report — per source, the count of documents,
+    * total spans per [[PiiPatterns]] category, documents containing
+    * any PII span, and that document rate in exact integer ppm. The
+    * pre-release hygiene pass every curation pipeline runs (C4 strips
+    * lines with curse/PII markers; Dolma's PII tagger counts exactly
+    * these categories) — the report tells a curator WHICH sources
+    * need redaction before a corpus ships. The synthetic testdata
+    * corpus contains no digits or `@` at any SF, so every span count
+    * is legitimately zero there (the driver gate still verifies
+    * schema/rows/hash); detection itself is proven by the
+    * planted-PII PipelineSpec case over [[piiScanDf]].
+    *
+    * Scale shape: ONE corpus scan — all four regex extractions are
+    * row-local codegen'd expressions inside the scan stage, partials
+    * compact to the bounded source domain map-side, and the single
+    * exchange carries |sources| rows. No join anywhere; ppm is
+    * non-negative BIGINT `div` (≡ DuckDB `//`). At 100 TB this is
+    * the cheapest shape a full-text scan can have: bytes stream past
+    * the regex automata once, and nothing corpus-sized shuffles. */
+  def piiScan(s: SparkSession, dir: String): DataFrame =
+    piiScanDf(docs(s, dir))
+
+  /** [[piiScan]] over an ad-hoc `(text, source)` frame (test entry
+    * point for planted-PII corpora). */
+  private[graft] def piiScanDf(d: DataFrame): DataFrame = {
+    val perDoc = d.select(
+      col("source") +:
+        PiiPatterns.map { case (nm, pat) =>
+          size(expr(s"regexp_extract_all(text, '$pat', 0)"))
+            .cast("long").as(s"c_$nm")
+        }: _*)
+    val anyPii = PiiPatterns.map(p => col(s"c_${p._1}"))
+      .reduce(_ + _) > 0L
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        PiiPatterns.map { case (nm, _) =>
+          sum(col(s"c_$nm")).cast("long").as(s"${nm}_spans")
+        } :+ sum(anyPii.cast("long")).cast("long").as("pii_docs"): _*)
+      .select(Seq(col("source"), col("n_docs")) ++
+        PiiPatterns.map(p => col(s"${p._1}_spans")) ++
+        Seq(col("pii_docs"),
+          expr("pii_docs * 1000000 div n_docs").as("pii_doc_ppm")): _*)
+      .orderBy("source")
   }
 
   // DuckDB oracles — generated from the SAME constants as the Spark
@@ -1939,6 +2001,29 @@ object TextPipeline extends graft.Registry {
          |            OVER (ORDER BY bd.bucket) AS BIGINT) AS cum_shingles
          |FROM bd LEFT JOIN nt USING (bucket)
          |ORDER BY bucket""".stripMargin,
+    "td31_pii_scan" -> {
+      // the Spark patterns verbatim (escape-free, so no dialect
+      // divergence — see PiiPatterns); DuckDB len() is BIGINT already
+      val perDoc = PiiPatterns.map { case (nm, pat) =>
+        s"len(regexp_extract_all(text, '$pat')) AS c_$nm"
+      }.mkString(",\n         |         ")
+      val sums = PiiPatterns.map { case (nm, _) =>
+        s"CAST(SUM(c_$nm) AS BIGINT) AS ${nm}_spans"
+      }.mkString(",\n         |       ")
+      val any = PiiPatterns.map(p => s"c_${p._1}").mkString(" + ")
+      s"""WITH a AS (
+         |  SELECT source,
+         |         $perDoc
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       $sums,
+         |       CAST(SUM(CASE WHEN $any > 0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS pii_docs
+         |  FROM a GROUP BY source)
+         |SELECT *, pii_docs * 1000000 // n_docs AS pii_doc_ppm
+         |FROM g ORDER BY source""".stripMargin
+    },
     "td28_containment_dedup" ->
       s"""WITH $shinglesSqlCte,
          |$cappedShinglesSqlCte,

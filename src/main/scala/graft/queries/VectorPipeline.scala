@@ -600,11 +600,16 @@ object VectorPipeline extends graft.Registry {
         min(struct((-col("cnt")).as("nc"), col("n_label").as("lb")))
           .as("best"),
         sum(when(col("n_label") === col("query_label"), col("cnt"))
-          .otherwise(0L)).cast("long").as("n_agree"))
+          .otherwise(0L)).cast("long").as("n_agree"),
+        // Divide by the ACTUAL vote count, not the K constant: on a
+        // corpus with fewer than K+1 vectors (or a future K change)
+        // fewer than K neighbors exist, and a /K ppm would understate
+        // agreement. Equal to K whenever the corpus is large enough.
+        sum(col("cnt")).cast("long").as("n_votes"))
       .select(col("query_id"), col("query_label"),
         col("best.lb").as("majority_label"),
         col("n_agree"),
-        expr(s"n_agree * 1000000 div $KnnK").as("agree_ppm"),
+        expr(s"n_agree * 1000000 div n_votes").as("agree_ppm"),
         when(col("best.lb") === col("query_label"), 1L).otherwise(0L)
           .as("is_consistent"))
       .orderBy("query_id")
@@ -1308,10 +1313,12 @@ object VectorPipeline extends graft.Registry {
          |                            ORDER BY cnt DESC, n_label) AS r,
          |         CAST(SUM(CASE WHEN n_label = query_label THEN cnt
          |                       ELSE 0 END)
-         |              OVER (PARTITION BY query_id) AS BIGINT) AS n_agree
+         |              OVER (PARTITION BY query_id) AS BIGINT) AS n_agree,
+         |         CAST(SUM(cnt) OVER (PARTITION BY query_id)
+         |              AS BIGINT) AS n_votes
          |  FROM votes)
          |SELECT query_id, query_label, n_label AS majority_label,
-         |       n_agree, n_agree * 1000000 // $KnnK AS agree_ppm,
+         |       n_agree, n_agree * 1000000 // n_votes AS agree_ppm,
          |       CAST(CASE WHEN n_label = query_label THEN 1 ELSE 0 END
          |            AS BIGINT) AS is_consistent
          |FROM v2 WHERE r = 1 ORDER BY query_id""".stripMargin,

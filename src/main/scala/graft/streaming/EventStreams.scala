@@ -28,6 +28,18 @@ object EventStreams {
       eventId: Long, userId: Long, eventType: String,
       value: Double, ts: Timestamp)
 
+  /** Calendar-day bucket of a timestamp, shared by every day-keyed
+    * stream below (e07/e09/e11 twins). PRECONDITION — non-negative
+    * epochs: the batch twins compute `unix_micros(ts) div 86400000000`
+    * where Spark's `div` truncates toward zero, their DuckDB oracles
+    * use `//` (floor), and this helper floors millis — the three
+    * agree on every ts ≥ 1970-01-01 and diverge below it. Event data
+    * is generated ≥ 2024, so the precondition holds by construction;
+    * a deployment with pre-epoch timestamps must pick ONE truncation
+    * and mirror it across all three sites. */
+  private[streaming] def dayOf(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 86400000L)
+
   final case class Session(
       userId: Long, start: Timestamp, end: Timestamp,
       nEvents: Long, totalValue: Double)
@@ -404,7 +416,7 @@ object EventStreams {
           var buckets = prev.buckets
           var n = prev.nEvents
           evs.foreach { e =>
-            val day = Math.floorDiv(e.ts.getTime, 86400000L)
+            val day = dayOf(e.ts)
             val (c, p) = buckets.getOrElse(day, (0L, 0L))
             buckets += day ->
               (c + 1L, p + (if (e.eventType == purchaseType) 1L else 0L))
@@ -452,7 +464,7 @@ object EventStreams {
           var buckets = state.getOption.map(_.buckets)
             .getOrElse(Map.empty[Long, Long])
           evs.foreach { e =>
-            val day = Math.floorDiv(e.ts.getTime, 86400000L)
+            val day = dayOf(e.ts)
             buckets += day -> (buckets.getOrElse(day, 0L) + 1L)
           }
           state.update(DailyState(buckets))
@@ -506,7 +518,7 @@ object EventStreams {
           var buckets = state.getOption.map(_.buckets)
             .getOrElse(Map.empty[Long, Long])
           evs.foreach { e =>
-            val day = Math.floorDiv(e.ts.getTime, 86400000L)
+            val day = dayOf(e.ts)
             buckets += day -> (buckets.getOrElse(day, 0L) + 1L)
           }
           state.update(ActState(buckets))
@@ -514,6 +526,24 @@ object EventStreams {
             buckets.toSeq.sortBy(_._1).map { case (d, n) => DayCount(d, n) })
       }
   }
+
+  final case class RollingFeature(
+      userId: Long, day: Long, nDay: Long, n7d: Long, activeDays7d: Long)
+
+  /** Fold a user's day histogram into the batch e10 rolling-feature
+    * rows ([[graft.queries.EventPipeline.rollingFeatures]]): per
+    * active day, that day's count plus the trailing-7-day event count
+    * and active-day count over the integer day axis ([day−6, day] —
+    * the batch RANGE frame, so gap days are skipped identically).
+    * Same state shape as e07/e09/e11: the stream accumulates exact
+    * per-day integers, the reader folds — so out-of-order and late
+    * arrivals are absorbed by the histogram re-statement, and the
+    * fold is bit-identical to batch at any point in time. */
+  def rollingFeaturesAt(u: UserActivity): Seq[RollingFeature] =
+    u.buckets.sortBy(_.day).map { b =>
+      val in7 = u.buckets.filter(x => x.day >= b.day - 6 && x.day <= b.day)
+      RollingFeature(u.userId, b.day, b.n, in7.map(_.n).sum, in7.size.toLong)
+    }
 
   /** Fold the latest per-user activity rows into the batch e11
     * matrix — identical BIGINT count/ppm arithmetic. */

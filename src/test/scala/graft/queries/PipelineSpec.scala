@@ -1260,4 +1260,44 @@ class PipelineSpec extends SparkSpec {
         r.getLong(4), r.getLong(5)))
     assert(got.toSeq === want.toSeq)
   }
+
+  test("td31 pii scan counts planted emails/phones/ips/ssns per source") {
+    import spark.implicits._
+    val docs = Seq(
+      // srcA: two emails in one doc + one phone in another
+      (1L, "srcA", "contact alice.smith@example.com or bob+spam@mail.co today"),
+      (2L, "srcA", "call 555-123-4567 now"),
+      // srcB: one doc with an ip AND an ssn (counts once as a pii doc),
+      // one clean doc
+      (3L, "srcB", "server 192.168.1.254 owner ssn 123-45-6789"),
+      (4L, "srcB", "perfectly clean text with no identifiers"),
+      // srcC: all clean → zero everything
+      (5L, "srcC", "nothing to see here"),
+      (6L, "srcC", "still nothing"))
+    val out = TextPipeline.piiScanDf(docs.toDF("doc_id", "source", "text"))
+      .collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("srcA").getAs[Long]("email_spans") === 2L)
+    assert(out("srcA").getAs[Long]("phone_spans") === 1L)
+    assert(out("srcA").getAs[Long]("ipv4_spans") === 0L)
+    assert(out("srcA").getAs[Long]("pii_docs") === 2L)
+    assert(out("srcA").getAs[Long]("pii_doc_ppm") === 1000000L)
+    assert(out("srcB").getAs[Long]("ipv4_spans") === 1L)
+    assert(out("srcB").getAs[Long]("ssn_spans") === 1L)
+    // the ssn 123-45-6789 must not double-count as a phone (3-2-4 ≠ 3-3-4)
+    assert(out("srcB").getAs[Long]("phone_spans") === 0L)
+    assert(out("srcB").getAs[Long]("pii_docs") === 1L)
+    assert(out("srcB").getAs[Long]("pii_doc_ppm") === 500000L)
+    assert(out("srcC").getAs[Long]("pii_docs") === 0L)
+    assert(out("srcC").getAs[Long]("pii_doc_ppm") === 0L)
+  }
+
+  test("td31 pii scan is all-zero on the synthetic corpus (no digits, no @)") {
+    val rows = TextPipeline.piiScan(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pii_docs") === 0L)
+      assert(r.getAs[Long]("email_spans") === 0L)
+    }
+  }
 }

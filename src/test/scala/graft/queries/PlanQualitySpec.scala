@@ -154,6 +154,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "ordered limit must not globally sort")
   }
 
+  test("pii scan (td31): one scan, row-local regexes, one shuffle, no join") {
+    val p = plan(TextPipeline.piiScan(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      "all four regex categories must extract in ONE pass over the text")
+    assert(!p.contains("Join"), "td31 needs no join")
+    assert(!p.contains("Generate"), "spans are counted by size(), never exploded")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "only the bounded per-source report may shuffle")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-source counts must compact map-side before the exchange")
+  }
+
   test("random projection (v12): map-only — no shuffle, no join, bounded sort") {
     val p = plan(VectorPipeline.randomProjection(spark, dir))
     assert(!p.contains("Exchange"), "projection is one codegen'd scan, no shuffle")

@@ -459,4 +459,51 @@ class EventStreamsSpec extends SparkSpec {
         "streamed activity fold must equal the batch e11 matrix")
     } finally q.stop()
   }
+
+  test("streaming user activity folds to the batch e10 rolling features, " +
+      "incl. a gap wider than the 7-day window and a late arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    // user 1: days 0,1,3,10 — day 10 is past day 3's 7-day horizon, so
+    // its window must reset; user 2: days 5,5,8 (multi-event day);
+    // a LATE day-6 arrival for user 1 lands inside day 10's window
+    var id = 0L
+    def e(u: Long, d: Long) = { id += 1; (id, u, d) }
+    val early = Seq(e(1, 0), e(1, 1), e(1, 3), e(1, 10),
+      e(2, 5), e(2, 5), e(2, 8))
+    val late = Seq(e(1, 6))
+    val all = early ++ late
+    val dir = java.nio.file.Files.createTempDirectory("graft-e10s").toString
+    all.toDF("event_id", "user_id", "d")
+      .selectExpr("event_id", s"d * $day * 1000000000 AS ts", "user_id",
+        "'click' AS event_type", "CAST(1.0 AS DOUBLE) AS value",
+        "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.EventPipeline.rollingFeatures(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val src = MemoryStream[Event]
+    val q = EventStreams.userActivity(src.toDS())
+      .writeStream.format("memory").queryName("user_activity_e10")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def evs(rows: Seq[(Long, Long, Long)]) = rows.map { case (i, u, d) =>
+        Event(i, u, "click", 1.0, new Timestamp(d * day * 1000L)) }
+      src.addData(evs(early): _*)
+      q.processAllAvailable()
+      src.addData(evs(late): _*)
+      q.processAllAvailable()
+      val latest = spark.table("user_activity_e10").as[UserActivity]
+        .collect().groupBy(_.userId)
+        .map { case (_, rows) => rows.maxBy(_.buckets.map(_.n).sum) }
+        .toSeq
+      val folded = latest.flatMap(EventStreams.rollingFeaturesAt)
+        .map(f => (f.userId, f.day) -> ((f.nDay, f.n7d, f.activeDays7d)))
+        .toMap
+      assert(folded === batch,
+        "streamed activity fold must equal the batch e10 feature rows")
+    } finally q.stop()
+  }
 }
