@@ -294,10 +294,146 @@ object Multimodal {
     * per-row error contract. */
   object Mp4Codec extends Codec {
     /** Parsed container facts: seconds, tracks, coded dims, and the
-      * video track's per-sample (fileOffset, byteSize) table. */
+      * video track's per-sample (fileOffset, byteSize) table.
+      * `spsWidth`/`spsHeight` are the H.264 SPS-coded dimensions when
+      * the sample entry carries an `avcC` record (0 otherwise); when
+      * present they take precedence in `width`/`height` — the SPS is
+      * what a decoder obeys, stsd's u16s are advisory. */
     final case class Mp4Info(
         durationSec: Double, nTracks: Int, width: Int, height: Int,
-        samples: Vector[(Long, Int)])
+        samples: Vector[(Long, Int)],
+        spsWidth: Int = 0, spsHeight: Int = 0)
+
+    /** MSB-first bit reader for exp-Golomb parsing (throws past the
+      * end — callers catch and return None). */
+    private final class BitReader(b: Array[Byte]) {
+      private var pos = 0
+      def u1(): Int = {
+        val i = pos >> 3
+        if (i >= b.length) throw new ArrayIndexOutOfBoundsException(i)
+        val bit = (b(i) >> (7 - (pos & 7))) & 1
+        pos += 1
+        bit
+      }
+      def u(n: Int): Int = {
+        var v = 0; var k = 0
+        while (k < n) { v = (v << 1) | u1(); k += 1 }
+        v
+      }
+      def ue(): Int = {
+        var z = 0
+        while (u1() == 0) {
+          z += 1
+          if (z > 31) throw new IllegalArgumentException("exp-Golomb run")
+        }
+        ((1 << z) - 1) + (if (z == 0) 0 else u(z))
+      }
+      def se(): Int = {
+        val k = ue()
+        if ((k & 1) == 1) (k >> 1) + 1 else -(k >> 1)
+      }
+    }
+
+    /** Skip one scaling_list() (ISO/IEC 14496-10 §7.3.2.1.1.1). */
+    private def skipScalingList(r: BitReader, size: Int): Unit = {
+      var last = 8; var next = 8; var j = 0
+      while (j < size) {
+        if (next != 0) next = ((last + r.se()) % 256 + 256) % 256
+        if (next != 0) last = next
+        j += 1
+      }
+    }
+
+    /** Profiles whose SPS carries the chroma/bit-depth/scaling block
+      * (§7.3.2.1.1 `if(profile_idc == …)` list). */
+    private val HighProfiles =
+      Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
+    /** H.264 sequence-parameter-set dimension parse (ISO/IEC 14496-10
+      * §7.3.2.1.1): the coded frame size straight from the bitstream
+      * header, no decoder — width/height in macroblock units minus the
+      * frame-cropping rectangle in chroma-dependent crop units
+      * (§7.4.2.1.1: CropUnitX = SubWidthC, CropUnitY = SubHeightC ×
+      * (2 − frame_mbs_only_flag); monochrome uses 1 / (2 − fmo)).
+      * Input is the raw SPS NAL (header byte included); emulation-
+      * prevention 00 00 03 sequences are stripped before bit parsing.
+      * None for malformed/truncated bits. */
+    private[pipeline] def spsDims(nal: Array[Byte]): Option[(Int, Int)] = {
+      if (nal.length < 4 || (nal(0) & 0x1f) != 7) return None
+      val rbsp = {
+        val out = new scala.collection.mutable.ArrayBuffer[Byte](nal.length)
+        var i = 1
+        while (i < nal.length) {
+          if (i + 2 < nal.length && nal(i) == 0 && nal(i + 1) == 0 &&
+              nal(i + 2) == 3) {
+            out += 0; out += 0; i += 3
+          } else { out += nal(i); i += 1 }
+        }
+        out.toArray
+      }
+      try {
+        val r = new BitReader(rbsp)
+        val profileIdc = r.u(8)
+        r.u(16) // constraint flags + level_idc
+        r.ue() // seq_parameter_set_id
+        var chromaFormatIdc = 1
+        if (HighProfiles.contains(profileIdc)) {
+          chromaFormatIdc = r.ue()
+          if (chromaFormatIdc == 3) r.u1() // separate_colour_plane_flag
+          r.ue(); r.ue() // bit_depth_{luma,chroma}_minus8
+          r.u1() // qpprime_y_zero_transform_bypass_flag
+          if (r.u1() == 1) {
+            val lists = if (chromaFormatIdc == 3) 12 else 8
+            var i = 0
+            while (i < lists) {
+              if (r.u1() == 1) skipScalingList(r, if (i < 6) 16 else 64)
+              i += 1
+            }
+          }
+        }
+        r.ue() // log2_max_frame_num_minus4
+        val pocType = r.ue()
+        if (pocType == 0) r.ue()
+        else if (pocType == 1) {
+          r.u1(); r.se(); r.se()
+          val n = r.ue()
+          var i = 0
+          while (i < n) { r.se(); i += 1 }
+        }
+        r.ue() // max_num_ref_frames
+        r.u1() // gaps_in_frame_num_value_allowed_flag
+        val widthMbs = r.ue() + 1
+        val heightMapUnits = r.ue() + 1
+        val frameMbsOnly = r.u1()
+        if (frameMbsOnly == 0) r.u1() // mb_adaptive_frame_field_flag
+        r.u1() // direct_8x8_inference_flag
+        var cl = 0; var cr = 0; var ct = 0; var cb = 0
+        if (r.u1() == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+        val (subW, subH) = chromaFormatIdc match {
+          case 0 => (1, 1)
+          case 1 => (2, 2)
+          case 2 => (2, 1)
+          case _ => (1, 1)
+        }
+        val w = widthMbs * 16 - subW * (cl + cr)
+        val h = (2 - frameMbsOnly) * heightMapUnits * 16 -
+          subH * (2 - frameMbsOnly) * (ct + cb)
+        if (w > 0 && h > 0) Some((w, h)) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** First SPS out of an `avcC` (AVCDecoderConfigurationRecord,
+      * ISO/IEC 14496-15 §5.2.4.1): fixed 6-byte head, then
+      * numSPS (low 5 bits) × (u16 length + NAL bytes). */
+    private def avcCSps(b: Array[Byte], as: Int, ae: Int)
+        : Option[Array[Byte]] = {
+      if (as + 8 > ae || (b(as + 5) & 0x1f) < 1) None
+      else {
+        val len = u16(b, as + 6)
+        if (len < 1 || as + 8 + len > ae) None
+        else Some(java.util.Arrays.copyOfRange(b, as + 8, as + 8 + len))
+      }
+    }
 
     private def u16(b: Array[Byte], i: Int): Int =
       ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
@@ -434,23 +570,40 @@ object Multimodal {
         val traks = boxes(b, ms, me)
           .collect { case ("trak", s, e) => parseTrak(b, s, e) }.toVector
         val video = traks.find(_.handler == "vide")
-        val (w, h) = video.flatMap { t =>
-          t.stbl.flatMap { case (ss, se) =>
-            find(b, ss, se, "stsd").flatMap { case (ds, de) =>
-              // ver/flags 4 + entryCount 4, then the first sample
-              // entry: size 4 + format 4 + SampleEntry 8 + VisualSampleEntry
-              // pre_defined/reserved 16 → coded width/height u16s at +32
-              val entry = ds + 8
-              if (entry + 36 <= de)
-                Some((u16(b, entry + 32), u16(b, entry + 34)))
-              else None
-            }
-          }.orElse(if (t.tkhdW > 0) Some((t.tkhdW, t.tkhdH)) else None)
-        }.getOrElse((0, 0))
+        // first stsd sample entry: (entryStart, entryEnd) — ver/flags 4
+        // + entryCount 4, then the entry box (size 4 + format 4 + …)
+        val stsdEntry = video.flatMap(_.stbl).flatMap { case (ss, se) =>
+          find(b, ss, se, "stsd").flatMap { case (ds, de) =>
+            val entry = ds + 8
+            if (entry + 8 <= de) {
+              val size = u32(b, entry).toInt
+              Some((entry, math.min(de, entry + math.max(8, size))))
+            } else None
+          }
+        }
+        // SampleEntry 8 + VisualSampleEntry pre_defined/reserved 16 →
+        // coded width/height u16s at +32 from the entry box start
+        val stsdDims = stsdEntry.collect {
+          case (entry, de) if entry + 36 <= de =>
+            (u16(b, entry + 32), u16(b, entry + 34))
+        }
+        // child boxes (avcC, pasp, …) follow the fixed 86-byte
+        // VisualSampleEntry; an avcC's first SPS carries the
+        // authoritative coded dimensions — no decoder needed
+        val sps = stsdEntry.flatMap { case (entry, de) =>
+          if (entry + 86 >= de) None
+          else find(b, entry + 86, de, "avcC")
+            .flatMap { case (as, ae) => avcCSps(b, as, ae) }
+            .flatMap(spsDims)
+        }
+        val (w, h) = sps.orElse(stsdDims)
+          .orElse(video.collect { case t if t.tkhdW > 0 => (t.tkhdW, t.tkhdH) })
+          .getOrElse((0, 0))
         val samples = video.flatMap(_.stbl)
           .map { case (ss, se) => sampleTable(b, ss, se) }
           .getOrElse(Vector.empty)
-        Some(Mp4Info(durationSec, traks.length, w, h, samples))
+        Some(Mp4Info(durationSec, traks.length, w, h, samples,
+          sps.fold(0)(_._1), sps.fold(0)(_._2)))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 

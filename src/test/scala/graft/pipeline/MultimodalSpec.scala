@@ -328,6 +328,106 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.bytes.length <= 64))
   }
 
+  test("H.264 SPS in avcC reports real coded dimensions, no decoder") {
+    // MSB-first bit writer with exp-Golomb, the test-side mirror of
+    // the parser (value v codes as (v+1) in binary with len-1 zeros)
+    final class BitWriter {
+      private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+      def u(v: Int, n: Int): this.type = {
+        var i = n - 1
+        while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
+        this
+      }
+      def ue(v: Int): this.type = {
+        val k = v + 1
+        val n = 32 - Integer.numberOfLeadingZeros(k)
+        u(0, n - 1); u(k, n)
+      }
+      def bytes: Array[Byte] = {
+        val padded = bits ++ Seq.fill((8 - bits.length % 8) % 8)(0)
+        padded.grouped(8)
+          .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+      }
+    }
+    // Baseline-profile 320x240: 20x15 macroblocks, no cropping
+    val sps320 = Array(0x67.toByte) ++ new BitWriter()
+      .u(66, 8).u(0, 16) // profile / constraints+level
+      .ue(0) // sps_id
+      .ue(0).ue(0).ue(0) // log2_max_frame_num, poc_type 0, log2_max_poc
+      .ue(1).u(0, 1) // max_num_ref_frames, gaps flag
+      .ue(19).ue(14) // 20 MBs x 15 map units
+      .u(1, 1).u(1, 1).u(0, 1) // frame_mbs_only, direct_8x8, no crop
+      .u(0, 1).u(1, 1) // no VUI, rbsp stop bit
+      .bytes
+    assert(Mp4Codec.spsDims(sps320) === Some((320, 240)))
+    // High-profile 1920x1080: 120x68 map units, 8 luma rows cropped
+    // at the bottom (crop_bottom 4 x CropUnitY 2 for 4:2:0 frames)
+    val sps1080 = Array(0x67.toByte) ++ new BitWriter()
+      .u(100, 8).u(0, 16)
+      .ue(0) // sps_id
+      .ue(1) // chroma_format_idc 4:2:0
+      .ue(0).ue(0) // bit depths
+      .u(0, 1).u(0, 1) // qpprime bypass, no scaling matrix
+      .ue(0).ue(0).ue(0) // frame_num, poc_type 0, max_poc
+      .ue(4).u(0, 1) // ref frames, gaps
+      .ue(119).ue(67) // 1920 x 1088
+      .u(1, 1).u(1, 1) // frame_mbs_only, direct_8x8
+      .u(1, 1).ue(0).ue(0).ue(0).ue(4) // crop: bottom 4 units
+      .u(0, 1).u(1, 1)
+      .bytes
+    assert(Mp4Codec.spsDims(sps1080) === Some((1920, 1080)))
+    // not an SPS NAL / truncated bits → None, never a crash
+    assert(Mp4Codec.spsDims(Array[Byte](0x68, 1, 2, 3, 4)) === None)
+    assert(Mp4Codec.spsDims(sps320.take(6)) === None)
+
+    // container-level: an avc1 entry whose stsd u16s LIE (0x0) but
+    // whose avcC SPS says 320x240 — the SPS must win
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      buf.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      buf.array()
+    }
+    val avcC = box("avcC",
+      Array(1, 66, 0, 30, 0xFF.toByte, 0xE1.toByte).map(_.toByte) ++
+        Array(((sps320.length >> 8) & 0xff).toByte,
+          (sps320.length & 0xff).toByte) ++ sps320 ++
+        Array(1.toByte, 0.toByte, 0.toByte)) // 1 PPS, empty
+    val entry = {
+      val p = java.nio.ByteBuffer.allocate(86 + avcC.length)
+      p.putInt(86 + avcC.length).put("avc1".getBytes("US-ASCII"))
+      p.position(8 + 6); p.putShort(1) // data_ref_index
+      // width/height u16s left 0x0 on purpose
+      p.position(86); p.put(avcC)
+      p.array()
+    }
+    val stsd = {
+      val p = java.nio.ByteBuffer.allocate(8 + entry.length)
+      p.putInt(0).putInt(1).put(entry)
+      p.array()
+    }
+    def hdlr(handler: String) = {
+      val p = java.nio.ByteBuffer.allocate(25)
+      p.putInt(0).putInt(0).put(handler.getBytes("US-ASCII"))
+      p.array()
+    }
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(100)
+      p.putInt(0).putInt(0).putInt(0).putInt(600).putInt(600)
+      p.array()
+    }
+    val ftyp = box("ftyp",
+      "isomiso2".getBytes("US-ASCII") ++ Array.fill(4)(0.toByte))
+    val videoTrak = box("trak", box("mdia",
+      box("hdlr", hdlr("vide")) ++ box("minf", box("stbl",
+        box("stsd", stsd)))))
+    val file = ftyp ++ box("moov", box("mvhd", mvhd) ++ videoTrak)
+    val info = Mp4Codec.parse(file).get
+    assert((info.spsWidth, info.spsHeight) === (320, 240))
+    assert((info.width, info.height) === (320, 240))
+    assert(Mp4Codec.dimensions(file) === (320, 240, 1))
+  }
+
   test("describe joins decode + features without losing rows") {
     val out = describe(spark, mediaFixture, partitions = 4)
     assert(out.count() === 20)
