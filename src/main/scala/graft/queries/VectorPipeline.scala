@@ -254,51 +254,60 @@ object VectorPipeline extends graft.Registry {
         s"(CASE WHEN ${projDuckOf(ndPlane(j * NdRows + k))} > 0 THEN ${1 << k} ELSE 0 END)")
       .mkString(" + ")
 
-  /** Banded rows of a norm'd frame: one row per (vector, band), keyed
-    * by that band's 8 sign bits; the signature columns are computed
-    * once (cached) before the per-band union. */
-  private def ndBandedRows(e: DataFrame): DataFrame = {
+  /** Signature frame of a norm'd corpus: one row per vector carrying
+    * ALL [[NdBands]] band keys (computed once, cached) — the layout
+    * that makes cross-band pair dedup a row-local predicate below. */
+  private def ndSignatures(e: DataFrame): DataFrame = {
     val sigCols = (0 until NdBands).map(j => ndBandKey(j).as(s"bk$j"))
-    val sig = e
-      .select(col("vec_id") +: col("embedding") +: col("nrm") +: sigCols: _*)
+    e.select(col("vec_id") +: col("embedding") +: col("nrm") +: sigCols: _*)
       .cache()
-    (0 until NdBands).map { j =>
-      sig.select(col("vec_id"), lit(j).as("band"), col(s"bk$j").as("bkey"),
-        col("embedding"), col("nrm"))
-    }.reduce(_ unionAll _)
   }
 
-  /** LSH candidate pairs of a norm'd frame — the band-equijoin output
-    * BEFORE the exact-cosine filter, exposed so tests can assert the
-    * candidate fraction stays far below all-pairs (the whole point of
-    * banding). */
-  private[queries] def ndCandidates(e: DataFrame): DataFrame = {
-    val bands = ndBandedRows(e)
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-  }
+  /** DISTINCT banded candidate pairs with both sides' payloads, each
+    * pair emitted EXACTLY once: a pair colliding in bands S surfaces
+    * only in band min(S), enforced by requiring `bk_i(a) ≠ bk_i(b)`
+    * for every i < j inside band j's join — a row-local predicate on
+    * the signature columns both sides already carry.
+    *
+    * Why not `distinct()`: the candidate multiset is the quadratic
+    * bucket-occupancy term banding is sized around, and a distinct()
+    * has to SHUFFLE all of it. Measured at sf10 (200k vectors,
+    * 8 × 256-bucket bands ⇒ ~6×10⁸ in-bucket pairs): the distinct
+    * form's first v17 run took 553 s — the pair explosion exchanged
+    * twice (distinct + degree count) and spilled; with first-shared-
+    * band dedup the explosion exists only INSIDE the band joins,
+    * flows straight into map-side partial aggregation, and nothing
+    * pair-sized ever exchanges. Result sets are identical. */
+  private def ndDistinctPairs(sig: DataFrame): DataFrame =
+    (0 until NdBands).map { j =>
+      val cond = (0 until j)
+        .map(i => col(s"a.bk$i") =!= col(s"b.bk$i"))
+        .foldLeft(col(s"a.bk$j") === col(s"b.bk$j") &&
+          col("a.vec_id") < col("b.vec_id"))(_ && _)
+      sig.as("a").join(sig.as("b"), cond)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.embedding").as("ea"), col("a.nrm").as("na"),
+          col("b.embedding").as("eb"), col("b.nrm").as("nb"))
+    }.reduce(_ unionAll _)
+
+  /** LSH candidate pairs of a norm'd frame — the distinct band-join
+    * output BEFORE the exact-cosine filter, exposed so tests can
+    * assert the candidate fraction stays far below all-pairs (the
+    * whole point of banding). */
+  private[queries] def ndCandidates(e: DataFrame): DataFrame =
+    ndDistinctPairs(ndSignatures(e)).select("vec_a", "vec_b")
 
   /** [[nearDupLsh]] over an arbitrary norm'd `(vec_id, embedding,
     * nrm)` frame — the declared query binds it to the stored corpus;
-    * tests bind it to planted near-dup corpora. */
-  private[queries] def nearDupLshOn(e: DataFrame): DataFrame = {
-    val bands = ndBandedRows(e)
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (expr(dotSql("a.embedding", "b.embedding")) /
-          (col("a.nrm") * col("b.nrm"))).as("cos"))
+    * tests bind it to planted near-dup corpora. First-shared-band
+    * dedup also means the exact-cosine fold runs ONCE per candidate
+    * pair, not once per shared band. */
+  private[queries] def nearDupLshOn(e: DataFrame): DataFrame =
+    ndDistinctPairs(ndSignatures(e))
+      .select(col("vec_a"), col("vec_b"),
+        (expr(dotSql("ea", "eb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") > NearDupCos)
-      .distinct()
       .orderBy("vec_a", "vec_b")
-  }
 
   /** Cosine near-duplicate pairs (cos > 0.8) via banded hyperplane
     * LSH: the signature is computed once per vector (cached), each
