@@ -671,6 +671,86 @@ object VectorPipeline extends graft.Registry {
       .orderBy("sub", "codeword")
   }
 
+  /** v19: IVF-PQ residual assignment — the COMBINED FAISS IndexIVFPQ
+    * layout (Jégou et al. TPAMI'11 §IV): the coarse quantizer
+    * (v04/v14's first-[[NumSeeds]] centroids) routes each vector to a
+    * cell, and product quantization (v09's geometry) encodes the
+    * RESIDUAL `qv − centroid` in [[PqM]] subspaces. Residuals
+    * concentrate near zero, so the same K codewords spend their
+    * precision on a far smaller ball — the reason billion-vector
+    * deployments quantize residuals, not raw vectors. The report is
+    * v09's census shape per (subspace, codeword) — occupancy + total
+    * integer quantization error — so the residual error drop against
+    * v09's raw-vector census is directly readable, which IS the
+    * layout's selling point.
+    *
+    * Determinism: coarse argmin is v14's row-local
+    * `array_min(transform(centroids, …))` over one broadcast centroid
+    * row with cluster-id tie-break; residuals and subspace distances
+    * are exact [[KmQ]]-quantized BIGINT folds; codebooks are the
+    * first [[PqK]] NON-SEED vectors' residuals (ids [[NumSeeds]] to
+    * NumSeeds+PqK — the seeds' own residuals are identically zero, so
+    * including them would waste half the codebook on degenerate
+    * codewords; deterministic init like v09's, iterating it per cell
+    * is v06 run per subspace).
+    *
+    * Honest caveat, measured: whether residuals BEAT raw-vector PQ is
+    * a property of the corpus, and the side-by-side census is exactly
+    * the instrument that decides it. Residual variance per dimension
+    * is ≈ 2σ²(1−ρ) for best-centroid correlation ρ, so the layout
+    * wins when the corpus clusters (ρ high — real text/image
+    * embeddings) and loses on near-isotropic data — the synthetic
+    * testdata corpus measures ~1.4× WORSE under residuals (8 coarse
+    * cells on near-uniform 64-d vectors: ρ ≈ 0.2), which PipelineSpec
+    * pins as documentation-by-test rather than pretending the win is
+    * unconditional. The production recipe (train the coarse k with
+    * v06 until cells are tight) is what makes ρ large.
+    *
+    * Scale shape: the centroid row is k·64 ints; assignment +
+    * residual is ONE row-local codegen'd projection over one corpus
+    * scan (no N×k expansion, no join); the subspace explode is
+    * row-local (M rows per vector); the M×K residual codebook always
+    * broadcasts (its build re-reads only the codebook-id rows —
+    * pushdown makes that second scan 16 rows); the argmin is the
+    * map-side-combinable `min(struct)`; the report is M×K cells.
+    * Overflow audit: residual components < 2²² ⇒ per-subspace qdist
+    * < 2⁴⁷, summed per cell safely below 2⁶³ to ~6×10⁴ rows/cell —
+    * beyond that swap the error sum to DECIMAL(38,0). */
+  def ivfpqAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val cents = e.where(col("vec_id") < NumSeeds)
+      .select(struct(col("qv").as("sq"), col("vec_id").as("cluster")).as("c"))
+      .agg(collect_list("c").as("cents"))
+    val resid = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"),
+        expr("array_min(transform(cents, c -> named_struct(" +
+          s"'qd', ${qdistSql("qv", "c.sq")}, 'cluster', c.cluster, " +
+          "'sq', c.sq)))").as("dc"))
+      .select(col("vec_id"),
+        expr("zip_with(qv, dc.sq, (x, y) -> x - y)").as("rv"))
+    val subs = resid
+      .select(col("vec_id"),
+        explode(array((0 until PqM).map(j =>
+          struct(lit(j.toLong).as("sub"),
+            expr(s"slice(rv, ${j * PqDsub + 1}, $PqDsub)").as("sv"))): _*))
+          .as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    val cb = subs
+      .where(col("vec_id") >= NumSeeds && col("vec_id") < NumSeeds + PqK)
+      .select(col("sub"), (col("vec_id") - NumSeeds).as("codeword"),
+        col("sv").as("cv"))
+    subs.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct(expr(qdistSql("sv", "cv")).as("qd"), col("codeword")).as("dc"))
+      .groupBy("vec_id", "sub")
+      .agg(min("dc").as("dc"))
+      .select(col("sub"), col("dc.codeword").as("codeword"),
+        col("dc.qd").as("qd"))
+      .groupBy("sub", "codeword")
+      .agg(count(lit(1)).as("n_assigned"), sum("qd").as("total_err_q"))
+      .orderBy("sub", "codeword")
+  }
+
   /** Embedding-corpus health stats — the DQ pass a vector corpus gets
     * before any index build: corpus size, dimension bounds (a mixed-dim
     * corpus breaks every downstream kernel), zero-norm and non-finite
@@ -1082,6 +1162,7 @@ object VectorPipeline extends graft.Registry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v19_ivfpq_assign" -> ivfpqAssign,
     "v18_knn_label_purity" -> knnLabelPurity,
     "v17_index_health" -> indexHealth,
     "v16_modality_lift" -> modalityLift,
@@ -1459,6 +1540,45 @@ object VectorPipeline extends graft.Registry {
          |       CAST(COALESCE(r.n_reassigned, 0) AS BIGINT) AS n_reassigned
          |FROM moved m LEFT JOIN re r ON r.cluster = m.cluster
          |ORDER BY m.cluster""".stripMargin,
+    "v19_ivfpq_assign" ->
+      s"""WITH qe AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * $KmQ) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cluster, qv AS sq
+         |          FROM qe WHERE vec_id < $NumSeeds),
+         |asg AS (
+         |  SELECT vec_id, qv, sq FROM (
+         |    SELECT q.vec_id, q.qv, s.sq,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${qdistDuck("q.qv", "s.sq")}, s.cluster) AS arn
+         |    FROM qe q CROSS JOIN seeds s) WHERE arn = 1),
+         |resid AS (
+         |  SELECT vec_id,
+         |         list_transform(list_zip(qv, sq), p -> p[1] - p[2]) AS rv
+         |  FROM asg),
+         |sub AS (
+         |  SELECT vec_id, j AS sub,
+         |         rv[j * $PqDsub + 1 : j * $PqDsub + $PqDsub] AS sv
+         |  FROM resid, range($PqM) r(j)),
+         |cb AS (SELECT sub, vec_id - $NumSeeds AS codeword, sv AS cv
+         |       FROM sub
+         |       WHERE vec_id >= $NumSeeds
+         |         AND vec_id < ${NumSeeds + PqK}),
+         |d AS (
+         |  SELECT s.vec_id, s.sub, c.codeword,
+         |         ${qdistDuck("s.sv", "c.cv")} AS qd
+         |  FROM sub s JOIN cb c USING (sub)),
+         |a AS (
+         |  SELECT vec_id, sub, codeword, qd FROM (
+         |    SELECT vec_id, sub, codeword, qd,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY qd, codeword) AS rn
+         |    FROM d) WHERE rn = 1)
+         |SELECT sub, codeword, COUNT(*) AS n_assigned,
+         |       CAST(SUM(qd) AS BIGINT) AS total_err_q
+         |FROM a GROUP BY sub, codeword ORDER BY sub, codeword""".stripMargin,
     "v09_pq_assign" ->
       s"""WITH qe AS (
          |  SELECT vec_id,

@@ -1261,6 +1261,62 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("v19 ivf-pq residual assignment equals an in-memory reference; " +
+      "the census quantifies the residual-vs-raw tradeoff") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val Q = 1L << 20
+    val qv = e.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * Q).toLong)
+    }.toMap
+    val seeds = (0L until 8L).map(id => id -> qv(id))
+    def qdist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val resid = qv.map { case (id, v) =>
+      val c = seeds.map { case (cid, sq) => (qdist(v, sq), cid, sq) }
+        .minBy(t => (t._1, t._2))
+      id -> v.zip(c._3).map { case (x, y) => x - y }
+    }
+    // codebook = residuals of the first 16 NON-SEED vectors (ids
+    // 8..23, codeword = id - 8) — seed residuals are identically zero
+    val books = (0 until 8).map { m =>
+      m -> (0L until 16L)
+        .map(cw => cw -> resid(cw + 8L).slice(m * 8, m * 8 + 8)).toMap
+    }.toMap
+    val cells = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    resid.foreach { case (_, rv) =>
+      for (m <- 0 until 8) {
+        val sv = rv.slice(m * 8, m * 8 + 8)
+        val (qd, cw) = books(m).toSeq
+          .map { case (cw, cv) => (qdist(sv, cv), cw) }
+          .minBy(identity)
+        val k = (m.toLong, cw)
+        val (n, s) = cells.getOrElse(k, (0L, 0L))
+        cells(k) = (n + 1, s + qd)
+      }
+    }
+    val got = VectorPipeline.ivfpqAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === cells.toMap)
+    // every vector encodes in every subspace — the census partitions
+    // the corpus x subspaces matrix exactly
+    val nVecs = e.length.toLong
+    assert(got.values.map(_._1).sum === nVecs * 8L)
+    // documentation-by-test of the operator's honest caveat: on this
+    // near-isotropic synthetic corpus (best-of-8 coarse cosine ~0.2)
+    // residual variance ~2(1-rho) EXCEEDS raw variance, so the
+    // residual census must come out WORSE than v09's raw census here
+    // - the census pair is the instrument that decides the layout,
+    // and on clusterable corpora the inequality flips
+    val rawErr = VectorPipeline.pqAssign(spark, dir)
+      .collect().map(_.getLong(3)).sum
+    val residErr = got.values.map(_._2).sum
+    assert(residErr > rawErr,
+      s"on the isotropic testdata residual err $residErr should exceed raw $rawErr")
+  }
+
   test("td31 pii scan counts planted emails/phones/ips/ssns per source") {
     import spark.implicits._
     val docs = Seq(

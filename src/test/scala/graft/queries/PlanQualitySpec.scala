@@ -154,6 +154,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "ordered limit must not globally sort")
   }
 
+  test("ivf-pq assign (v19): row-local coarse argmin, broadcast codebook, no SMJ") {
+    val p = plan(VectorPipeline.ivfpqAssign(spark, dir))
+    assert(p.contains("array_min"),
+      "coarse assignment must be the row-local argmin over the broadcast centroid row")
+    assert(p.contains("BroadcastHashJoin"),
+      "the MxK residual codebook must broadcast against the subspace rows")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "nothing corpus-sized may shuffle-join")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "argmin/census aggregates must combine map-side")
+  }
+
   test("pii scan (td31): one scan, row-local regexes, one shuffle, no join") {
     val p = plan(TextPipeline.piiScan(spark, dir))
     assert("Scan parquet".r.findAllIn(p).size === 1,
