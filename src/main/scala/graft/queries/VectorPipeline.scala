@@ -317,10 +317,13 @@ object VectorPipeline extends graft.Registry {
     * corpus size (no BroadcastNestedLoopJoin; pinned by
     * PlanQualitySpec). Exact cosine is computed inside the join and
     * filtered before the cross-band distinct, so only true near-dups
-    * reach the final shuffle. The testdata corpus contains no true
-    * embedding near-dups (max pairwise cos ≈ 0.51 at every SF), so
-    * the declared result is legitimately empty there; recall and
-    * pruning are proven on planted corpora in PipelineSpec. */
+    * reach the final shuffle. The DRIVER testdata corpus contains no
+    * true embedding near-dups (max pairwise cos ≈ 0.51 at sf ≤ 0.1),
+    * so the declared result is legitimately empty there; recall and
+    * pruning are proven on planted corpora in PipelineSpec, and the
+    * ScaleGen-generated sf10 corpus produces a real non-empty pair
+    * set (70 190 pairs, oracle-verified) — cross-replica signed
+    * rotations of structured vectors do correlate above 0.8. */
   def nearDupLsh(s: SparkSession, dir: String): DataFrame =
     nearDupLshOn(withNorm(s, dir))
 
