@@ -281,6 +281,115 @@ object EventStreams {
       }
   }
 
+  final case class AdjPair(
+      userId: Long, prevType: String, nextType: String, gapUs: Long)
+  private[streaming] final case class PendAdj(us: Long, id: Long, tpe: String)
+  private[streaming] final case class AdjState(
+      pending: Seq[PendAdj], lastUs: Long, lastId: Long, lastType: String,
+      hasLast: Boolean, lastEventUs: Long)
+
+  /** Streaming per-user ADJACENT-EVENT pairs — the shared primitive
+    * under the batch lag-window operators (`e06_gap_quantiles`,
+    * `e08_event_transitions`): each consecutive (prev, next) pair of
+    * a user's event-time-ordered stream is emitted EXACTLY once, as
+    * soon as the watermark makes its order decidable (the
+    * [[asofJoin]] reorder-buffer discipline, strict `us <` seal).
+    *
+    * The chain survives quiet periods: the event-time timeout flushes
+    * every sealed pair but KEEPS the compact last-event scalars
+    * (three longs + a type) instead of evicting, so a user returning
+    * after an idle gap still pairs with their pre-gap last event —
+    * without that, the twin would drop exactly the long-gap pairs
+    * e06's p95 exists to surface. Idle-user state is therefore three
+    * scalars, the same per-user footprint the batch operator's
+    * shuffle holds, and a deployment wanting eviction bounds it with
+    * a retention rule, accepting the boundary pair loss.
+    *
+    * Read-side folds [[transitionsAt]] / [[gapQuantilesAt]] aggregate
+    * the emitted pairs into the batch reports with identical integer
+    * arithmetic (EventStreamsSpec pins both batch-exact). */
+  def adjacentPairs(events: Dataset[Event],
+      quietMinutes: Long = 60,
+      watermark: String = "10 minutes"): Dataset[AdjPair] = {
+    import events.sparkSession.implicits._
+    val quietMs = quietMinutes * 60000L
+
+    def fold(userId: Long, st: AdjState, evs: Seq[PendAdj])
+        : (AdjState, Vector[AdjPair]) = {
+      var s = st
+      var out = Vector.empty[AdjPair]
+      // (us, id) ascending = the batch window's (ev_us, event_id) sort
+      evs.sortBy(e => (e.us, e.id)).foreach { e =>
+        if (s.hasLast)
+          out :+= AdjPair(userId, s.lastType, e.tpe, e.us - s.lastUs)
+        s = s.copy(lastUs = e.us, lastId = e.id, lastType = e.tpe,
+          hasLast = true)
+      }
+      (s, out)
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[AdjState, AdjPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[AdjState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark > timeout ≥ every pending event: all sealed.
+            // Keep the compact chain head; drop only the buffer.
+            val (s2, out) = fold(userId, state.get, state.get.pending)
+            state.update(s2.copy(pending = Vector.empty))
+            out.iterator
+          } else {
+            val st0 = state.getOption.getOrElse(
+              AdjState(Vector.empty, 0L, 0L, "", hasLast = false, 0L))
+            val arrivals = it.map(e =>
+              PendAdj(e.ts.getTime * 1000L, e.eventId, e.eventType)).toVector
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (ready, still) =
+              (st0.pending ++ arrivals).partition(_.us < wmUs)
+            val (s2, out) = fold(userId, st0, ready)
+            val lastUs = (st0.lastEventUs +: arrivals.map(_.us)).max
+            state.update(s2.copy(pending = still, lastEventUs = lastUs))
+            state.setTimeoutTimestamp(lastUs / 1000L + quietMs)
+            out.iterator
+          }
+      }
+  }
+
+  final case class Transition(
+      prevType: String, nextType: String, nTransitions: Long, pPpm: Long)
+
+  /** Fold emitted [[AdjPair]]s into the batch e08 transition matrix —
+    * identical BIGINT count / `div` ppm arithmetic. */
+  def transitionsAt(pairs: Seq[AdjPair]): Seq[Transition] = {
+    val counts = pairs.groupBy(p => (p.prevType, p.nextType))
+      .map { case (k, v) => k -> v.size.toLong }
+    val prevTotals = counts.groupBy(_._1._1)
+      .map { case (p, m) => p -> m.values.sum }
+    counts.toSeq.sortBy(_._1).map { case ((p, n), c) =>
+      Transition(p, n, c, c * 1000000L / prevTotals(p))
+    }
+  }
+
+  final case class GapQuantiles(
+      eventType: String, nGaps: Long, minGapS: Long,
+      p50GapS: Long, p95GapS: Long, maxGapS: Long)
+
+  /** Fold emitted [[AdjPair]]s into the batch e06 gap-quantile rows:
+    * whole-second gaps grouped by the LATER event's type, quantiles by
+    * the same integer-rank rule (smallest value whose cumulative count
+    * clears ⌈p·n⌉ — `cum·100 ≥ n·p`). */
+  def gapQuantilesAt(pairs: Seq[AdjPair]): Seq[GapQuantiles] = {
+    pairs.groupBy(_.nextType).toSeq.sortBy(_._1).map { case (t, ps) =>
+      val gaps = ps.map(p => Math.floorDiv(p.gapUs, 1000000L)).sorted
+      val n = gaps.length.toLong
+      def atLeast(pct: Int): Long =
+        gaps(gaps.indices.find(i => (i + 1).toLong * 100 >= n * pct).get)
+      GapQuantiles(t, n, gaps.head, atLeast(50), atLeast(95), gaps.last)
+    }
+  }
+
   /** Streaming range join — the continuous form of the batch
     * `e03_range_join`: for every purchase, how many views by the same
     * user in the prior `lookbackMinutes` (exclusive-open,

@@ -460,6 +460,70 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming adjacent pairs fold to the batch e08 transitions AND " +
+      "e06 gap quantiles, incl. reorder, quiet-gap chain survival, ties") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: view@0 click@3 view@10 [2h quiet] purchase@130 — the
+    // post-quiet purchase must still pair with view@10; user 2:
+    // click@1 click@2 purchase@60; user 3: one event only (no pairs)
+    val rows = Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 3L), (3L, 1L, "view", 10L),
+      (4L, 1L, "purchase", 130L),
+      (5L, 2L, "click", 1L), (6L, 2L, "click", 2L), (7L, 2L, "purchase", 60L),
+      (8L, 3L, "view", 7L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-e0608s").toString
+    rows.toDF("event_id", "user_id", "event_type", "m")
+      .selectExpr("event_id", "timestamp_micros(1700000000000000 + m * 60000000) AS ts",
+        "user_id", "event_type", "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batchE08 = graft.queries.EventPipeline.eventTransitions(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val batchE06 = graft.queries.EventPipeline.gapQuantiles(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val src = MemoryStream[Event]
+    val q = adjacentPairs(src.toDS(), quietMinutes = 30)
+      .writeStream.format("memory").queryName("adj_pairs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def e(id: Long, u: Long, t: String, m: Long) =
+        Event(id, u, t, 1.0, new Timestamp(1700000000000L + m * 60000L))
+      // first batch arrives REORDERED within the watermark bound
+      src.addData(e(2, 1, "click", 3), e(1, 1, "view", 0),
+        e(5, 2, "click", 1), e(6, 2, "click", 2), e(8, 3, "view", 7))
+      q.processAllAvailable()
+      src.addData(e(3, 1, "view", 10), e(7, 2, "purchase", 60))
+      q.processAllAvailable()
+      // the 2-hour-later event: user 1's chain must survive the quiet
+      // timeout that fired in between
+      src.addData(e(4, 1, "purchase", 130))
+      q.processAllAvailable()
+      // advance the watermark far enough to seal everything
+      src.addData(e(99, 9, "view", 600))
+      q.processAllAvailable()
+      src.addData(e(100, 9, "view", 700))
+      q.processAllAvailable()
+      val pairs = spark.table("adj_pairs").as[AdjPair].collect().toSeq
+        .filterNot(_.userId == 9L)
+      assert(pairs.length === 5, s"expected 5 sealed pairs, got $pairs")
+      val folded08 = transitionsAt(pairs)
+        .map(t => (t.prevType, t.nextType) -> ((t.nTransitions, t.pPpm)))
+        .toMap
+      assert(folded08 === batchE08,
+        "streamed pair fold must equal the batch e08 matrix")
+      val folded06 = gapQuantilesAt(pairs)
+        .map(g => g.eventType ->
+          ((g.nGaps, g.minGapS, g.p50GapS, g.p95GapS, g.maxGapS))).toMap
+      assert(folded06 === batchE06,
+        "streamed gap fold must equal the batch e06 quantiles")
+    } finally q.stop()
+  }
+
   test("streaming user activity folds to the batch e10 rolling features, " +
       "incl. a gap wider than the 7-day window and a late arrival") {
     import spark.implicits._
