@@ -96,6 +96,52 @@ object EventStreams {
         col("range_violations"),
         (col("range_violations") === 0).as("range_passed"))
 
+  /** Streaming twin of the batch e04 JSON-property report
+    * ([[graft.queries.EventPipeline.jsonProps]]): the JSON-path
+    * extraction and decile/cents projection are row-local (stateless),
+    * so the stream is the batch projection plus a watermarked window
+    * around the same (event_type, k_decile) aggregate. Every emitted
+    * aggregate is DISTRIBUTIVE (count/min/max/integer-cents sum), so
+    * [[jsonPropsAt]] folds the per-window rows onto the batch totals
+    * exactly — no float sums anywhere (cents are floored integers,
+    * exactly the batch trick). */
+  def jsonPropsWindowed(events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .select(col("ts"), col("event_type"),
+        floor(col("k").cast("double") / 10.0d).cast("long").as("k_decile"),
+        col("value"),
+        floor(col("value") * 100.0d).cast("long").as("cents"))
+      .groupBy(window(col("ts"), windowLength),
+        col("event_type"), col("k_decile"))
+      .agg(count(lit(1)).as("n_events"),
+        min("value").as("min_value"), max("value").as("max_value"),
+        sum("cents").as("total_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("k_decile"), col("n_events"), col("min_value"),
+        col("max_value"), col("total_cents"))
+
+  final case class JsonPropsRow(
+      eventType: String, kDecile: Long, nEvents: Long,
+      minValue: Double, maxValue: Double, totalCents: Long)
+
+  /** Fold per-window [[jsonPropsWindowed]] rows into the batch e04
+    * report — all four aggregates are distributive, so the merge is
+    * exact. Input tuples: (event_type, k_decile, n, min, max, cents). */
+  def jsonPropsAt(
+      rows: Seq[(String, Long, Long, Double, Double, Long)])
+      : Seq[JsonPropsRow] =
+    rows.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1)
+      .map { case ((t, d), v) =>
+        JsonPropsRow(t, d, v.map(_._3).sum, v.map(_._4).min,
+          v.map(_._5).max, v.map(_._6).sum)
+      }
+
   final case class FunnelReport(
       userId: Long, firstViewUs: Long, firstQualClickUs: Option[Long],
       firstConversionUs: Option[Long], nConversions: Long)

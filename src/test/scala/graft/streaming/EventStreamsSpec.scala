@@ -7,6 +7,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import EventStreams._
 
+/** e04 fixture row shape (file-scope: Spark encoders need a stable,
+  * non-inner case class). */
+final case class EvP(event_id: Long, ts: Timestamp, event_type: String,
+    value: Double, props: String)
+
 class EventStreamsSpec extends SparkSpec {
 
   private def ts(minutes: Long): Timestamp =
@@ -457,6 +462,62 @@ class EventStreamsSpec extends SparkSpec {
         .toMap
       assert(folded === batch,
         "streamed activity fold must equal the batch e11 matrix")
+    } finally q.stop()
+  }
+
+  test("streaming windowed json props fold to the batch e04 report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (id, type, k-json, value, minutes) — k 37/44 share decile 3/4,
+    // a null-k props row lands in the null decile like batch
+    val rows = Seq(
+      (1L, "view", """{"k": 37}""", 1.25, 0L),
+      (2L, "view", """{"k": 31}""", 2.50, 10L),
+      (3L, "view", """{"k": 44}""", 0.75, 70L), // second window
+      (4L, "click", """{"k": 37}""", 3.10, 5L),
+      (5L, "click", """{}""", 1.00, 15L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-e04s").toString
+    rows.toDF("event_id", "event_type", "props", "value", "m")
+      .selectExpr("event_id",
+        "timestamp_micros(1700000000000000 + m * 60000000) AS ts",
+        "CAST(event_id AS LONG) AS user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.EventPipeline.jsonProps(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    val src = MemoryStream[EvP]
+    val q = jsonPropsWindowed(src.toDF())
+      .writeStream.format("memory").queryName("json_props")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def e(r: (Long, String, String, Double, Long)) =
+        EvP(r._1, new Timestamp(1700000000000L + r._5 * 60000L), r._2, r._4, r._3)
+      // first-window rows arrive first (reordered); the minute-70 row
+      // arrives later so it cannot watermark-drop the early clicks
+      src.addData(Seq(rows(0), rows(3), rows(1), rows(4)).map(e): _*)
+      q.processAllAvailable()
+      src.addData(Seq(rows(2)).map(e): _*)
+      q.processAllAvailable()
+      // push the watermark past both windows to finalize them
+      src.addData(EvP(99L, new Timestamp(1700000000000L + 600 * 60000L),
+        "view", 9.99, """{"k": 1}"""))
+      src.addData(EvP(100L, new Timestamp(1700000000000L + 700 * 60000L),
+        "view", 9.99, """{"k": 1}"""))
+      q.processAllAvailable()
+      val emitted = spark.table("json_props").collect()
+        .filter(_.getAs[Long]("n_events") > 0)
+        .map(r => (r.getString(1),
+          if (r.isNullAt(2)) -999L else r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+        .toSeq
+        .filterNot { case (_, k, _, v, _, _) => v == 9.99 } // the wm pushers
+      val folded = jsonPropsAt(emitted.map(t =>
+        (t._1, t._2, t._3, t._4, t._5, t._6)))
+        .map(j => (j.eventType, if (j.kDecile == -999L) null else j.kDecile) ->
+          ((j.nEvents, j.minValue, j.maxValue, j.totalCents))).toMap
+      assert(folded === batch,
+        "streamed windowed fold must equal the batch e04 report")
     } finally q.stop()
   }
 
