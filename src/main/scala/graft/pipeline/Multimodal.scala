@@ -324,7 +324,12 @@ object Multimodal {
         var z = 0
         while (u1() == 0) {
           z += 1
-          if (z > 31) throw new IllegalArgumentException("exp-Golomb run")
+          // No field a dimension parse touches needs values beyond
+          // 2^17 (pic_width_in_mbs caps far lower); at z = 31 the
+          // (1 << z) - 1 + u(z) arithmetic would overflow Int and a
+          // malformed SPS could wrap to an arbitrary positive value
+          // that slips past the w > 0 / h > 0 guards.
+          if (z > 16) throw new IllegalArgumentException("exp-Golomb run")
         }
         ((1 << z) - 1) + (if (z == 0) 0 else u(z))
       }

@@ -1641,7 +1641,12 @@ object TextPipeline extends graft.Registry {
     * engines' `regexp_extract_all` scan leftmost non-overlapping
     * with identical greedy quantifiers. */
   private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
-    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,6}",
+    // TLD is {2,} not {2,6}: modern gTLDs (.technology,
+    // .international) run past 6 chars, and an under-matching
+    // pattern here silently under-reports in the report that decides
+    // which sources need redaction — the one failure mode the oracle
+    // gate cannot catch, because the oracle runs the same pattern.
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}",
     "phone" -> "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
     "ipv4" -> "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
     "ssn" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}")

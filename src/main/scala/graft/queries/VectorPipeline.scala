@@ -256,12 +256,26 @@ object VectorPipeline extends graft.Registry {
 
   /** Signature frame of a norm'd corpus: one row per vector carrying
     * ALL [[NdBands]] band keys (computed once, cached) — the layout
-    * that makes cross-band pair dedup a row-local predicate below. */
-  private def ndSignatures(e: DataFrame): DataFrame = {
-    val sigCols = (0 until NdBands).map(j => ndBandKey(j).as(s"bk$j"))
-    e.select(col("vec_id") +: col("embedding") +: col("nrm") +: sigCols: _*)
-      .cache()
-  }
+    * that makes cross-band pair dedup a row-local predicate below.
+    *
+    * Cached once per (session, canonical input plan) — the
+    * [[graft.sources.Tables]] relation-cache discipline — because
+    * ndCandidates / nearDupLshOn / indexHealth all start from this
+    * frame: a per-invocation `.cache()` with no unpersist would
+    * accumulate storage memory in a long-lived session, one orphaned
+    * copy per call. */
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]()
+
+  private def ndSignatures(e: DataFrame): DataFrame =
+    sigCache.computeIfAbsent(
+      (e.sparkSession, e.queryExecution.analyzed.canonicalized), { _ =>
+        val sigCols = (0 until NdBands).map(j => ndBandKey(j).as(s"bk$j"))
+        e.select(
+          col("vec_id") +: col("embedding") +: col("nrm") +: sigCols: _*)
+          .cache()
+      })
 
   /** DISTINCT banded candidate pairs with both sides' payloads, each
     * pair emitted EXACTLY once: a pair colliding in bands S surfaces

@@ -40,6 +40,17 @@ object EventStreams {
   private[streaming] def dayOf(ts: Timestamp): Long =
     Math.floorDiv(ts.getTime, 86400000L)
 
+  /** Event-time micros of a timestamp, exactly matching the batch
+    * twins' `unix_micros(ts)`: `getTime` is millisecond-resolution
+    * (sub-millisecond digits live in `getNanos`), so a bare
+    * `getTime * 1000` would truncate micros and let same-millisecond
+    * events tie — diverging from batch gap/ordering arithmetic on
+    * data with sub-millisecond timestamps. Shared by every stateful
+    * twin that orders or differences event times (funnel, as-of,
+    * adjacent-pair). */
+  private[streaming] def microsOf(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   final case class Session(
       userId: Long, start: Timestamp, end: Timestamp,
       nEvents: Long, totalValue: Double)
@@ -226,7 +237,7 @@ object EventStreams {
               val stage = e.eventType match {
                 case "view" => 0; case "click" => 1; case _ => 2
               }
-              PendEv(e.ts.getTime * 1000L, stage, e.eventId)
+              PendEv(microsOf(e.ts), stage, e.eventId)
             }.toVector
             // fold only what the watermark has STRICTLY sealed
             // (us < wm, matching asofJoin's discipline). Measured
@@ -312,7 +323,7 @@ object EventStreams {
             val st0 = state.getOption
               .getOrElse(AsofState(Vector.empty, None, None, 0L))
             val arrivals = it.map { e =>
-              PendAsof(e.ts.getTime * 1000L,
+              PendAsof(microsOf(e.ts),
                 if (e.eventType == "view") 0 else 1, e.eventId, e.value)
             }.toVector
             val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -390,7 +401,7 @@ object EventStreams {
             val st0 = state.getOption.getOrElse(
               AdjState(Vector.empty, 0L, 0L, "", hasLast = false, 0L))
             val arrivals = it.map(e =>
-              PendAdj(e.ts.getTime * 1000L, e.eventId, e.eventType)).toVector
+              PendAdj(microsOf(e.ts), e.eventId, e.eventType)).toVector
             val wmUs = state.getCurrentWatermarkMs() * 1000L
             val (ready, still) =
               (st0.pending ++ arrivals).partition(_.us < wmUs)

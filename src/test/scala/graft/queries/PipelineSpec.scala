@@ -1329,7 +1329,9 @@ class PipelineSpec extends SparkSpec {
       (4L, "srcB", "perfectly clean text with no identifiers"),
       // srcC: all clean → zero everything
       (5L, "srcC", "nothing to see here"),
-      (6L, "srcC", "still nothing"))
+      (6L, "srcC", "still nothing"),
+      // srcD: long modern gTLDs — a {2,6} TLD cap would miss both
+      (7L, "srcD", "mail carol@startup.technology or dev@ngo.international"))
     val out = TextPipeline.piiScanDf(docs.toDF("doc_id", "source", "text"))
       .collect()
       .map(r => r.getAs[String]("source") -> r).toMap
@@ -1346,6 +1348,8 @@ class PipelineSpec extends SparkSpec {
     assert(out("srcB").getAs[Long]("pii_doc_ppm") === 500000L)
     assert(out("srcC").getAs[Long]("pii_docs") === 0L)
     assert(out("srcC").getAs[Long]("pii_doc_ppm") === 0L)
+    assert(out("srcD").getAs[Long]("email_spans") === 2L)
+    assert(out("srcD").getAs[Long]("pii_docs") === 1L)
   }
 
   test("td31 pii scan is all-zero on the synthetic corpus (no digits, no @)") {
