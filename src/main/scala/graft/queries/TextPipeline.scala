@@ -652,6 +652,21 @@ object TextPipeline extends graft.Registry {
     * 0.87 / 1.65 / 19.6 s vs block-pair 1.39 / 4.5 / 12.1 s. */
   private[graft] val BlockPairMinDocs = 100000L
 
+  /** Corpus size above which the Manku sorted-run scan
+    * ([[dedupSimHashManku]]) replaces the block-pair JOIN: the join's
+    * per-candidate probe cost is ~870 ns (543 s / 2×10¹⁰ bucket pairs
+    * at 5 M docs, the measured round-10 sf100 wall) vs ~ns for the
+    * scan's in-run popcount loop, but at small corpora the scan's
+    * fixed 36n explode+shuffle+sort overhead competes with what the
+    * join spends probing. Measured ladder (SimHashAb, warm cached
+    * signatures, min of 3/2): sf1 (50 k) join 1.03 s vs scan 0.81 s;
+    * sf10 (500 k) join 6.75 s vs scan 1.99 s; sf100 (5 M) join 543 s
+    * vs scan 17.8 s (harness warm number). The scan wins from
+    * ~50 k docs up, but below BlockPairMinDocs the single-block join
+    * is faster than both (sub-second at sf0.1) — so the threshold
+    * sits between the decades where each advantage is decisive. */
+  private[graft] val MankuMinDocs = 400000L
+
   def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
     val sig = simhashSig(
       shingleIndex(s, dir).withColumn("h2", h32b(col("shingle"))))
@@ -659,10 +674,12 @@ object TextPipeline extends graft.Registry {
     // AQE-style runtime choice from the TRUE corpus cardinality (sig
     // is cached — the count is a cache scan, not a recompute):
     // Catalyst cannot cost this itself (Generate stats don't multiply
-    // by the array size), the two schemes' costs cross at ~10⁵ docs,
-    // and both are complete for hamming ≤ MaxHamming so the result set
-    // is identical either way.
-    dedupSimHashBanded(sig, sig.count() >= BlockPairMinDocs)
+    // by the array size), the three schemes' costs cross at measured
+    // corpus sizes, and all are complete for hamming ≤ MaxHamming so
+    // the result set is identical regardless of regime.
+    val n = sig.count()
+    if (n >= MankuMinDocs) dedupSimHashManku(sig)
+    else dedupSimHashBanded(sig, n >= BlockPairMinDocs)
   }
 
   /** The band join for [[dedupSimHash]], with the candidate banding
@@ -716,6 +733,93 @@ object TextPipeline extends graft.Registry {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .where(col("hamming") <= MaxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Manku prefix-sorted multi-table regime for ≥ [[MankuMinDocs]]
+    * docs (Manku et al., WWW'07 §3: sort fingerprint permutations,
+    * scan runs of equal prefix). The [[simBandKeys]] block-pair keys
+    * ARE the permuted prefixes — each band is a permutation putting
+    * two blocks first — so candidate completeness for Hamming ≤
+    * [[MaxHamming]] is the same pigeonhole argument as the join form,
+    * and both regimes produce identical pair sets (pinned by the
+    * scheme-equivalence test).
+    *
+    * What changes is HOW candidates are compared. The join form pays
+    * ~μs-scale probe machinery (hash lookup, row copy, condition
+    * eval) per in-bucket candidate; at 5 M docs the ~2×10¹⁰ bucket
+    * pairs cost 543 s (measured, BASELINE.md round-10 sf100 probe).
+    * Here the banded rows are hash-partitioned on (band, key), sorted
+    * within partitions — Spark's spill-safe sort, the literal Manku
+    * layout — and a mapPartitions scan buffers one (band, key) run at
+    * a time (bounded by bucket occupancy: avg ~300, max a few
+    * thousand at 5 M docs under 36 × 2¹⁴⁻¹⁵ keys) and compares every
+    * in-run pair with a tight xor+popcount loop: ~ns each, so the
+    * same 2×10¹⁰ comparisons are CPU-trivial and the job's cost
+    * collapses to the ONE 36n-row shuffle+sort. Only true near-dups
+    * (Hamming ≤ 7, a corpus-bounded set) leave the scan; the final
+    * distinct dedups cross-band hits on that small set exactly as the
+    * join form does. Measured sf100 (5 M docs), same harness and
+    * warm-index methodology as the round-10 wall: 543 s → 17.8 s
+    * (30×), pair sets checksum-identical at sf1/sf10 (SimHashAb);
+    * see BASELINE.md round-11. */
+  private[graft] def dedupSimHashManku(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
+    val bandStructs = simBandKeys.map { case (band, keySql) =>
+      expr(s"struct($band AS band, CAST($keySql AS BIGINT) AS nib)")
+    }
+    val banded = sig
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.nib").as("nib"),
+        col("doc_id"), col("simhash"))
+      .as[(Int, Long, Long, Long)]
+    val maxH = MaxHamming
+    banded
+      .repartition(col("band"), col("nib"))
+      .sortWithinPartitions("band", "nib")
+      .mapPartitions { rows =>
+        val buf = rows.buffered
+        new Iterator[(Long, Long, Long)] {
+          private var pending: Iterator[(Long, Long, Long)] =
+            Iterator.empty
+          private def advance(): Unit =
+            while (!pending.hasNext && buf.hasNext) {
+              // buffer exactly one sorted (band, key) run — within a
+              // run each doc appears once (one key per band per doc)
+              val (band, key) = (buf.head._1, buf.head._2)
+              val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val sigs = scala.collection.mutable.ArrayBuffer.empty[Long]
+              while (buf.hasNext &&
+                buf.head._1 == band && buf.head._2 == key) {
+                val r = buf.next(); ids += r._3; sigs += r._4
+              }
+              val out =
+                scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+              var i = 0
+              while (i < ids.length) {
+                val si = sigs(i); val di = ids(i)
+                var j = i + 1
+                while (j < ids.length) {
+                  val h = java.lang.Long.bitCount(si ^ sigs(j))
+                  if (h <= maxH) {
+                    val dj = ids(j)
+                    out += (if (di < dj) (di, dj, h.toLong)
+                            else (dj, di, h.toLong))
+                  }
+                  j += 1
+                }
+                i += 1
+              }
+              pending = out.iterator
+            }
+          def hasNext: Boolean = { advance(); pending.hasNext }
+          def next(): (Long, Long, Long) = { advance(); pending.next() }
+        }
+      }
+      .toDF("doc_a", "doc_b", "hamming")
       .distinct()
       .orderBy("doc_a", "doc_b")
   }

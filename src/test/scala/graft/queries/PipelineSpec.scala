@@ -61,6 +61,12 @@ class PipelineSpec extends SparkSpec {
     assert(a.nonEmpty)
     assert(a === b,
       "both complete d<=7 banding schemes must yield identical pairs")
+    // third regime: the Manku sorted-run scan buckets on the SAME
+    // block-pair keys, so its pair set must be bit-identical too
+    val c = TextPipeline.dedupSimHashManku(sig)
+      .collect().map(_.toSeq).toSeq
+    assert(a === c,
+      "the Manku sorted-run regime must yield identical pairs")
   }
 
   test("simhash band keys spread over the block-pair key space") {

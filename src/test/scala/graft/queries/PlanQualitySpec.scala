@@ -395,6 +395,24 @@ class PlanQualitySpec extends SparkSpec {
       bandExpr.findAllMatchIn(pSmall).map(_.group(2)).toSet
     assert(masksSmall === Set("255"),
       s"small-corpus td08 must use single 8-bit bands, saw $masksSmall")
+    // the ≥400k-doc Manku regime must be JOIN-FREE: candidates are
+    // compared inside a sorted-run mapPartitions scan, so the only
+    // pair-sized structure lives in a tight in-run loop — the plan is
+    // one hash exchange on (band, key) + in-partition sort + scan
+    val pManku =
+      try {
+        spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+        plan(TextPipeline.dedupSimHashManku(sig))
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.debug.maxToStringFields", v)
+        case None => spark.conf.unset("spark.sql.debug.maxToStringFields")
+      }
+    assert(!pManku.contains("Join"),
+      "the Manku sorted-run regime must not contain any join")
+    assert(pManku.contains("MapPartitions") || pManku.contains("mapPartitions"),
+      "the Manku regime compares candidates in a mapPartitions scan")
+    assert(pManku.contains("hashpartitioning(band"),
+      "the Manku regime must exchange exactly on the (band, key) domain")
   }
 
   test("prototype prune (v14): row-local argmin, one corpus shuffle, no N×k join") {
