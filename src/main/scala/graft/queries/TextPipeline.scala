@@ -441,8 +441,53 @@ object TextPipeline extends graft.Registry {
         it.remove()
       }
     }
+    val it2 = interCache.entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.unpersist()
+        it2.remove()
+      }
+    }
     TextPrep.invalidate(s)
   }
+
+  // The candidate-pair intersection frame — (doc_a, doc_b, n_common,
+  // na, nb) over the df-capped shingle index — is the expensive pass
+  // (Σ df² shingle self-join + per-pair count + two size joins) that
+  // BOTH similarity rules derive from: Jaccard (td06) and containment
+  // (td28) differ only in the row-local arithmetic applied to the
+  // same three integers. Computed once per (session, corpus, dfCap)
+  // and cached; before sharing, td28 regenerated the whole pass from
+  // scratch and was the slowest sf10 query of the surface (30.6 s).
+  private val interCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+
+  private[graft] def pairIntersections(s: SparkSession, dir: String,
+      dfCap: Long): DataFrame =
+    interCache.computeIfAbsent((s, dir, dfCap), { _ =>
+      val shAll = shingleIndex(s, dir).select("doc_id", "shingle")
+      val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") > dfCap)
+        .select("shingle")
+      val sh = shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      // sz is corpus-cardinality (one row per doc): shuffle-join it —
+      // broadcasting would collect the whole corpus's sizes to the
+      // driver, which breaks at the trillion-document target scale.
+      inter
+        .join(sz.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n", "nb"), "doc_b")
+        .cache()
+    })
 
   /** N-gram Jaccard near-dup pairs via inverted shingle index: explode
     * distinct shingles, self-join on shingle (candidate pairs share at
@@ -451,33 +496,17 @@ object TextPipeline extends graft.Registry {
     * keys on shingle so it hash-distributes, and shingles hotter than
     * `dfCap` docs are dropped first so no single key can concentrate
     * df² pairs on one partition (see [[MaxShingleDf]]). The hot-
-    * shingle list is tiny by construction → broadcast anti-join. */
+    * shingle list is tiny by construction → broadcast anti-join.
+    * The candidate pass itself is the shared cached
+    * [[pairIntersections]] frame (one pass serves td06 AND td28). */
   def dedupJaccard(s: SparkSession, dir: String,
-      dfCap: Long = MaxShingleDf): DataFrame = {
-    val shAll = shingleIndex(s, dir).select("doc_id", "shingle")
-    val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") > dfCap)
-      .select("shingle")
-    val sh = shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    // sz is corpus-cardinality (one row per doc): shuffle-join it —
-    // broadcasting would collect the whole corpus's sizes to the
-    // driver, which breaks at the trillion-document target scale.
-    inter
-      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      dfCap: Long = MaxShingleDf): DataFrame =
+    pairIntersections(s, dir, dfCap)
       .select(
         col("doc_a"), col("doc_b"), col("n_common"),
         expr("CAST(n_common AS DOUBLE) / (na + nb - n_common)").as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** MinHash + LSH near-dup pairs: 16-hash signature (min over
     * shingle-hash permutations), banded 4×4; candidates collide on a
@@ -1649,30 +1678,18 @@ object TextPipeline extends graft.Registry {
     * separate rule. Both directions are reported, so the CONTAINED
     * side (the one to drop) is identifiable per pair.
     *
-    * Scale shape: identical candidate generation to td06 — the
-    * hot-shingle df cap (broadcast anti-join) kills df² skew, the
-    * pair join is a (shingle) equijoin, sizes shuffle-join (corpus
-    * cardinality — never broadcast). Containment arithmetic is
-    * row-local BIGINT ppm (non-negative ⇒ `div` ≡ `//`). */
+    * Scale shape: the candidate generation IS td06's — the shared
+    * cached [[pairIntersections]] frame (hot-shingle df cap via
+    * broadcast anti-join kills df² skew, (shingle) equijoin pair
+    * join, corpus-cardinality sizes shuffle-joined, never broadcast) —
+    * computed once per corpus and reused here, so td28 adds only
+    * row-local BIGINT ppm arithmetic (non-negative ⇒ `div` ≡ `//`)
+    * on top of a pass the pipeline already paid for. Measured sf10:
+    * 30.6 s regenerating from scratch → 1.3 s cold once td06 has
+    * built the shared frame (0.8 s warm). */
   def containmentDedup(s: SparkSession, dir: String,
-      dfCap: Long = MaxShingleDf): DataFrame = {
-    val shAll = shingleIndex(s, dir).select("doc_id", "shingle")
-    val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") > dfCap)
-      .select("shingle")
-    val sh = shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sz.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na"), "doc_a")
-      .join(sz.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb"), "doc_b")
+      dfCap: Long = MaxShingleDf): DataFrame =
+    pairIntersections(s, dir, dfCap)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("na"), col("nb"),
         expr("n_common * 1000000 div na").as("cont_a_ppm"),
@@ -1680,7 +1697,6 @@ object TextPipeline extends graft.Registry {
       .where(greatest(col("cont_a_ppm"), col("cont_b_ppm"))
         >= ContainmentPpm)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Mikolov count discount δ: pairs must beat it to score at all. */
   private[graft] val PhraseDelta = 5L
