@@ -90,6 +90,14 @@ class HttpFacade(
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
     if (executor != null) { executor.shutdown(); executor = null }
+    // The facade owns this session's lifetime from the caller's view,
+    // so drop every per-session pipeline cache with it — otherwise
+    // the cached/persisted frames (shingle index, pair graph,
+    // candidate intersections, ANN signatures, relation handles) pin
+    // the stopped session's memory until JVM exit.
+    graft.queries.TextPipeline.invalidate(spark)
+    graft.queries.VectorPipeline.invalidate(spark)
+    graft.sources.Tables.invalidate(spark)
   }
 
   // ------------------------------------------------------------ dispatch

@@ -295,10 +295,11 @@ object Multimodal {
   object Mp4Codec extends Codec {
     /** Parsed container facts: seconds, tracks, coded dims, and the
       * video track's per-sample (fileOffset, byteSize) table.
-      * `spsWidth`/`spsHeight` are the H.264 SPS-coded dimensions when
-      * the sample entry carries an `avcC` record (0 otherwise); when
-      * present they take precedence in `width`/`height` — the SPS is
-      * what a decoder obeys, stsd's u16s are advisory. */
+      * `spsWidth`/`spsHeight` are the SPS-coded dimensions when the
+      * sample entry carries an `avcC` (H.264) or `hvcC` (HEVC)
+      * record (0 otherwise); when present they take precedence in
+      * `width`/`height` — the SPS is what a decoder obeys, stsd's
+      * u16s are advisory. */
     final case class Mp4Info(
         durationSec: Double, nTracks: Int, width: Int, height: Int,
         samples: Vector[(Long, Int)],
@@ -320,23 +321,58 @@ object Multimodal {
         while (k < n) { v = (v << 1) | u1(); k += 1 }
         v
       }
-      def ue(): Int = {
+      /** Unsigned exp-Golomb in a Long: a conformant se()-coded SPS
+        * field ranges to ±(2³¹−1), i.e. its ue code reaches 2³²−2 —
+        * past Int — so the round-11 global z > 16 run cap silently
+        * rejected legal-but-exotic headers. The Long arithmetic is
+        * exact through z = 31 (the largest run any conformant field
+        * can code); beyond that only a malformed all-zero run
+        * remains, and throwing keeps it out of the w/h > 0 guards. */
+      def ueLong(): Long = {
         var z = 0
         while (u1() == 0) {
           z += 1
-          // No field a dimension parse touches needs values beyond
-          // 2^17 (pic_width_in_mbs caps far lower); at z = 31 the
-          // (1 << z) - 1 + u(z) arithmetic would overflow Int and a
-          // malformed SPS could wrap to an arbitrary positive value
-          // that slips past the w > 0 / h > 0 guards.
-          if (z > 16) throw new IllegalArgumentException("exp-Golomb run")
+          if (z > 31) throw new IllegalArgumentException("exp-Golomb run")
         }
-        ((1 << z) - 1) + (if (z == 0) 0 else u(z))
+        ((1L << z) - 1L) + (if (z == 0) 0L else u(z).toLong)
+      }
+      /** ue() with the per-field check replacing the old global cap:
+        * every ue field a dimension parse reads is spec-capped far
+        * below Int range, so a larger decode is malformed. */
+      def ue(): Int = {
+        val v = ueLong()
+        if (v > Int.MaxValue) throw new IllegalArgumentException("ue range")
+        v.toInt
       }
       def se(): Int = {
-        val k = ue()
-        if ((k & 1) == 1) (k >> 1) + 1 else -(k >> 1)
+        val k = ueLong()
+        val v = if ((k & 1L) == 1L) (k >> 1) + 1L else -(k >> 1)
+        if (v > Int.MaxValue || v < Int.MinValue)
+          throw new IllegalArgumentException("se range")
+        v.toInt
       }
+    }
+
+    /** Spec sanity cap for dimension-bearing ue fields (pixel or MB
+      * counts): no conformant stream exceeds 2¹⁶ in any of them, and
+      * capping keeps all downstream ×16/crop arithmetic inside Int. */
+    private def dim(v: Int): Int =
+      if (v < 0 || v > 65536)
+        throw new IllegalArgumentException("dimension field range")
+      else v
+
+    /** RBSP extraction: strip `00 00 03` emulation-prevention
+      * sequences from the NAL payload after `headerBytes`. */
+    private def rbspOf(nal: Array[Byte], headerBytes: Int): Array[Byte] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Byte](nal.length)
+      var i = headerBytes
+      while (i < nal.length) {
+        if (i + 2 < nal.length && nal(i) == 0 && nal(i + 1) == 0 &&
+            nal(i + 2) == 3) {
+          out += 0; out += 0; i += 3
+        } else { out += nal(i); i += 1 }
+      }
+      out.toArray
     }
 
     /** Skip one scaling_list() (ISO/IEC 14496-10 §7.3.2.1.1.1). */
@@ -365,17 +401,7 @@ object Multimodal {
       * None for malformed/truncated bits. */
     private[pipeline] def spsDims(nal: Array[Byte]): Option[(Int, Int)] = {
       if (nal.length < 4 || (nal(0) & 0x1f) != 7) return None
-      val rbsp = {
-        val out = new scala.collection.mutable.ArrayBuffer[Byte](nal.length)
-        var i = 1
-        while (i < nal.length) {
-          if (i + 2 < nal.length && nal(i) == 0 && nal(i + 1) == 0 &&
-              nal(i + 2) == 3) {
-            out += 0; out += 0; i += 3
-          } else { out += nal(i); i += 1 }
-        }
-        out.toArray
-      }
+      val rbsp = rbspOf(nal, 1)
       try {
         val r = new BitReader(rbsp)
         val profileIdc = r.u(8)
@@ -407,13 +433,16 @@ object Multimodal {
         }
         r.ue() // max_num_ref_frames
         r.u1() // gaps_in_frame_num_value_allowed_flag
-        val widthMbs = r.ue() + 1
-        val heightMapUnits = r.ue() + 1
+        val widthMbs = dim(r.ue()) + 1
+        val heightMapUnits = dim(r.ue()) + 1
         val frameMbsOnly = r.u1()
         if (frameMbsOnly == 0) r.u1() // mb_adaptive_frame_field_flag
         r.u1() // direct_8x8_inference_flag
         var cl = 0; var cr = 0; var ct = 0; var cb = 0
-        if (r.u1() == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+        if (r.u1() == 1) {
+          cl = dim(r.ue()); cr = dim(r.ue())
+          ct = dim(r.ue()); cb = dim(r.ue())
+        }
         val (subW, subH) = chromaFormatIdc match {
           case 0 => (1, 1)
           case 1 => (2, 2)
@@ -438,6 +467,92 @@ object Multimodal {
         if (len < 1 || as + 8 + len > ae) None
         else Some(java.util.Arrays.copyOfRange(b, as + 8, as + 8 + len))
       }
+    }
+
+    /** HEVC sequence-parameter-set dimension parse (ISO/IEC 23008-2
+      * §7.3.2.2.1): `pic_width/height_in_luma_samples` minus the
+      * conformance window in chroma-dependent units (§7.4.3.2.1:
+      * SubWidthC = 2 for 4:2:0/4:2:2 else 1, SubHeightC = 2 for
+      * 4:2:0 else 1). Unlike H.264 the coded size is already in luma
+      * samples — no macroblock arithmetic — but the parse must first
+      * walk the fixed-size profile_tier_level block (§7.3.3: an
+      * 88-bit general profile/constraint block + 8-bit level, then
+      * per-sub-layer presence flags and repeats). Input is the raw
+      * SPS NAL (2-byte HEVC header, type 33); emulation-prevention
+      * stripped before bit parsing. None for malformed bits. */
+    private[pipeline] def hevcSpsDims(nal: Array[Byte]): Option[(Int, Int)] = {
+      if (nal.length < 5 || ((nal(0) >> 1) & 0x3f) != 33) return None
+      val rbsp = rbspOf(nal, 2)
+      try {
+        val r = new BitReader(rbsp)
+        r.u(4) // sps_video_parameter_set_id
+        val maxSub = r.u(3) // sps_max_sub_layers_minus1
+        r.u1() // sps_temporal_id_nesting_flag
+        // profile_tier_level(1, maxSub): 88-bit general block
+        // (space/tier/idc 8 + compat 32 + constraint 48) + level 8
+        r.u(32); r.u(32); r.u(24); r.u(8)
+        if (maxSub > 0) {
+          val profPresent = new Array[Boolean](maxSub)
+          val levelPresent = new Array[Boolean](maxSub)
+          var i = 0
+          while (i < maxSub) {
+            profPresent(i) = r.u1() == 1
+            levelPresent(i) = r.u1() == 1
+            i += 1
+          }
+          var j = maxSub
+          while (j < 8) { r.u(2); j += 1 } // reserved_zero_2bits
+          i = 0
+          while (i < maxSub) {
+            if (profPresent(i)) { r.u(32); r.u(32); r.u(24) }
+            if (levelPresent(i)) r.u(8)
+            i += 1
+          }
+        }
+        r.ue() // sps_seq_parameter_set_id
+        val chroma = r.ue()
+        if (chroma == 3) r.u1() // separate_colour_plane_flag
+        val w0 = dim(r.ue()) // pic_width_in_luma_samples
+        val h0 = dim(r.ue()) // pic_height_in_luma_samples
+        var cl = 0; var cr = 0; var ct = 0; var cb = 0
+        if (r.u1() == 1) { // conformance_window_flag
+          cl = dim(r.ue()); cr = dim(r.ue())
+          ct = dim(r.ue()); cb = dim(r.ue())
+        }
+        val subW = if (chroma == 1 || chroma == 2) 2 else 1
+        val subH = if (chroma == 1) 2 else 1
+        val w = w0 - subW * (cl + cr)
+        val h = h0 - subH * (ct + cb)
+        if (w > 0 && h > 0) Some((w, h)) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** First SPS NAL out of an `hvcC`
+      * (HEVCDecoderConfigurationRecord, ISO/IEC 14496-15 §8.3.3.1):
+      * 22-byte fixed head + `numOfArrays`, then per array a NAL-type
+      * byte (low 6 bits), u16 NAL count, and count × (u16 length +
+      * NAL bytes); SPS arrays carry type 33. */
+    private def hvcCSps(b: Array[Byte], as: Int, ae: Int)
+        : Option[Array[Byte]] = {
+      if (as + 23 > ae) return None
+      var arrays = b(as + 22) & 0xff
+      var p = as + 23
+      while (arrays > 0 && p + 3 <= ae) {
+        val nalType = b(p) & 0x3f
+        var n = u16(b, p + 1)
+        p += 3
+        while (n > 0) {
+          if (p + 2 > ae) return None
+          val len = u16(b, p)
+          if (len < 1 || p + 2 + len > ae) return None
+          if (nalType == 33)
+            return Some(java.util.Arrays.copyOfRange(b, p + 2, p + 2 + len))
+          p += 2 + len
+          n -= 1
+        }
+        arrays -= 1
+      }
+      None
     }
 
     private def u16(b: Array[Byte], i: Int): Int =
@@ -592,14 +707,18 @@ object Multimodal {
           case (entry, de) if entry + 36 <= de =>
             (u16(b, entry + 32), u16(b, entry + 34))
         }
-        // child boxes (avcC, pasp, …) follow the fixed 86-byte
-        // VisualSampleEntry; an avcC's first SPS carries the
-        // authoritative coded dimensions — no decoder needed
+        // child boxes (avcC/hvcC, pasp, …) follow the fixed 86-byte
+        // VisualSampleEntry; the first SPS of an avcC (H.264) or
+        // hvcC (HEVC) carries the authoritative coded dimensions —
+        // no decoder needed
         val sps = stsdEntry.flatMap { case (entry, de) =>
           if (entry + 86 >= de) None
           else find(b, entry + 86, de, "avcC")
             .flatMap { case (as, ae) => avcCSps(b, as, ae) }
             .flatMap(spsDims)
+            .orElse(find(b, entry + 86, de, "hvcC")
+              .flatMap { case (as, ae) => hvcCSps(b, as, ae) }
+              .flatMap(hevcSpsDims))
         }
         val (w, h) = sps.orElse(stsdDims)
           .orElse(video.collect { case t if t.tkhdW > 0 => (t.tkhdW, t.tkhdH) })

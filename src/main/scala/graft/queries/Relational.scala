@@ -238,13 +238,31 @@ object Relational extends graft.Registry {
   def constant(s: SparkSession, dir: String): DataFrame =
     s.sql("SELECT 1 AS x")
 
-  /** One bucketed orders/lineitem layout per sfDir per JVM. 8 buckets
-    * suits the test scale factors; a 100 TB deployment sizes bucket
-    * counts to the 128 MB–1 GB file band (see
-    * [[graft.sources.Bucketing]]) — the plan property pinned here is
-    * count-independent as long as both sides match. */
+  /** One bucketed orders/lineitem layout per sfDir per JVM. The
+    * bucket COUNT is sized from the data ([[bucketCountFor]]) because
+    * a bucketed scan's parallelism is min(buckets, cores): the
+    * round-12 sf100 probe measured the previous fixed 8 buckets
+    * turning the zero-Exchange join into an 8-task straggler over
+    * 600 M lineitem rows (74 s; 22× for 10× data). The plan property
+    * pinned in BucketingSpec is count-independent as long as both
+    * sides match — only the parallelism ceiling moves. */
   private val bucketedDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Buckets for the q15 layout: one bucket per ~16 M fact rows
+    * (≈ 128–512 MB of written 2-column parquet — the file band
+    * [[graft.sources.Bucketing]] prescribes), rounded up to a power
+    * of two so counts stay stable across near-boundary row counts,
+    * floored at 8 (the test-scale layout every existing plan pin
+    * runs on) and capped at 128 (a single box's useful ceiling; a
+    * real cluster deployment raises the cap with its core count).
+    * The row count comes from parquet footers — metadata-only scan,
+    * paid once per layout build. */
+  private def bucketCountFor(s: SparkSession, dir: String): Int = {
+    val rows = t(s, dir, "lineitem").count()
+    val want = math.ceil(rows / 16e6).toInt
+    math.min(128, math.max(8, Integer.highestOneBit(
+      math.max(1, want - 1)) * 2))
+  }
   private def bucketedName(dir: String, tbl: String): String =
     s"graft_b15_${tbl}_${java.lang.Integer.toHexString(dir.hashCode)}"
   /** The session catalog is in-memory but the managed-table location
@@ -263,12 +281,13 @@ object Relational extends graft.Registry {
       if (!bucketedDirs.contains(dir)) {
         dropStale(s, bucketedName(dir, "orders"))
         dropStale(s, bucketedName(dir, "lineitem"))
+        val buckets = bucketCountFor(s, dir)
         graft.sources.Bucketing.writeBucketed(
           t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
-          bucketedName(dir, "orders"), 8, Seq("o_orderkey"))
+          bucketedName(dir, "orders"), buckets, Seq("o_orderkey"))
         graft.sources.Bucketing.writeBucketed(
           t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
-          bucketedName(dir, "lineitem"), 8, Seq("l_orderkey"))
+          bucketedName(dir, "lineitem"), buckets, Seq("l_orderkey"))
         bucketedDirs.add(dir)
       }
     }

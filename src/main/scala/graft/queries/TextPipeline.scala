@@ -481,12 +481,22 @@ object TextPipeline extends graft.Registry {
       // sz is corpus-cardinality (one row per doc): shuffle-join it —
       // broadcasting would collect the whole corpus's sizes to the
       // driver, which breaks at the trillion-document target scale.
+      // Explicit storage level, stated rather than inherited: this
+      // frame is the PRE-threshold candidate set — ~40 bytes × every
+      // pair with n_common ≥ 1 (Σ df² over the capped index, linear
+      // in docs by the df-cap) — so at large corpora it can dominate
+      // storage memory. MEMORY_AND_DISK spills those blocks to local
+      // disk instead of evicting-and-recomputing the Σ df² join (the
+      // expensive pass the cache exists to amortize); the session's
+      // [[invalidate]] unpersists it with the other shingle-derived
+      // caches once both td06/td28 consumers are done with the
+      // corpus.
       inter
         .join(sz.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("n", "na"), "doc_a")
         .join(sz.withColumnRenamed("doc_id", "doc_b")
           .withColumnRenamed("n", "nb"), "doc_b")
-        .cache()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   /** N-gram Jaccard near-dup pairs via inverted shingle index: explode
@@ -825,24 +835,34 @@ object TextPipeline extends graft.Registry {
                 buf.head._1 == band && buf.head._2 == key) {
                 val r = buf.next(); ids += r._3; sigs += r._4
               }
-              val out =
-                scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-              var i = 0
-              while (i < ids.length) {
-                val si = sigs(i); val di = ids(i)
-                var j = i + 1
-                while (j < ids.length) {
-                  val h = java.lang.Long.bitCount(si ^ sigs(j))
-                  if (h <= maxH) {
-                    val dj = ids(j)
-                    out += (if (di < dj) (di, dj, h.toLong)
-                            else (dj, di, h.toLong))
+              // Emit the run's qualifying pairs LAZILY over (i, j)
+              // index state: only the O(k) id/sig run buffers stay
+              // resident, never the pair set — a degenerate bucket of
+              // k mutually-near docs streams its k²/2 pairs out
+              // without materializing them (the streamed join form's
+              // memory property, kept here).
+              pending = new Iterator[(Long, Long, Long)] {
+                private var i = 0
+                private var j = 1
+                private var nextPair: (Long, Long, Long) = null
+                private def seek(): Unit =
+                  while (nextPair == null && i < ids.length - 1) {
+                    val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+                    if (h <= maxH) {
+                      val di = ids(i); val dj = ids(j)
+                      nextPair =
+                        if (di < dj) (di, dj, h.toLong)
+                        else (dj, di, h.toLong)
+                    }
+                    j += 1
+                    if (j >= ids.length) { i += 1; j = i + 1 }
                   }
-                  j += 1
+                def hasNext: Boolean = { seek(); nextPair != null }
+                def next(): (Long, Long, Long) = {
+                  seek()
+                  val p = nextPair; nextPair = null; p
                 }
-                i += 1
               }
-              pending = out.iterator
             }
           def hasNext: Boolean = { advance(); pending.hasNext }
           def next(): (Long, Long, Long) = { advance(); pending.next() }
@@ -1793,29 +1813,43 @@ object TextPipeline extends graft.Registry {
   def piiScan(s: SparkSession, dir: String): DataFrame =
     piiScanDf(docs(s, dir))
 
-  /** [[piiScan]] over an ad-hoc `(text, source)` frame (test entry
-    * point for planted-PII corpora). */
-  private[graft] def piiScanDf(d: DataFrame): DataFrame = {
-    val perDoc = d.select(
-      col("source") +:
+  /** Row-local PII tag stage shared by batch td31 and the streaming
+    * gate ([[graft.streaming.DocStreams.piiGate]]): appends one
+    * `c_<category>` span-count column per [[PiiPatterns]] entry plus
+    * a `pii_any` flag to the input columns. Stateless codegen'd
+    * per-row expressions only — no aggregation, no state — which is
+    * exactly what lets the SAME stage run unchanged on a stream. */
+  private[graft] def piiTag(d: DataFrame): DataFrame =
+    d.select(
+      d.columns.map(col).toSeq ++
         PiiPatterns.map { case (nm, pat) =>
           size(expr(s"regexp_extract_all(text, '$pat', 0)"))
             .cast("long").as(s"c_$nm")
         }: _*)
-    val anyPii = PiiPatterns.map(p => col(s"c_${p._1}"))
-      .reduce(_ + _) > 0L
-    perDoc.groupBy("source")
+      .withColumn("pii_any",
+        PiiPatterns.map(p => col(s"c_${p._1}")).reduce(_ + _) > 0L)
+
+  /** The td31 report fold over [[piiTag]] output — per source: doc
+    * count, span totals per category, PII-document count and exact
+    * integer ppm. Factored out so DocStreamsSpec can prove the
+    * streamed per-doc tags fold to the batch report EXACTLY. */
+  private[graft] def piiReportFromTags(tagged: DataFrame): DataFrame =
+    tagged.groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         PiiPatterns.map { case (nm, _) =>
           sum(col(s"c_$nm")).cast("long").as(s"${nm}_spans")
-        } :+ sum(anyPii.cast("long")).cast("long").as("pii_docs"): _*)
+        } :+ sum(col("pii_any").cast("long")).cast("long").as("pii_docs"): _*)
       .select(Seq(col("source"), col("n_docs")) ++
         PiiPatterns.map(p => col(s"${p._1}_spans")) ++
         Seq(col("pii_docs"),
           expr("pii_docs * 1000000 div n_docs").as("pii_doc_ppm")): _*)
       .orderBy("source")
-  }
+
+  /** [[piiScan]] over an ad-hoc `(text, source)` frame (test entry
+    * point for planted-PII corpora). */
+  private[graft] def piiScanDf(d: DataFrame): DataFrame =
+    piiReportFromTags(piiTag(d.select("source", "text")))
 
   // DuckDB oracles — generated from the SAME constants as the Spark
   // queries (TextPrep.MinHashAB etc.), so both sides stay in lockstep.

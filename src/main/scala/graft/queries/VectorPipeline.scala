@@ -268,6 +268,23 @@ object VectorPipeline extends graft.Registry {
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
     DataFrame]()
 
+  /** Drop this session's cached signature frames (session stop /
+    * corpus re-ingest) — the same discipline as
+    * [[graft.queries.TextPipeline.invalidate]]: without an
+    * invalidation path the cache leaks map entries after session
+    * stop and would return stale signatures if the same source path
+    * were re-ingested with new data. */
+  def invalidate(s: SparkSession): Unit = {
+    val it = sigCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
+  }
+
   private def ndSignatures(e: DataFrame): DataFrame =
     sigCache.computeIfAbsent(
       (e.sparkSession, e.queryExecution.analyzed.canonicalized), { _ =>

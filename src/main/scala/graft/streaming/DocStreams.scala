@@ -572,4 +572,20 @@ object DocStreams {
           }
       }
   }
+
+  /** Streaming PII gate — batch td31's continuous form: every
+    * arriving document is tagged with its per-category PII span
+    * counts (`c_email`/`c_phone`/`c_ipv4`/`c_ssn` + `pii_any`) by
+    * the SAME row-local [[graft.queries.TextPipeline.piiTag]]
+    * expressions the batch report aggregates, so a pipeline can
+    * route flagged documents to redaction ON INGEST instead of by a
+    * later batch sweep. Completely stateless — no watermark, no
+    * state store, no shuffle: the regex extractions are codegen'd
+    * per-row expressions inside the ingest projection, which is why
+    * the per-batch tags fold to the batch td31 report EXACTLY
+    * (DocStreamsSpec proves the fold) and why the gate adds no
+    * latency class at any scale — bytes stream past the four regex
+    * automata once, per arriving row. */
+  def piiGate(docs: DataFrame): DataFrame =
+    graft.queries.TextPipeline.piiTag(docs)
 }

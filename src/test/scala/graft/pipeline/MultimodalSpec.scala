@@ -435,4 +435,154 @@ class MultimodalSpec extends SparkSpec {
       "mediaId", "kind", "width", "height", "channels", "nBytes",
       "entropyBits", "histogram"))
   }
+
+  test("HEVC SPS in hvcC reports real coded dimensions, no decoder") {
+    final class BitWriter {
+      private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+      def u(v: Int, n: Int): this.type = {
+        var i = n - 1
+        while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
+        this
+      }
+      def ue(v: Int): this.type = {
+        val k = v + 1
+        val n = 32 - Integer.numberOfLeadingZeros(k)
+        u(0, n - 1); u(k, n)
+      }
+      def bytes: Array[Byte] = {
+        val padded = bits ++ Seq.fill((8 - bits.length % 8) % 8)(0)
+        padded.grouped(8)
+          .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+      }
+    }
+    // 88-bit profile_tier_level general block + 8-bit level
+    def ptl(w: BitWriter): BitWriter =
+      w.u(0, 32).u(0, 32).u(0, 24).u(93, 8)
+    // Main-profile 4:2:0 1280x720, no conformance window
+    val sps720 = Array(0x42.toByte, 0x01.toByte) ++ ptl(new BitWriter()
+      .u(0, 4).u(0, 3).u(1, 1)) // vps_id, max_sub_layers_minus1 0, nesting
+      .ue(0) // sps_id
+      .ue(1) // chroma_format_idc 4:2:0
+      .ue(1280).ue(720)
+      .u(0, 1) // no conformance window
+      .u(1, 1) // rbsp stop bit
+      .bytes
+    assert(Mp4Codec.hevcSpsDims(sps720) === Some((1280, 720)))
+    // 4:2:0 1920x1080 coded as 1920x1088 with an 8-luma-row bottom
+    // window (offset 4 x SubHeightC 2) — the standard HD shape
+    val sps1080 = Array(0x42.toByte, 0x01.toByte) ++ ptl(new BitWriter()
+      .u(0, 4).u(0, 3).u(1, 1))
+      .ue(0)
+      .ue(1)
+      .ue(1920).ue(1088)
+      .u(1, 1).ue(0).ue(0).ue(0).ue(4) // window: bottom 4 chroma units
+      .u(1, 1)
+      .bytes
+    assert(Mp4Codec.hevcSpsDims(sps1080) === Some((1920, 1080)))
+    // one sub-layer with profile+level present: the parse must walk
+    // the per-sub-layer PTL repeats to reach the dimensions
+    val spsSub = Array(0x42.toByte, 0x01.toByte) ++ {
+      val w = ptl(new BitWriter().u(0, 4).u(1, 3).u(1, 1))
+      w.u(1, 1).u(1, 1) // sub_layer profile/level present
+      var j = 1
+      while (j < 8) { w.u(0, 2); j += 1 }
+      w.u(0, 32).u(0, 32).u(0, 24) // sub-layer 88-bit profile block
+      w.u(90, 8) // sub-layer level
+      w.ue(0).ue(1).ue(640).ue(480).u(0, 1).u(1, 1)
+    }.bytes
+    assert(Mp4Codec.hevcSpsDims(spsSub) === Some((640, 480)))
+    // wrong NAL type / truncated → None, never a crash
+    assert(Mp4Codec.hevcSpsDims(Array[Byte](0x40, 1, 2, 3, 4)) === None)
+    assert(Mp4Codec.hevcSpsDims(sps720.take(7)) === None)
+
+    // container-level: an hvc1 entry whose stsd u16s LIE (0x0) but
+    // whose hvcC SPS says 1280x720 — the SPS must win; the SPS array
+    // sits SECOND after a VPS array so the array walk is exercised
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      buf.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      buf.array()
+    }
+    val vpsNal = Array(0x40.toByte, 0x01.toByte, 0x0c.toByte)
+    def nalArray(typ: Int, nal: Array[Byte]): Array[Byte] =
+      Array((0x80 | typ).toByte, 0.toByte, 1.toByte,
+        ((nal.length >> 8) & 0xff).toByte, (nal.length & 0xff).toByte) ++ nal
+    val hvcC = box("hvcC",
+      Array.fill(22)(0.toByte) ++ Array(2.toByte) ++
+        nalArray(32, vpsNal) ++ nalArray(33, sps720))
+    val entry = {
+      val p = java.nio.ByteBuffer.allocate(86 + hvcC.length)
+      p.putInt(86 + hvcC.length).put("hvc1".getBytes("US-ASCII"))
+      p.position(8 + 6); p.putShort(1) // data_ref_index
+      // width/height u16s left 0x0 on purpose
+      p.position(86); p.put(hvcC)
+      p.array()
+    }
+    val stsd = {
+      val p = java.nio.ByteBuffer.allocate(8 + entry.length)
+      p.putInt(0).putInt(1).put(entry)
+      p.array()
+    }
+    def hdlr(handler: String) = {
+      val p = java.nio.ByteBuffer.allocate(25)
+      p.putInt(0).putInt(0).put(handler.getBytes("US-ASCII"))
+      p.array()
+    }
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(100)
+      p.putInt(0).putInt(0).putInt(0).putInt(600).putInt(600)
+      p.array()
+    }
+    val ftyp = box("ftyp",
+      "isomiso2".getBytes("US-ASCII") ++ Array.fill(4)(0.toByte))
+    val videoTrak = box("trak", box("mdia",
+      box("hdlr", hdlr("vide")) ++ box("minf", box("stbl",
+        box("stsd", stsd)))))
+    val file = ftyp ++ box("moov", box("mvhd", mvhd) ++ videoTrak)
+    val info = Mp4Codec.parse(file).get
+    assert((info.spsWidth, info.spsHeight) === (1280, 720))
+    assert((info.width, info.height) === (1280, 720))
+    assert(Mp4Codec.dimensions(file) === (1280, 720, 1))
+  }
+
+  test("H.264 SPS with a legal 2^29 se() poc offset parses (Long ue)") {
+    // the round-11 global z > 16 exp-Golomb cap rejected this legal
+    // header (offset_for_non_ref_pic may range to ±(2^31-1)); the
+    // Long-backed reader accepts it and still rejects absurd runs
+    final class BitWriter {
+      private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+      def u(v: Int, n: Int): this.type = {
+        var i = n - 1
+        while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
+        this
+      }
+      def ue(v: Int): this.type = {
+        val k = v + 1
+        val n = 32 - Integer.numberOfLeadingZeros(k)
+        u(0, n - 1); u(k, n)
+      }
+      def se(v: Int): this.type =
+        ue(if (v > 0) 2 * v - 1 else -2 * v)
+      def bytes: Array[Byte] = {
+        val padded = bits ++ Seq.fill((8 - bits.length % 8) % 8)(0)
+        padded.grouped(8)
+          .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+      }
+    }
+    val sps = Array(0x67.toByte) ++ new BitWriter()
+      .u(66, 8).u(0, 16)
+      .ue(0) // sps_id
+      .ue(0) // log2_max_frame_num_minus4
+      .ue(1) // poc_type 1 — the se-coded branch
+      .u(0, 1) // delta_pic_order_always_zero_flag
+      .se(1 << 29).se(0) // offset_for_non_ref_pic: huge but legal
+      .ue(0) // num_ref_frames_in_pic_order_cnt_cycle
+      .ue(1).u(0, 1) // max_num_ref_frames, gaps flag
+      .ue(19).ue(14) // 320x240
+      .u(1, 1).u(1, 1).u(0, 1)
+      .u(0, 1).u(1, 1)
+      .bytes
+    assert(Mp4Codec.spsDims(sps) === Some((320, 240)))
+  }
 }

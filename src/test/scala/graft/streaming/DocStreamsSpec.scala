@@ -442,4 +442,47 @@ class DocStreamsSpec extends SparkSpec {
       assert(rows.forall(r => !r.exact), s"claimed exact: ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming pii gate tags fold to the batch td31 report exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the PipelineSpec planted corpus, streamed across two batches
+    // and two sources-per-batch so the fold genuinely crosses batch
+    // boundaries (src order: A A B | B C C D)
+    val planted = Seq(
+      (1L, "srcA", "contact alice.smith@example.com or bob+spam@mail.co today"),
+      (2L, "srcA", "call 555-123-4567 now"),
+      (3L, "srcB", "server 192.168.1.254 owner ssn 123-45-6789"),
+      (4L, "srcB", "perfectly clean text with no identifiers"),
+      (5L, "srcC", "nothing to see here"),
+      (6L, "srcC", "still nothing"),
+      (7L, "srcD", "mail carol@startup.technology or dev@ngo.international"))
+    val src = MemoryStream[Doc]
+    val q = DocStreams.piiGate(snake(src.toDF()))
+      .writeStream.format("memory").queryName("pii_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val docs = planted.map { case (i, s, t) =>
+        Doc(i, "en", s, t, ts(i)) }
+      src.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val tagged = spark.table("pii_gate")
+      // per-doc: exactly one emitted row per arriving doc, with the
+      // doc identity intact (the gate is a pass-through projection)
+      assert(tagged.count() === planted.size.toLong)
+      val flagged = tagged.where(col("pii_any")).select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(flagged === Array(1L, 2L, 3L, 7L))
+      // the batch-exact contract: folding the streamed tags with the
+      // SAME report aggregation reproduces batch td31 cell-for-cell
+      val streamed = graft.queries.TextPipeline
+        .piiReportFromTags(tagged).collect().map(_.toSeq)
+      val batch = graft.queries.TextPipeline
+        .piiScanDf(planted.toDF("doc_id", "source", "text"))
+        .collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
 }
