@@ -422,6 +422,76 @@ class HttpFacadeSpec extends SparkSpec {
     } finally f2.stop()
   }
 
+  test("agent refine loop E2E: recorded provider transcript drives 2 refines") {
+    // A recorded LLM transcript (fixture markdown, prose + fences —
+    // the shape a real provider returns), replayed in order: a bad
+    // column draft, then an over-filtered empty query, then the fix.
+    // No egress anywhere: the provider is the transcript itself.
+    val transcript = Vector(
+      """Looking at the schema, revenue lives on the orders table.
+        |
+        |```sql
+        |SELECT revenue_total FROM orders ORDER BY revenue_total DESC LIMIT 5
+        |```
+        |""".stripMargin,
+      """Apologies — the column is `o_totalprice`. Filtering to paid
+        |orders only:
+        |
+        |```sql
+        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 0 LIMIT 5
+        |```
+        |""".stripMargin,
+      """Right, prices are always positive here; dropping the filter.
+        |
+        |```sql
+        |SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+        |```
+        |""".stripMargin)
+    val prompts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val recorded = new graft.chat.NlToSql {
+      private var i = 0
+      override def complete(question: String, rowLimit: Int): String =
+        synchronized {
+          prompts += question
+          val md = transcript(math.min(i, transcript.length - 1))
+          i += 1
+          md
+        }
+    }
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val f2 = new HttpFacade(spark, provider = recorded,
+      schemaDocsPath = Files.createTempDirectory("graft-agent-docs")
+        .resolve("schema_docs.md").toString)
+    f2.start()
+    try {
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${f2.port}/chat/agent"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"question": "top 5 orders by revenue", "max_steps": 3}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      val n = mapper.readTree(r.body())
+      // two full refine iterations: analysis error, then empty result
+      assert(n.get("telemetry").get("retries").asInt() === 2)
+      val reasons = (0 until n.get("candidates").size())
+        .map(i => n.get("candidates").get(i).get("reason").asText())
+      assert(reasons.head.startsWith("error:"))
+      assert(reasons(1).startsWith("ok:0rows"))
+      assert(reasons(2).startsWith("ok:5rows"))
+      // the winning SQL is the transcript's third draft, executed
+      assert(n.get("chosen_sql").asText()
+        .contains("ORDER BY o_totalprice DESC"))
+      assert(n.get("rows").size() === 5)
+      assert(n.get("rows").get(0).has("o_totalprice"))
+      assert(n.get("telemetry").get("last_error").asText() === "empty")
+      // the loop threaded each failure back into the next generation
+      assert(prompts.length === 3)
+      assert(prompts(1).contains("Fix issue"))
+      assert(prompts(2).contains("empty result"))
+    } finally f2.stop()
+  }
+
   test("GET /metrics exports prometheus text incl. the reference counters") {
     val r = get("/metrics")
     assert(r.statusCode() === 200)
