@@ -469,6 +469,11 @@ class DocStreamsSpec extends SparkSpec {
       src.addData(docs.drop(3): _*)
       q.processAllAvailable()
       val tagged = spark.table("pii_gate")
+      // the gate's scale contract IS its statelessness: no state
+      // store operator anywhere in the streaming plan (a watermark or
+      // dedup sneaking in would silently add per-key state at 100 TB)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"pii gate must be stateless: ${q.lastProgress.stateOperators.toSeq}")
       // per-doc: exactly one emitted row per arriving doc, with the
       // doc identity intact (the gate is a pass-through projection)
       assert(tagged.count() === planted.size.toLong)
