@@ -1416,18 +1416,23 @@ object TextPipeline extends graft.Registry {
     * single-column `token` frame — reused by [[bigramStep]] (td20),
     * whose "tokens" are adjacent-pair strings.
     *
-    * Capacity ESCALATES (×8 per attempt, up to `maxCapacity`): an
-    * attempt whose top-k cannot be certified exact — the sketch
-    * evicted AND the k-th count does not clear the miss bound
-    * total/(capacity+1) — is discarded and re-sketched larger, so the
-    * returned top-k is always provably exact whichever attempt
-    * produced it. Real corpora are Zipf and certify on the first
-    * attempt; the escalation exists for near-UNIFORM frequency
-    * profiles (e.g. the replica-tagged ScaleGen testdata, whose
-    * vocabulary is 10× per decade with near-equal counts — a
-    * deliberately sketch-adversarial shape), where exactness needs
-    * capacity ≥ distinct-token count. Past `maxCapacity` the operator
-    * still refuses loudly rather than approximate.
+    * Capacity ESCALATES (informed jump after the first failure, ×8
+    * floor, up to `maxCapacity`): an attempt whose top-k cannot be
+    * certified exact — the sketch evicted AND the k-th count does not
+    * clear the miss bound total/(capacity+1) — is discarded and
+    * re-sketched larger, so the returned top-k is always provably
+    * exact whichever attempt produced it. Real corpora are Zipf and
+    * certify on the first attempt with no extra work; the escalation
+    * exists for near-UNIFORM frequency profiles (e.g. the
+    * replica-tagged ScaleGen testdata, whose vocabulary is 10× per
+    * decade with near-equal counts — a deliberately sketch-
+    * adversarial shape), where exactness needs capacity ≥
+    * distinct-token count — and on those the first failure buys one
+    * cheap HLL distinct estimate and the NEXT attempt jumps straight
+    * to a certifying capacity instead of paying two full passes per
+    * ×8 rung (measured: td19/td20's sf10 ladder collapses from three
+    * attempts to two). Past `maxCapacity` the operator still refuses
+    * loudly rather than approximate.
     *
     * `exactDirect` is the measured-input regime switch (td08/td09
     * pattern, keyed off [[graft.InputTuning.smallInput]] by the
@@ -1449,6 +1454,17 @@ object TextPipeline extends graft.Registry {
     var cap = capacity
     var result: Option[Seq[(String, Long)]] = None
     var lastDiag = ""
+    // Lazily-measured distinct-token estimate (HLL, ONE cheap scan):
+    // taken only after the FIRST uncertified attempt, never on the
+    // Zipf corpora that certify immediately. A failed attempt costs
+    // two full passes (sketch + candidate recount), so walking the
+    // blind ×8 ladder on a near-uniform corpus pays 2 passes per
+    // rung; the estimate instead jumps straight to a capacity ≥
+    // distinct tokens, where the sketch cannot evict and certifies
+    // by construction. ×1.1 covers the HLL rsd (0.02); an
+    // underestimate just means the loop takes one more rung —
+    // correctness never rests on the estimate.
+    var approxDistinct = -1L
     while (result.isEmpty && cap <= maxCapacity) {
       val mg = toks.as[String]
         .select(new graft.functions.MisraGries(cap).toColumn)
@@ -1465,9 +1481,16 @@ object TextPipeline extends graft.Registry {
       else {
         lastDiag = s"k-th count ${top.lastOption.map(_._2)} does not " +
           s"clear the sketch miss bound ${mg.total} / ${cap + 1}"
-        cap =
-          if (cap >= maxCapacity) maxCapacity + 1 // terminate
-          else math.min(cap * 8, maxCapacity)
+        if (cap >= maxCapacity) cap = maxCapacity + 1 // terminate
+        else {
+          if (approxDistinct < 0L)
+            approxDistinct = toks
+              .agg(approx_count_distinct(col("token"), 0.02))
+              .head().getLong(0)
+          val certain = math.min(maxCapacity.toLong,
+            (approxDistinct * 11L) / 10L + 1L).toInt
+          cap = math.min(math.max(cap * 8, certain), maxCapacity)
+        }
       }
     }
     require(result.nonEmpty,

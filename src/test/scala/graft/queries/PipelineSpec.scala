@@ -865,7 +865,8 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     // 300 singletons starting at capacity 16: never separable (k-th
     // count 1 is far below every miss bound), so the sketch escalates
-    // 16 → 128 → 1024 > 300 distinct = lossless mode, exact result
+    // — first failure buys the HLL distinct estimate and the second
+    // attempt jumps to ~331 > 300 distinct = lossless mode, exact
     val df = (1 to 300).map(t => f"u$t%03d").toDF("text")
     val got = TextPipeline.heavyHittersOf(spark, df, k = 5, capacity = 16)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
