@@ -307,7 +307,7 @@ object Multimodal {
 
     /** MSB-first bit reader for exp-Golomb parsing (throws past the
       * end — callers catch and return None). */
-    private final class BitReader(b: Array[Byte]) {
+    private[pipeline] final class BitReader(b: Array[Byte]) {
       private var pos = 0
       def u1(): Int = {
         val i = pos >> 3
