@@ -1469,27 +1469,37 @@ object TextPipeline extends graft.Registry {
       val mg = toks.as[String]
         .select(new graft.functions.MisraGries(cap).toColumn)
         .head()
-      val top = exactCandidateCounts(s, toks, mg.counts.keys.toSeq)
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-        .sortBy { case (t, c) => (-c, t) }
-        .take(k)
       val sketchIsExact = mg.counts.valuesIterator.sum == mg.total
-      val separable =
-        top.length == k && top.last._2 * (cap + 1L) > mg.total
-      if (sketchIsExact || separable) result = Some(top.toSeq)
-      else {
-        lastDiag = s"k-th count ${top.lastOption.map(_._2)} does not " +
-          s"clear the sketch miss bound ${mg.total} / ${cap + 1}"
-        if (cap >= maxCapacity) cap = maxCapacity + 1 // terminate
+      if (sketchIsExact) {
+        // Lossless sketch (capacity ≥ distinct tokens — the informed
+        // jump's terminal state): the sketch's counters ARE the exact
+        // counts, so the candidate-recount pass would recompute what
+        // the driver already holds. Skip the scan.
+        result = Some(mg.counts.toSeq
+          .sortBy { case (t, c) => (-c, t) }
+          .take(k))
+      } else {
+        val top = exactCandidateCounts(s, toks, mg.counts.keys.toSeq)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .sortBy { case (t, c) => (-c, t) }
+          .take(k)
+        val separable =
+          top.length == k && top.last._2 * (cap + 1L) > mg.total
+        if (separable) result = Some(top.toSeq)
         else {
-          if (approxDistinct < 0L)
-            approxDistinct = toks
-              .agg(approx_count_distinct(col("token"), 0.02))
-              .head().getLong(0)
-          val certain = math.min(maxCapacity.toLong,
-            (approxDistinct * 11L) / 10L + 1L).toInt
-          cap = math.min(math.max(cap * 8, certain), maxCapacity)
+          lastDiag = s"k-th count ${top.lastOption.map(_._2)} does not " +
+            s"clear the sketch miss bound ${mg.total} / ${cap + 1}"
+          if (cap >= maxCapacity) cap = maxCapacity + 1 // terminate
+          else {
+            if (approxDistinct < 0L)
+              approxDistinct = toks
+                .agg(approx_count_distinct(col("token"), 0.02))
+                .head().getLong(0)
+            val certain = math.min(maxCapacity.toLong,
+              (approxDistinct * 11L) / 10L + 1L).toInt
+            cap = math.min(math.max(cap * 8, certain), maxCapacity)
+          }
         }
       }
     }
