@@ -1439,10 +1439,12 @@ object TextPipeline extends graft.Registry {
     * declared queries): the sketch exists to keep the shuffle at
     * O(partitions × capacity) when the vocabulary is too large to
     * shuffle — below the AQE input threshold the whole vocabulary
-    * fits a single healthy shuffle, and the sketch's two full passes
-    * (typed-aggregate sketch + candidate recount) cost roughly twice
-    * the one exact groupBy. Both paths return the identical exact
-    * top-k with the same (count desc, token) tiebreak. */
+    * fits a single healthy shuffle, and a certifying Zipf attempt's
+    * two full passes (typed-aggregate sketch + candidate recount —
+    * the recount is skipped only in the LOSSLESS terminal state,
+    * where the sketch's counters are already exact) cost roughly
+    * twice the one exact groupBy. Both paths return the identical
+    * exact top-k with the same (count desc, token) tiebreak. */
   private[graft] def heavyHittersOfTokens(
       s: SparkSession, toks: DataFrame, k: Int, capacity: Int,
       maxCapacity: Int = 1 << 20, exactDirect: Boolean = false): DataFrame = {
