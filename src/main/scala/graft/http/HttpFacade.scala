@@ -46,7 +46,16 @@ class HttpFacade(
     rowLimit: Int = 200,
     queryTimeoutMs: Long = 0,
     bindHost: String = "127.0.0.1",
-    dq: graft.DataQualityConfig = graft.DataQualityConfig()) {
+    dq: graft.DataQualityConfig = graft.DataQualityConfig(),
+    // Whether stop() may drop the SESSION-scoped pipeline caches.
+    // True fits the normal deployment (one facade per session, the
+    // facade's stop is the session's end of life). A caller running
+    // several facades over one shared session — the spec does — must
+    // pass false on the short-lived ones: cache invalidation belongs
+    // to whoever owns the session's lifetime, and an unconditional
+    // drop would silently re-charge the surviving facade the full
+    // shingle-index/pair/signature build cost.
+    ownsSessionCaches: Boolean = true) {
 
   private val mapper = new ObjectMapper()
   private lazy val schemaDocs = SchemaDocs.buildMarkdown(spark)
@@ -90,14 +99,16 @@ class HttpFacade(
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
     if (executor != null) { executor.shutdown(); executor = null }
-    // The facade owns this session's lifetime from the caller's view,
-    // so drop every per-session pipeline cache with it — otherwise
-    // the cached/persisted frames (shingle index, pair graph,
-    // candidate intersections, ANN signatures, relation handles) pin
-    // the stopped session's memory until JVM exit.
-    graft.queries.TextPipeline.invalidate(spark)
-    graft.queries.VectorPipeline.invalidate(spark)
-    graft.sources.Tables.invalidate(spark)
+    // When the facade owns this session's lifetime, drop every
+    // per-session pipeline cache with it — otherwise the
+    // cached/persisted frames (shingle index, pair graph, candidate
+    // intersections, ANN signatures, relation handles) pin the
+    // stopped session's memory until JVM exit.
+    if (ownsSessionCaches) {
+      graft.queries.TextPipeline.invalidate(spark)
+      graft.queries.VectorPipeline.invalidate(spark)
+      graft.sources.Tables.invalidate(spark)
+    }
   }
 
   // ------------------------------------------------------------ dispatch

@@ -269,7 +269,11 @@ object Relational extends graft.Registry {
     * ceil(rows / 16 M) rounded up to a power of two, clamped to
     * [8, 128]. */
   private[graft] def bucketsForRows(rows: Long): Int = {
-    val want = math.max(1, math.ceil(rows / 16e6).toInt)
+    // Clamp BEFORE the power-of-two round-up: want > 2^30 would
+    // overflow highestOneBit*2 to Int.MinValue and invert the cap
+    // into the 8-bucket floor — the exact straggler regime this rule
+    // exists to avoid — for any table past ~1.7e16 rows.
+    val want = math.min(128.0, math.max(1.0, math.ceil(rows / 16e6))).toInt
     val up = if (Integer.bitCount(want) == 1) want
       else Integer.highestOneBit(want) * 2
     math.min(128, math.max(8, up))

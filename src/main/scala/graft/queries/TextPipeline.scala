@@ -860,6 +860,8 @@ object TextPipeline extends graft.Registry {
                 def hasNext: Boolean = { seek(); nextPair != null }
                 def next(): (Long, Long, Long) = {
                   seek()
+                  if (nextPair == null)
+                    throw new NoSuchElementException("pair run exhausted")
                   val p = nextPair; nextPair = null; p
                 }
               }
@@ -1854,7 +1856,14 @@ object TextPipeline extends graft.Registry {
     * a `pii_any` flag to the input columns. Stateless codegen'd
     * per-row expressions only — no aggregation, no state — which is
     * exactly what lets the SAME stage run unchanged on a stream. */
-  private[graft] def piiTag(d: DataFrame): DataFrame =
+  private[graft] def piiTag(d0: DataFrame): DataFrame = {
+    // Re-gating already-tagged input (the streaming gate forwards
+    // arbitrary ingest frames) must be idempotent, not ambiguous:
+    // drop any prior tag columns before re-deriving them, so a frame
+    // carrying c_email/pii_any never yields duplicate names that
+    // break the report fold with AMBIGUOUS_REFERENCE.
+    val reserved = PiiPatterns.map(p => s"c_${p._1}") :+ "pii_any"
+    val d = d0.drop(reserved: _*)
     d.select(
       d.columns.map(col).toSeq ++
         PiiPatterns.map { case (nm, pat) =>
@@ -1863,6 +1872,7 @@ object TextPipeline extends graft.Registry {
         }: _*)
       .withColumn("pii_any",
         PiiPatterns.map(p => col(s"c_${p._1}")).reduce(_ + _) > 0L)
+  }
 
   /** The td31 report fold over [[piiTag]] output — per source: doc
     * count, span totals per category, PII-document count and exact

@@ -231,7 +231,7 @@ class HttpFacadeSpec extends SparkSpec {
     Files.writeString(dir.resolve("toys.csv"), "id\n1\n")
     Files.writeString(dir.resolve("notes.txt"), "ignored")
     val metaDir = Files.createTempDirectory("graft-demo-meta").toString
-    val f2 = new HttpFacade(spark,
+    val f2 = new HttpFacade(spark, ownsSessionCaches = false,
       catalog = Some(new Catalog(spark, metaDir)),
       demoDataDir = dir.toString)
     f2.start()
@@ -252,7 +252,7 @@ class HttpFacadeSpec extends SparkSpec {
       assert(demoPost().statusCode() === 200)
       assert(spark.table("demo_dataset.pets").count() === 2)
       // missing demo dir is the reference's 404
-      val f3 = new HttpFacade(spark,
+      val f3 = new HttpFacade(spark, ownsSessionCaches = false,
         catalog = Some(new Catalog(spark, metaDir)),
         demoDataDir = "/nonexistent/demo_data")
       f3.start()
@@ -337,7 +337,7 @@ class HttpFacadeSpec extends SparkSpec {
     assert(post(s"/namespace/999999/table/$tid/upload",
       s"""{"path": "$outside"}""").statusCode() === 404)
     // a facade with NO upload root rejects path mode entirely
-    val f2 = new HttpFacade(spark,
+    val f2 = new HttpFacade(spark, ownsSessionCaches = false,
       catalog = Some(new Catalog(spark,
         Files.createTempDirectory("graft-noroot-meta").toString)))
     f2.start()
@@ -368,7 +368,7 @@ class HttpFacadeSpec extends SparkSpec {
       override def complete(question: String, rowLimit: Int): String =
         "```sql\nSELECT COUNT(*) AS n FROM slow_http_src a, slow_http_src b\n```"
     }
-    val f2 = new HttpFacade(spark, provider = slowProvider,
+    val f2 = new HttpFacade(spark, ownsSessionCaches = false, provider = slowProvider,
       queryTimeoutMs = 1500)
     f2.start()
     try {
@@ -389,7 +389,7 @@ class HttpFacadeSpec extends SparkSpec {
 
   test("a slow request does not block /health (concurrent serving)") {
     spark.range(200L * 1000 * 1000).createOrReplaceTempView("slow_conc_src")
-    val f2 = new HttpFacade(spark, queryTimeoutMs = 15000)
+    val f2 = new HttpFacade(spark, ownsSessionCaches = false, queryTimeoutMs = 15000)
     f2.start()
     try {
       // kick off a multi-second cartesian preview WITHOUT waiting
@@ -412,7 +412,7 @@ class HttpFacadeSpec extends SparkSpec {
   }
 
   test("bindHost is honored: 0.0.0.0 serves on loopback too") {
-    val f2 = new HttpFacade(spark, bindHost = "0.0.0.0")
+    val f2 = new HttpFacade(spark, ownsSessionCaches = false, bindHost = "0.0.0.0")
     f2.start()
     try {
       val h = client.send(HttpRequest.newBuilder(
@@ -459,7 +459,7 @@ class HttpFacadeSpec extends SparkSpec {
         }
     }
     graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
-    val f2 = new HttpFacade(spark, provider = recorded,
+    val f2 = new HttpFacade(spark, ownsSessionCaches = false, provider = recorded,
       schemaDocsPath = Files.createTempDirectory("graft-agent-docs")
         .resolve("schema_docs.md").toString)
     f2.start()
@@ -524,7 +524,7 @@ class HttpFacadeSpec extends SparkSpec {
       HttpReply(404, "{}"),
       HttpReply(201, """{"content":{"sha":"filesha"}}"""),
       HttpReply(201, """{"html_url":"https://github.test/pr/7"}"""))
-    val f2 = new HttpFacade(spark,
+    val f2 = new HttpFacade(spark, ownsSessionCaches = false,
       github = Some(new graft.git.GitHubClient(t, "tok", "owner/repo")))
     f2.start()
     try {
@@ -548,7 +548,7 @@ class HttpFacadeSpec extends SparkSpec {
     val t = new FakeTransport(
       HttpReply(201, """{"id":"run-9","state":{"type":"SCHEDULED"}}"""),
       HttpReply(200, """{"id":"run-9","state":{"type":"COMPLETED"}}"""))
-    val f2 = new HttpFacade(spark,
+    val f2 = new HttpFacade(spark, ownsSessionCaches = false,
       orchestrator = Some(new graft.orchestrate.Orchestrator(t)))
     f2.start()
     try {

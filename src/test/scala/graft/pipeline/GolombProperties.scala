@@ -11,23 +11,11 @@ import Multimodal.Mp4Codec
   */
 object GolombProperties extends Properties("BitReader golomb") {
 
-  /** MSB-first encoder, mirror of the specs' BitWriter: value v codes
-    * as (v+1) in binary with (len-1) leading zeros. Long-domain so it
-    * can code the full legal ue range [0, 2^32-2]. */
-  private def encode(values: Seq[Long]): Array[Byte] = {
-    val bits = scala.collection.mutable.ArrayBuffer[Int]()
-    values.foreach { v =>
-      val k = v + 1
-      val n = 64 - java.lang.Long.numberOfLeadingZeros(k)
-      var i = 0
-      while (i < n - 1) { bits += 0; i += 1 }
-      i = n - 1
-      while (i >= 0) { bits += ((k >> i) & 1L).toInt; i -= 1 }
-    }
-    (bits ++ Seq.fill((8 - bits.length % 8) % 8)(1)) // pad with stop-ish 1s
-      .grouped(8)
-      .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
-  }
+  /** Encode via the shared test-side [[BitWriter]] (TestBits), padded
+    * with 1s so a truncated read never decodes a phantom value out of
+    * the padding. */
+  private def encode(values: Seq[Long]): Array[Byte] =
+    values.foldLeft(new BitWriter)((w, v) => w.ue(v)).bytes(padBit = 1)
 
   private def ueOf(v: Long): Long =
     new Mp4Codec.BitReader(encode(Seq(v))).ueLong()

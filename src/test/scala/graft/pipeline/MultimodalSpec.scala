@@ -329,26 +329,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("H.264 SPS in avcC reports real coded dimensions, no decoder") {
-    // MSB-first bit writer with exp-Golomb, the test-side mirror of
-    // the parser (value v codes as (v+1) in binary with len-1 zeros)
-    final class BitWriter {
-      private val bits = scala.collection.mutable.ArrayBuffer[Int]()
-      def u(v: Int, n: Int): this.type = {
-        var i = n - 1
-        while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
-        this
-      }
-      def ue(v: Int): this.type = {
-        val k = v + 1
-        val n = 32 - Integer.numberOfLeadingZeros(k)
-        u(0, n - 1); u(k, n)
-      }
-      def bytes: Array[Byte] = {
-        val padded = bits ++ Seq.fill((8 - bits.length % 8) % 8)(0)
-        padded.grouped(8)
-          .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
-      }
-    }
+    // SPS bits built with the shared test-side BitWriter (TestBits)
     // Baseline-profile 320x240: 20x15 macroblocks, no cropping
     val sps320 = Array(0x67.toByte) ++ new BitWriter()
       .u(66, 8).u(0, 16) // profile / constraints+level
@@ -358,7 +339,7 @@ class MultimodalSpec extends SparkSpec {
       .ue(19).ue(14) // 20 MBs x 15 map units
       .u(1, 1).u(1, 1).u(0, 1) // frame_mbs_only, direct_8x8, no crop
       .u(0, 1).u(1, 1) // no VUI, rbsp stop bit
-      .bytes
+      .bytes()
     assert(Mp4Codec.spsDims(sps320) === Some((320, 240)))
     // High-profile 1920x1080: 120x68 map units, 8 luma rows cropped
     // at the bottom (crop_bottom 4 x CropUnitY 2 for 4:2:0 frames)
@@ -374,7 +355,7 @@ class MultimodalSpec extends SparkSpec {
       .u(1, 1).u(1, 1) // frame_mbs_only, direct_8x8
       .u(1, 1).ue(0).ue(0).ue(0).ue(4) // crop: bottom 4 units
       .u(0, 1).u(1, 1)
-      .bytes
+      .bytes()
     assert(Mp4Codec.spsDims(sps1080) === Some((1920, 1080)))
     // not an SPS NAL / truncated bits → None, never a crash
     assert(Mp4Codec.spsDims(Array[Byte](0x68, 1, 2, 3, 4)) === None)
@@ -437,24 +418,6 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("HEVC SPS in hvcC reports real coded dimensions, no decoder") {
-    final class BitWriter {
-      private val bits = scala.collection.mutable.ArrayBuffer[Int]()
-      def u(v: Int, n: Int): this.type = {
-        var i = n - 1
-        while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
-        this
-      }
-      def ue(v: Int): this.type = {
-        val k = v + 1
-        val n = 32 - Integer.numberOfLeadingZeros(k)
-        u(0, n - 1); u(k, n)
-      }
-      def bytes: Array[Byte] = {
-        val padded = bits ++ Seq.fill((8 - bits.length % 8) % 8)(0)
-        padded.grouped(8)
-          .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
-      }
-    }
     // 88-bit profile_tier_level general block + 8-bit level
     def ptl(w: BitWriter): BitWriter =
       w.u(0, 32).u(0, 32).u(0, 24).u(93, 8)
@@ -466,7 +429,7 @@ class MultimodalSpec extends SparkSpec {
       .ue(1280).ue(720)
       .u(0, 1) // no conformance window
       .u(1, 1) // rbsp stop bit
-      .bytes
+      .bytes()
     assert(Mp4Codec.hevcSpsDims(sps720) === Some((1280, 720)))
     // 4:2:0 1920x1080 coded as 1920x1088 with an 8-luma-row bottom
     // window (offset 4 x SubHeightC 2) — the standard HD shape
@@ -477,7 +440,7 @@ class MultimodalSpec extends SparkSpec {
       .ue(1920).ue(1088)
       .u(1, 1).ue(0).ue(0).ue(0).ue(4) // window: bottom 4 chroma units
       .u(1, 1)
-      .bytes
+      .bytes()
     assert(Mp4Codec.hevcSpsDims(sps1080) === Some((1920, 1080)))
     // one sub-layer with profile+level present: the parse must walk
     // the per-sub-layer PTL repeats to reach the dimensions
@@ -489,7 +452,7 @@ class MultimodalSpec extends SparkSpec {
       w.u(0, 32).u(0, 32).u(0, 24) // sub-layer 88-bit profile block
       w.u(90, 8) // sub-layer level
       w.ue(0).ue(1).ue(640).ue(480).u(0, 1).u(1, 1)
-    }.bytes
+    }.bytes()
     assert(Mp4Codec.hevcSpsDims(spsSub) === Some((640, 480)))
     // wrong NAL type / truncated → None, never a crash
     assert(Mp4Codec.hevcSpsDims(Array[Byte](0x40, 1, 2, 3, 4)) === None)
@@ -550,26 +513,6 @@ class MultimodalSpec extends SparkSpec {
     // the round-11 global z > 16 exp-Golomb cap rejected this legal
     // header (offset_for_non_ref_pic may range to ±(2^31-1)); the
     // Long-backed reader accepts it and still rejects absurd runs
-    final class BitWriter {
-      private val bits = scala.collection.mutable.ArrayBuffer[Int]()
-      def u(v: Int, n: Int): this.type = {
-        var i = n - 1
-        while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
-        this
-      }
-      def ue(v: Int): this.type = {
-        val k = v + 1
-        val n = 32 - Integer.numberOfLeadingZeros(k)
-        u(0, n - 1); u(k, n)
-      }
-      def se(v: Int): this.type =
-        ue(if (v > 0) 2 * v - 1 else -2 * v)
-      def bytes: Array[Byte] = {
-        val padded = bits ++ Seq.fill((8 - bits.length % 8) % 8)(0)
-        padded.grouped(8)
-          .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
-      }
-    }
     val sps = Array(0x67.toByte) ++ new BitWriter()
       .u(66, 8).u(0, 16)
       .ue(0) // sps_id
@@ -582,7 +525,7 @@ class MultimodalSpec extends SparkSpec {
       .ue(19).ue(14) // 320x240
       .u(1, 1).u(1, 1).u(0, 1)
       .u(0, 1).u(1, 1)
-      .bytes
+      .bytes()
     assert(Mp4Codec.spsDims(sps) === Some((320, 240)))
   }
 }

@@ -146,5 +146,9 @@ class BucketingSpec extends SparkSpec {
     assert(bucketsForRows(2048000000L) === 128) // want 128 exact
     assert(bucketsForRows(6000000000L) === 128) // cap: single-box ceiling
     assert(bucketsForRows(0L) === 8)
+    // astronomically large inputs must hit the 128 cap, not overflow
+    // highestOneBit*2 past Int range and invert into the 8 floor
+    assert(bucketsForRows(Long.MaxValue) === 128)
+    assert(bucketsForRows((1L << 34) * 16000000L) === 128) // want 2^34
   }
 }

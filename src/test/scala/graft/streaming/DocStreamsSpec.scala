@@ -488,6 +488,14 @@ class DocStreamsSpec extends SparkSpec {
         .piiScanDf(planted.toDF("doc_id", "source", "text"))
         .collect().map(_.toSeq)
       assert(streamed.toSeq === batch.toSeq)
+      // re-gating already-tagged output is idempotent, not ambiguous:
+      // the tag stage drops and re-derives its own columns instead of
+      // stacking duplicate c_*/pii_any names that would break the
+      // report fold with AMBIGUOUS_REFERENCE
+      val regated = DocStreams.piiGate(tagged)
+      assert(regated.columns.toSeq === tagged.columns.toSeq)
+      assert(graft.queries.TextPipeline.piiReportFromTags(regated)
+        .collect().map(_.toSeq).toSeq === streamed.toSeq)
     } finally q.stop()
   }
 }
