@@ -27,6 +27,22 @@ object DocStreams {
       docId: Long, lang: String, source: String, text: String,
       ingestTs: Timestamp)
 
+  /** Row-local DISTINCT word-3-gram shingle array, appended as `sh`
+    * (with the split tokens as `t`, rows with < 3 tokens dropped).
+    * This is the frozen cross-half contract with
+    * [[graft.pipeline.TextPrep.shingles]] — ONE definition, used by
+    * the MinHash ([[rowLocalBands]]), SimHash ([[nearDupSimHash]])
+    * and decontamination ([[decontaminate]]) paths, so the shingling
+    * scheme can never silently desynchronize between them or from
+    * batch. Pure codegen'd array expressions; no shuffle, no state. */
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .where(size(col("t")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(t) - 2), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
+
   /** Streaming exact dedup: only the FIRST document with each content
     * hash (within the watermark horizon) survives. Uses
     * `dropDuplicatesWithinWatermark` so the per-hash state is evicted
@@ -138,18 +154,16 @@ object DocStreams {
   def decontaminate(docs: DataFrame, evalShingles: DataFrame,
       minShared: Long = 10,
       watermark: String = "10 minutes"): DataFrame = {
-    val sh = docs
-      .withWatermark("ingest_ts", watermark)
+    val sh = withShingles(docs.withWatermark("ingest_ts", watermark))
       .select(col("doc_id"), col("ingest_ts"),
-        split(col("text"), " ").as("t"))
-      .where(size(col("t")) >= 3)
-      .select(col("doc_id"), col("ingest_ts"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, size(t) - 2), i -> " +
-            "concat(element_at(t, i), ' ', element_at(t, i + 1), " +
-            "' ', element_at(t, i + 2)))"))).as("shingle"))
+        explode(col("sh")).as("shingle"))
     sh
-      .join(evalShingles.select("shingle"), "shingle")
+      // DISTINCT the static side exactly as batch td12 does
+      // internally: a caller passing the natural per-doc eval index
+      // (one row per eval doc per shingle) would otherwise inflate
+      // n_shared_shingles by each shingle's eval-side multiplicity
+      // and flag documents batch never flags
+      .join(evalShingles.select("shingle").distinct(), "shingle")
       .groupBy(col("doc_id"), window(col("ingest_ts"), "1 minute"))
       .agg(count(lit(1)).as("n_shared_shingles"))
       .where(col("n_shared_shingles") >= minShared)
@@ -358,12 +372,7 @@ object DocStreams {
     val NumHashes = MinHashAB.size
     val Bands = 4
     val Rows = NumHashes / Bands
-    val shingled = docs
-      .withColumn("t", split(col("text"), " "))
-      .where(size(col("t")) >= 3)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, size(t) - 2), " +
-          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
+    val shingled = withShingles(docs)
       .withColumn("hs", expr(
         "transform(sh, s -> h32(s))"))
     val sigCols = MinHashAB.zipWithIndex.map { case ((a, b), i) =>
@@ -516,12 +525,7 @@ object DocStreams {
 
     // Row-local distinct shingles and both md5 hash words via the
     // native h32/h32b kernels (same values as TextPrep's hashes).
-    val sig = docs
-      .withColumn("t", split(col("text"), " "))
-      .where(size(col("t")) >= 3)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, size(t) - 2), " +
-          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))"))
+    val sig = withShingles(docs)
       .withColumn("hs", expr(
         "transform(sh, s -> h32(s))"))
       .withColumn("hs2", expr(

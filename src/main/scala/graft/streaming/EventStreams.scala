@@ -51,6 +51,15 @@ object EventStreams {
   private[streaming] def microsOf(ts: Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  /** Inverse of [[microsOf]]: a Timestamp carrying the full
+    * sub-millisecond precision (constructor ms + setNanos for the
+    * fractional second, the JDBC-spec conversion). */
+  private[streaming] def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos(((us - Math.floorDiv(us, 1000000L) * 1000000L) * 1000L).toInt)
+    t
+  }
+
   final case class Session(
       userId: Long, start: Timestamp, end: Timestamp,
       nEvents: Long, totalValue: Double)
@@ -59,7 +68,7 @@ object EventStreams {
   // generated Java cannot touch; private[streaming] stays public in
   // bytecode while hiding it from the API.
   private[streaming] final case class SessionState(
-      start: Long, end: Long, n: Long, total: Double)
+      start: Long, end: Long, n: Long, total: Double) // bounds in µs
 
   /** Streaming source over a parquet event directory. */
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
@@ -167,8 +176,12 @@ object EventStreams {
 
   /** Streaming multi-stage funnel — the continuous form of the batch
     * `e05_funnel` (view → click → purchase, each hop within
-    * `horizonMinutes`, inclusive): one report per user, emitted when
-    * the user has been quiet for `quietMinutes` of EVENT time.
+    * `horizonMinutes`, inclusive): one CUMULATIVE report per user per
+    * quiet period (`quietMinutes` of EVENT time with no arrivals).
+    * Append mode cannot retract, so a user active across several
+    * quiet gaps emits one report per gap, each covering their whole
+    * history — the LAST report per user equals the batch row, the
+    * standard last-write-wins reading of an append stream.
     *
     * Exactness under reordering: the batch operator's prefix-max trick
     * needs events in event-time order, so arrivals are BUFFERED in
@@ -177,8 +190,11 @@ object EventStreams {
     * the batch answer bit-for-bit (asserted against
     * [[graft.queries.EventPipeline.funnel]] in EventStreamsSpec). The
     * buffer holds at most the user's events from one watermark delay,
-    * and the folded machine is six longs, so state stays compact and
-    * is evicted on emission. */
+    * and the folded machine is six longs, which is what an idle user
+    * costs after their buffer flushes — kept, not evicted, so a
+    * return inside `horizonMinutes` still chains off its pre-gap
+    * predecessor; a deployment wanting true eviction bounds it with a
+    * retention rule, accepting the lost cross-gap chains. */
   def funnel(events: Dataset[Event],
       horizonMinutes: Long = 24 * 60,
       quietMinutes: Long = 60,
@@ -208,13 +224,11 @@ object EventStreams {
         }
       }
 
-    def report(userId: Long, s: FunnelState): Iterator[FunnelReport] = {
+    def report(userId: Long, closed: FunnelState): Iterator[FunnelReport] =
       // the batch operator only reports funnel ENTRANTS (>=1 view)
-      val closed = fold(s, s.pending)
       closed.firstViewUs.iterator.map(fv =>
         FunnelReport(userId, fv, closed.firstQcUs, closed.firstConvUs,
           closed.nConv))
-    }
 
     events
       .where(col("eventType").isin("view", "click", "purchase"))
@@ -226,9 +240,17 @@ object EventStreams {
           if (it.isEmpty && state.hasTimedOut) {
             // timeout ⇒ watermark passed lastEvent + quiet, so every
             // pending event is already orderable: fold the tail, emit
-            val out = report(userId, state.get)
-            state.remove()
-            out
+            // a CUMULATIVE report, and keep the compact machine (the
+            // adjacentPairs discipline) — a user returning inside
+            // horizonMinutes must still chain off their pre-gap
+            // view/click, and their next quiet report then supersedes
+            // this one. Without the keep, the default parameters
+            // (horizon 24 h >> quiet 1 h) would lose a qualifying
+            // predecessor across every quiet gap and diverge from the
+            // batch twin.
+            val closed = fold(state.get, state.get.pending)
+            state.update(closed.copy(pending = Vector.empty))
+            report(userId, closed)
           } else {
             val empty = FunnelState(Vector.empty, None, None, None, None,
               None, 0L, 0L)
@@ -282,8 +304,13 @@ object EventStreams {
     * — matched rows stream out as soon as their order is decidable,
     * not when the user goes quiet. The fold carries only the running
     * "latest view" (two longs), so state is the reorder buffer plus
-    * three scalars; an event-time quiet timeout flushes and evicts
-    * idle users. Sealing is STRICT (`us < watermark`): Spark admits
+    * three scalars; an event-time quiet timeout flushes idle users'
+    * buffers but keeps those scalars (the [[adjacentPairs]]
+    * discipline), so a purchase after an idle gap still matches its
+    * pre-gap view exactly as batch e01 does; a deployment wanting
+    * true eviction bounds it with a retention rule, accepting
+    * `None` matches across the evicted gaps. Sealing is STRICT
+    * (`us < watermark`): Spark admits
     * late rows AT the watermark, so an inclusive seal could fold a
     * probe before an equal-timestamp view arrives and miss the
     * tie-inclusive match. */
@@ -315,9 +342,14 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[AsofState]) =>
           if (it.isEmpty && state.hasTimedOut) {
-            // watermark > timeout ≥ every pending event: all sealed
-            val (_, out) = fold(userId, state.get, state.get.pending)
-            state.remove()
+            // watermark > timeout ≥ every pending event: all sealed.
+            // Flush the buffer but KEEP the last-view scalars (the
+            // adjacentPairs discipline): a purchase after an idle gap
+            // must still match the pre-gap view, exactly as batch e01
+            // does — eviction here would turn that match into a wrong
+            // viewId=None.
+            val (s2, out) = fold(userId, state.get, state.get.pending)
+            state.update(s2.copy(pending = Vector.empty))
             out.iterator
           } else {
             val st0 = state.getOption
@@ -489,53 +521,98 @@ object EventStreams {
         col("window.start").as("purchase_minute"), col("n_views"))
   }
 
-  /** Gap-based sessionization: one state record per user; a session
-    * closes when the event-time watermark passes `gapMinutes` past its
-    * last event (or when a new in-batch event arrives after the gap).
-    */
+  private[streaming] final case class SessPend(
+      us: Long, id: Long, value: Double)
+  private[streaming] final case class SessState(
+      pending: Seq[SessPend], open: Option[SessionState])
+
+  /** Gap-based sessionization — the continuous per-session form of
+    * the batch `e02_sessionize` gap rule: events strictly more than
+    * `gapMinutes` apart start a new session, micros arithmetic, ties
+    * ordered by `(us, event_id)` like the batch window sort.
+    *
+    * Same reorder-buffer discipline as [[funnel]]/[[asofJoin]]:
+    * arrivals buffer in state and fold only once the watermark seals
+    * them (strict `us < wm`), so the emitted session set is a pure
+    * function of the EVENT set, never of micro-batch boundaries. The
+    * two divergences this discipline removes: an in-batch gap used to
+    * close a session eagerly, before the watermark ruled out a
+    * late-but-admissible bridging event in a later batch (mis-split);
+    * and a late event older than the stored start used to extend the
+    * session backwards with no gap check (mis-merge whenever the
+    * watermark delay exceeds the gap). Seals are monotone in the
+    * watermark, so nothing sealed now can precede anything sealed
+    * earlier — the fold sees one globally ordered stream, exactly the
+    * batch window's view. A session closes only when the split is
+    * DECIDED: a sealed event strictly more than the gap after its
+    * end, or the watermark itself passing `end + gap` (every future
+    * admissible event is then past the gap). State fully evicts once
+    * closed — unlike [[adjacentPairs]] no scalar survives, because
+    * the batch gap rule carries nothing across a closed gap. */
   def sessionize(events: Dataset[Event],
       gapMinutes: Long = 30,
       watermark: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+
+    def fold(userId: Long, open0: Option[SessionState], evs: Seq[SessPend])
+        : (Option[SessionState], Vector[Session]) = {
+      var open = open0
+      var out = Vector.empty[Session]
+      evs.sortBy(e => (e.us, e.id)).foreach { e =>
+        open match {
+          case Some(s) if e.us - s.end > gapUs =>
+            out :+= Session(userId, tsOfMicros(s.start),
+              tsOfMicros(s.end), s.n, s.total)
+            open = Some(SessionState(e.us, e.us, 1, e.value))
+          case Some(s) =>
+            open = Some(SessionState(s.start, math.max(s.end, e.us),
+              s.n + 1, s.total + e.value))
+          case None =>
+            open = Some(SessionState(e.us, e.us, 1, e.value))
+        }
+      }
+      (open, out)
+    }
 
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          if (it.isEmpty && state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.end), s.n, s.total))
-          } else {
-            val sorted = it.toVector.sortBy(_.ts.getTime)
-            var closed = Vector.empty[Session]
-            var cur = state.getOption
-            for (e <- sorted) {
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end > gapMs =>
-                  closed :+= Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case Some(s) =>
-                  // late-but-within-watermark events can precede the
-                  // stored start; extend both bounds
-                  cur = Some(SessionState(math.min(s.start, t),
-                    math.max(s.end, t), s.n + 1, s.total + e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.iterator
+        (userId: Long, it: Iterator[Event], state: GroupState[SessState]) =>
+          // one body serves both data arrivals and timeout wakeups:
+          // fold whatever the watermark has sealed, then let the
+          // watermark decide any remaining close
+          val st0 = state.getOption.getOrElse(SessState(Vector.empty, None))
+          val arrivals = it.map(e =>
+            SessPend(microsOf(e.ts), e.eventId, e.value)).toVector
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, still) =
+            (st0.pending ++ arrivals).partition(_.us < wmUs)
+          var (open, out) = fold(userId, st0.open, ready)
+          open match {
+            case Some(s) if wmUs > s.end + gapUs =>
+              out :+= Session(userId, tsOfMicros(s.start),
+                tsOfMicros(s.end), s.n, s.total)
+              open = None
+            case _ => ()
           }
+          if (open.isEmpty && still.isEmpty) state.remove()
+          else {
+            state.update(SessState(still, open))
+            // wake at the EARLIEST decision point: the open session's
+            // gap lapse, or the first buffered event's seal; clamped
+            // strictly above the current watermark (firing at
+            // wm_ms > floor(us/1000) guarantees the strict micros
+            // inequality on both decisions)
+            val wakeUs = (open.map(_.end + gapUs).toSeq ++
+              still.map(_.us)).min
+            state.setTimeoutTimestamp(math.max(
+              Math.floorDiv(wakeUs, 1000L),
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
       }
   }
 

@@ -380,6 +380,43 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamination counts DISTINCT eval shingles even from a raw per-doc index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.sources.Tables.table(spark, dir, "documents")
+    // the NATURAL per-doc eval index — one row per (eval doc, shingle),
+    // so shingles shared across eval docs appear with multiplicity;
+    // the operator must distinct internally like batch td12 or it
+    // inflates n_shared_shingles by that multiplicity
+    val evalRaw = graft.pipeline.TextPrep
+      .shingles(all.where($"source" === "src0")).select("shingle")
+    val nonEval = all.where($"source" =!= "src0")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => Doc(r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[String]("text"),
+        ts(r.getAs[Long]("doc_id"))))
+    val src = MemoryStream[Doc]
+    val q = decontaminate(snake(src.toDF()), evalRaw)
+      .writeStream.format("memory").queryName("stream_decon_raw")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(nonEval.toSeq)
+      q.processAllAvailable()
+      src.addData(doc(999999, "far future closer doc", 100000))
+      q.processAllAvailable()
+      val got = spark.table("stream_decon_raw").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("n_shared_shingles")).toMap
+      val want = graft.queries.TextPipeline.decontaminate(spark, dir)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("n_shared_shingles")).toMap
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming trending tokens: sharded union equals the exact top-k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -631,4 +631,136 @@ class EventStreamsSpec extends SparkSpec {
         "streamed activity fold must equal the batch e10 feature rows")
     } finally q.stop()
   }
+
+  test("asof match survives a quiet-timeout flush: post-gap purchase still matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = asofJoin(src.toDS(), quietMinutes = 30)
+      .writeStream.format("memory").queryName("asof_idle")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 views at 10', then goes idle; unrelated traffic pushes
+      // the watermark past 10' + 30' quiet so the timeout FLUSHES the
+      // user (the eviction bug would drop the last-view scalars here)
+      src.addData(Event(1L, 1L, "view", 1.0, ts(10)))
+      q.processAllAvailable()
+      src.addData(ev(900, 99L, 60)); q.processAllAvailable()
+      src.addData(ev(901, 99L, 100)); q.processAllAvailable() // timeout fires
+      // the user returns: the purchase must still match the pre-gap view
+      src.addData(Event(2L, 1L, "purchase", 1.0, ts(120)))
+      q.processAllAvailable()
+      src.addData(ev(902, 99L, 200)); q.processAllAvailable() // seal it
+      val got = spark.table("asof_idle").as[AsofMatch].collect()
+        .map(r => r.purchaseId -> ((r.viewId, r.gapUs))).toMap
+      assert(got === Map(2L -> ((Some(1L), Some(110L * 60000000L)))),
+        s"post-gap purchase must match the pre-gap view: $got")
+    } finally q.stop()
+  }
+
+  test("funnel chains across a quiet gap; final report per user equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: view@0, quiet gap (> 30' quiet, < 600' horizon), then
+    // click@120 + purchase@125 — the click must chain off the PRE-GAP
+    // view, and the second quiet report supersedes the first
+    val log = Seq(
+      (1L, 1L, "view", 0L),
+      (2L, 1L, "click", 120L), (3L, 1L, "purchase", 125L))
+    val src = MemoryStream[Event]
+    val q = funnel(src.toDS(), horizonMinutes = 600, quietMinutes = 30)
+      .writeStream.format("memory").queryName("funnel_gap")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(Event(1L, 1L, "view", 1.0, ts(0)))
+      q.processAllAvailable()
+      // wm pushers: fire user 1's first quiet timeout (0' + 30')
+      src.addData(ev(990, 99L, 60)); q.processAllAvailable()
+      src.addData(ev(991, 99L, 100)); q.processAllAvailable()
+      // the user returns inside the horizon
+      src.addData(Event(2L, 1L, "click", 1.0, ts(120)),
+        Event(3L, 1L, "purchase", 1.0, ts(125)))
+      q.processAllAvailable()
+      // fire the second quiet timeout (125' + 30' → needs wm > 155')
+      src.addData(ev(992, 99L, 300)); q.processAllAvailable()
+      src.addData(ev(993, 99L, 500)); q.processAllAvailable()
+
+      val got = spark.table("funnel_gap").as[FunnelReport].collect()
+        .filter(_.userId == 1L)
+        .map(r => (r.firstViewUs, r.firstQualClickUs, r.firstConversionUs,
+          r.nConversions)).toSet
+      val v0 = 1700000000000000L
+      val viewOnly = (v0, None, None, 0L)
+      val full = (v0, Some(v0 + 120L * 60000000L),
+        Some(v0 + 125L * 60000000L), 1L)
+      assert(got === Set(viewOnly, full),
+        s"expected the pre-gap report then the cumulative one: $got")
+
+      // the cumulative report IS the batch row over the same events
+      val d = java.nio.file.Files.createTempDirectory("graft-sfgap").toString
+      log.map { case (id, u, t, m) =>
+        (id, 1700000000000000000L + m * 60000000000L, u, t) }
+        .toDF("event_id", "ts_ns", "user_id", "event_type")
+        .selectExpr("event_id", "ts_ns AS ts", "user_id", "event_type",
+          "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      val want = graft.queries.EventPipeline
+        .funnelWith(spark, d, 600L * 60000000L).collect()
+        .map(r => (r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getLong(4))).toSet
+      assert(want === Set(full))
+    } finally q.stop()
+  }
+
+  test("sessionize is batch-boundary independent: a late bridging event merges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = sessionize(src.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_bridge")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // events 0' and 25' in batch 1; 60' in batch 2 (an in-batch gap
+      // of 35' that an eager close would split on); then a LATE but
+      // admissible 52' (wm = 60' − 10' = 50') that bridges both
+      // halves: 25→52 = 27' and 52→60 = 8', both ≤ the 30' gap
+      src.addData(ev(1, 1, 0), ev(2, 1, 25)); q.processAllAvailable()
+      src.addData(ev(3, 1, 60)); q.processAllAvailable()
+      src.addData(ev(4, 1, 52)); q.processAllAvailable()
+      // advance wm past 60' + 30' to close, then once more to fire
+      src.addData(ev(900, 99L, 120)); q.processAllAvailable()
+      src.addData(ev(901, 99L, 200)); q.processAllAvailable()
+      val got = spark.table("sess_bridge").as[Session].collect()
+        .filter(_.userId == 1L)
+      assert(got.toSeq === Seq(Session(1L, ts(0), ts(60), 4, 4.0)),
+        s"the late 52' event must bridge into ONE session: ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("sessionize with watermark delay > gap does not merge backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = sessionize(src.toDS(), gapMinutes = 30,
+        watermark = "120 minutes")
+      .writeStream.format("memory").queryName("sess_back")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 120' arrives first; a late 55' (admissible under the 2 h
+      // watermark) precedes it by 65' > the 30' gap — batch puts them
+      // in SEPARATE sessions; the old backward-extend merged them
+      src.addData(ev(1, 1, 120)); q.processAllAvailable()
+      src.addData(ev(2, 1, 55)); q.processAllAvailable()
+      src.addData(ev(900, 99L, 400)); q.processAllAvailable()
+      src.addData(ev(901, 99L, 420)); q.processAllAvailable()
+      val got = spark.table("sess_back").as[Session].collect()
+        .filter(_.userId == 1L).sortBy(_.start.getTime)
+      assert(got.toSeq === Seq(
+        Session(1L, ts(55), ts(55), 1, 1.0),
+        Session(1L, ts(120), ts(120), 1, 1.0)),
+        s"a 65' gap must split even when the event arrives late: ${got.toSeq}")
+    } finally q.stop()
+  }
 }
