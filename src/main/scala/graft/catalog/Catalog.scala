@@ -3,6 +3,8 @@ package graft.catalog
 import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 
 /** Namespace metadata row (reference `src/database/models.py:20-26`). */
@@ -68,28 +70,34 @@ class Catalog(
       spark.read.parquet(path).as[T].collect().toVector
     else Vector.empty
 
-  private def persist(): Unit = {
-    def write[T: org.apache.spark.sql.Encoder](rows: Seq[T], path: String): Unit = {
-      val tmp = path + ".tmp"
-      rows.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-      // atomic-ish swap (reference src/io_utils.py:6-24 temp+move)
-      val dir = Paths.get(path)
-      if (Files.exists(dir)) {
-        val old = Paths.get(path + ".old")
-        deleteRecursively(old)
-        Files.move(dir, old)
-        Files.move(Paths.get(tmp), dir)
-        deleteRecursively(old)
-      } else Files.move(Paths.get(tmp), dir)
-    }
-    write(namespaces, nsPath)
-    write(tables, tblPath)
+  // Split per collection: every mutation snapshots ONLY the dataset it
+  // touched (a Spark coalesce(1) write + double directory swap each) —
+  // one persist() for both used to double every metadata edit's jobs
+  // and swaps, under the catalog lock, for no durability gain. Only
+  // deleteNamespace mutates both.
+  private def writeMeta[T: org.apache.spark.sql.Encoder](
+      rows: Seq[T], path: String): Unit = {
+    val tmp = path + ".tmp"
+    rows.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap (reference src/io_utils.py:6-24 temp+move)
+    val dir = Paths.get(path)
+    if (Files.exists(dir)) {
+      val old = Paths.get(path + ".old")
+      deleteRecursively(old)
+      Files.move(dir, old)
+      Files.move(Paths.get(tmp), dir)
+      deleteRecursively(old)
+    } else Files.move(Paths.get(tmp), dir)
   }
+  private def persistNamespaces(): Unit = writeMeta(namespaces, nsPath)
+  private def persistTables(): Unit = writeMeta(tables, tblPath)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
+      finally walk.close() // Files.walk holds directory fds until closed
     }
 
   private def nextId(ids: Seq[Long]): Long =
@@ -125,7 +133,7 @@ class Catalog(
       val ns = Namespace(nextId(namespaces.map(_.id)), displayName, schema,
         description, t, t)
       namespaces :+= ns
-      persist()
+      persistNamespaces()
       ns
     }
 
@@ -144,7 +152,7 @@ class Catalog(
         description = description.getOrElse(ns.description),
         updatedAt = now())
       namespaces = namespaces.map(n => if (n.id == id) updated else n)
-      persist()
+      persistNamespaces()
       updated
     }
   }
@@ -157,7 +165,8 @@ class Catalog(
         spark.sql(s"DROP DATABASE IF EXISTS `${ns.schemaName}` CASCADE")
         tables = tables.filterNot(_.namespaceId == id)
         namespaces = namespaces.filterNot(_.id == id)
-        persist()
+        persistNamespaces()
+        persistTables()
         true
     }
   }
@@ -177,7 +186,7 @@ class Catalog(
       val entry = TableEntry(nextId(tables.map(_.id)), namespaceId, displayName,
         tableName, "", 0L, isLoaded = false, t, t)
       tables :+= entry
-      persist()
+      persistTables()
       entry
     }
 
@@ -200,7 +209,7 @@ class Catalog(
           name = name.getOrElse(t.name),
           updatedAt = now())
         tables = tables.map(x => if (x.id == id) updated else x)
-        persist()
+        persistTables()
         updated
       }
     }
@@ -218,7 +227,7 @@ class Catalog(
             spark.sql(s"DROP TABLE IF EXISTS `${ns.schemaName}`.`${t.tableName}`")
           }
         tables = tables.filterNot(_.id == id)
-        persist()
+        persistTables()
         true
     }
   }
@@ -264,7 +273,7 @@ class Catalog(
         fileName = p.getFileName.toString, fileSize = size,
         isLoaded = true, updatedAt = now())
       tables = tables.map(t => if (t.id == tableId) updated else t)
-      persist()
+      persistTables()
       updated
     }
 
@@ -285,13 +294,17 @@ class Catalog(
     // reference's per-file `continue` — rather than aborting mid-load.
     val p = Paths.get(dir)
     require(Files.isDirectory(p), s"no such demo data directory: $dir")
-    val csvs = Files.list(p).toArray.map(_.toString)
+    val listing = Files.list(p)
+    val csvs =
+      try listing.toArray.map(_.toString)
+      finally listing.close() // Files.list leaks a directory fd until GC
+    val loadable = csvs
       .filter(_.endsWith(".csv")).sorted
       .filter { f =>
         val size = Files.size(Paths.get(f))
         size > 0 && size <= MaxCsvBytes
       }
-    require(csvs.nonEmpty, s"no loadable CSV files in $dir")
+    require(loadable.nonEmpty, s"no loadable CSV files in $dir")
     val schema = Names.normalizeSchemaName(namespaceName)
     // Demo replace-loads serialize against EACH OTHER on a dedicated
     // lock: with the facade serving on a thread pool, two concurrent
@@ -305,7 +318,7 @@ class Catalog(
         namespaces.find(_.schemaName == schema).foreach(old => deleteNamespace(old.id))
         createNamespace(namespaceName, "bulk-loaded demo data")
       }
-      val entries = csvs.map { path =>
+      val entries = loadable.flatMap { path =>
         val base = Paths.get(path).getFileName.toString.stripSuffix(".csv")
         // The demo lock serializes demo loads against each other, but a
         // concurrent REGULAR deleteNamespace can still remove `ns`
@@ -313,17 +326,34 @@ class Catalog(
         // is a conflict with other traffic, not a bad request — surface
         // it as ConcurrentModification (→ 409), not a require failure
         // (createTable's namespace check) or a bare NoSuchElement
-        // (ingest's namespace lookup).
+        // (ingest's namespace lookup). Any OTHER per-file failure —
+        // two file names normalizing to the same table name, a file
+        // Spark cannot parse as CSV — skips that file and keeps
+        // loading: the skip-and-continue the size pre-filter above
+        // already promises, instead of aborting with the old demo
+        // namespace destroyed and a half-loaded one in its place.
         try {
           val entry = createTable(ns.id, base)
-          loadCsv(entry.id, path)
+          try Some(loadCsv(entry.id, path))
+          catch {
+            case e @ (_: IllegalArgumentException | _: NoSuchElementException)
+                if getNamespace(ns.id).isEmpty => throw e // outer 409 path
+            case NonFatal(_) =>
+              // content failed after the entry was created: remove the
+              // empty husk so the namespace only lists loaded tables
+              try deleteTable(entry.id) catch { case NonFatal(_) => () }
+              None
+          }
         } catch {
           case _ @ (_: IllegalArgumentException | _: NoSuchElementException)
               if getNamespace(ns.id).isEmpty =>
             throw Catalog.ConcurrentModification(
               s"namespace '${ns.schemaName}' was deleted concurrently during demo load")
+          case _: IllegalArgumentException => None // duplicate table name
         }
       }.toSeq
+      require(entries.nonEmpty,
+        s"no CSV file in $dir survived loading into '$schema'")
       (ns, entries)
     }
   }

@@ -13,10 +13,10 @@ import org.apache.spark.sql.types.StructField
   */
 object SchemaDocs {
 
-  /** Spark type → the DuckDB-style names the reference emits. */
+  /** Spark type → the DuckDB-style names the reference emits.
+    * (LongType.sql is already "BIGINT"; only STRING needs renaming.) */
   private def typeName(f: StructField): String = f.dataType.sql match {
     case "STRING" => "VARCHAR"
-    case "LONG" => "BIGINT"
     case other => other
   }
 

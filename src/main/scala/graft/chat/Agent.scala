@@ -60,7 +60,11 @@ final case class AgentResult(
 class Agent(
     spark: SparkSession,
     provider: NlToSql,
-    schemaDocs: String,
+    // by-name so a facade-held agent re-reads the docs each run and a
+    // POST /schema/refresh between runs is visible to the planner,
+    // mirroring the reference's load_schema_docs() call INSIDE
+    // make_plan (`chain.py:97`) rather than at worker start
+    schemaDocs: => String,
     rowLimit: Int = 200,
     queryTimeoutMs: Long = 0) {
 

@@ -58,7 +58,19 @@ class HttpFacade(
     ownsSessionCaches: Boolean = true) {
 
   private val mapper = new ObjectMapper()
-  private lazy val schemaDocs = SchemaDocs.buildMarkdown(spark)
+  // Schema docs for the planner/dbt surfaces: cached like the
+  // reference's lru_cache'd load_schema_docs and cleared ONLY by
+  // POST /schema/refresh (`route/chat.py:353` cache_clear) — a plain
+  // lazy val would hand /chat and /dbt/generate the pre-refresh
+  // markdown for the facade's lifetime while GET /schema recomputes
+  // fresh, leaving the two surfaces permanently disagreeing about
+  // tables loaded after first use.
+  @volatile private var schemaDocsCache: String = null
+  private def schemaDocs: String = {
+    var d = schemaDocsCache
+    if (d == null) { d = SchemaDocs.buildMarkdown(spark); schemaDocsCache = d }
+    d
+  }
   private lazy val agent =
     new Agent(spark, provider, schemaDocs, rowLimit, queryTimeoutMs)
   // Both SQL-executing routes (/chat* via the agent's runner, and
@@ -131,6 +143,12 @@ class HttpFacade(
           (400, "application/json", detail(m))
         case e: IllegalArgumentException =>
           (400, "application/json", detail(Option(e.getMessage).getOrElse("bad request")))
+        // a nonexistent table name or unparseable predicate in a DQ
+        // body is a CALLER error like any other malformed request —
+        // Spark just reports it as AnalysisException, which must not
+        // fall through to the 500 branch
+        case e: org.apache.spark.sql.AnalysisException =>
+          (400, "application/json", detail(e.getMessage))
         // lost race with concurrent traffic (demo load vs namespace
         // delete) — the request was well-formed, so 409 not 400/500
         case graft.catalog.Catalog.ConcurrentModification(m) =>
@@ -161,6 +179,7 @@ class HttpFacade(
       okJson(obj("schema_markdown" -> SchemaDocs.buildMarkdown(spark)))
     case ("POST", "/schema/refresh") =>
       val written = SchemaDocs.writeSchemaDocs(spark, schemaDocsPath)
+      schemaDocsCache = null // the reference's cache_clear (chat.py:353)
       okJson(obj(
         "schema_docs_path" -> written,
         "size_bytes" -> Files.size(java.nio.file.Paths.get(written))))

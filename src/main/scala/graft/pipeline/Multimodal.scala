@@ -217,7 +217,9 @@ object Multimodal {
         if (size < 0 || body + size > b.length) return fmt.flatMap {
           case (ba, r, c) =>
             // tolerate a truncated trailing data chunk (streaming cut)
-            if (id == "data" && body < b.length)
+            // — under the SAME ba/rate sanity gate as the normal exit
+            // below, or a zero blockAlign divides dimensions/resample
+            if (id == "data" && body < b.length && ba > 0 && r > 0)
               Some((body, b.length - body, ba, r, c))
             else None
         }
@@ -625,7 +627,15 @@ object Multimodal {
         else {
           val fixed = u32(b, zs + 4)
           val n = u32(b, zs + 8).toInt
-          if (fixed != 0L) Vector.fill(n)(fixed)
+          // fixed-size branch: sample_count is attacker-controlled and
+          // has no table to bound it (the variable branch is bounded
+          // by takeWhile against the box end), so cap it by the bytes
+          // that could actually hold n samples of `fixed` bytes —
+          // otherwise a ~200-byte crafted stsz with count 2^31-1
+          // allocates a multi-GB Vector and OOMs the executor (an
+          // Error, NOT caught by parse()'s NonFatal fallback)
+          if (fixed != 0L) Vector.fill(math.max(0L, math.min(n.toLong,
+            b.length.toLong / fixed)).toInt)(fixed)
           else (0 until n).iterator
             .map(i => zs + 12 + 4L * i)
             .takeWhile(_ + 4 <= ze)
@@ -651,17 +661,22 @@ object Multimodal {
             .map(o => (u32(b, o.toInt).toInt, u32(b, o.toInt + 4).toInt))
             .toVector
       }.getOrElse(Vector.empty)
-      def perChunk(chunk1: Int): Int = {
-        val applicable = runs.takeWhile(_._1 <= chunk1)
-        if (applicable.isEmpty) 1 else applicable.last._2
-      }
+      // active samples-per-chunk via a two-pointer walk over the runs
+      // (chunk index only ever advances, so this is the linear form of
+      // `runs.takeWhile(_._1 <= chunk1).last` — the old per-chunk
+      // takeWhile rescan was O(chunks × runs), minutes of CPU on a
+      // legal one-run-per-chunk file with ~100k chunks)
       val out = Vector.newBuilder[(Long, Int)]
       var sample = 0
       var c = 0
+      var ri = 0
+      var spc = 1
       while (c < chunks.length && sample < sizes.length) {
         var off = chunks(c)
         var k = 0
-        val spc = perChunk(c + 1)
+        while (ri < runs.length && runs(ri)._1 <= c + 1) {
+          spc = runs(ri)._2; ri += 1
+        }
         while (k < spc && sample < sizes.length) {
           out += ((off, sizes(sample).toInt))
           off += sizes(sample)

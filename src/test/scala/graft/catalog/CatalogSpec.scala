@@ -157,6 +157,27 @@ class CatalogSpec extends SparkSpec {
     cat.deleteNamespace(ns2.id)
   }
 
+  test("demo load skips per-file failures instead of aborting half-loaded") {
+    val (cat, _) = freshCatalog()
+    val dir = Files.createTempDirectory("demo_csvs_skip")
+    // 'sales report.csv' and 'sales_report.csv' both normalize to table
+    // name sales_report — the second must SKIP (per-file continue), not
+    // abort with the old namespace already destroyed; the lexically
+    // later valid file must still load
+    Files.writeString(dir.resolve("sales report.csv"), "x\n1\n")
+    Files.writeString(dir.resolve("sales_report.csv"), "y\n2\n3\n")
+    Files.writeString(dir.resolve("zz_ok.csv"), "z\n9\n")
+    val (ns, entries) = cat.loadDemoDataset(dir.toString, "Bulk NS Skip")
+    assert(entries.map(_.tableName).sorted === Seq("sales_report", "zz_ok"))
+    assert(entries.forall(_.isLoaded))
+    // the FIRST of the colliding pair won (files load in sorted order)
+    assert(spark.table("bulk_ns_skip.sales_report").count() === 1)
+    assert(spark.table("bulk_ns_skip.zz_ok").count() === 1)
+    // no husk entry left behind for the skipped file
+    assert(cat.listTables(ns.id).length === 2)
+    cat.deleteNamespace(ns.id)
+  }
+
   test("concurrent demo bulk loads never race the delete+create") {
     val (cat, _) = freshCatalog()
     val dir = Files.createTempDirectory("demo_csvs_conc")

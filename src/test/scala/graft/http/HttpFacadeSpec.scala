@@ -585,4 +585,38 @@ class HttpFacadeSpec extends SparkSpec {
       === p.rows * 2)
     assert(p.rows > 0)
   }
+
+  test("POST /schema/refresh makes new tables visible to the agent planner") {
+    def keyFields(planJson: String): String =
+      mapper.readTree(planJson).get("plan").asText()
+        .split(" ; ").find(_.startsWith("Key fields")).getOrElse("")
+    // prime the planner's docs cache (the reference's lru_cache'd
+    // load_schema_docs) with a first agent call
+    assert(post("/chat/agent", """{"question": "orders overview"}""")
+      .statusCode() === 200)
+    // a table created AFTER the cache was primed
+    spark.range(3).selectExpr("id AS signup_bonus")
+      .createOrReplaceTempView("freshly_minted_signups")
+    try {
+      val q = """{"question": "sum signup_bonus from freshly_minted_signups"}"""
+      // cached docs predate the view: the matched-fields bullet cannot
+      // name it (the goal bullet echoes the question, so check only
+      // the Key fields segment)
+      assert(!keyFields(post("/chat/agent", q).body())
+        .contains("freshly_minted_signups"))
+      // the reference's cache_clear: refresh must make it visible
+      assert(post("/schema/refresh", "{}").statusCode() === 200)
+      assert(keyFields(post("/chat/agent", q).body())
+        .contains("freshly_minted_signups"),
+        "post-refresh plan must retrieve the new table's docs line")
+    } finally spark.catalog.dropTempView("freshly_minted_signups")
+  }
+
+  test("DQ routes map a nonexistent table and a bad predicate to 400, not 500") {
+    val r = post("/dq/profile", """{"table": "definitely_not_a_table_9q"}""")
+    assert(r.statusCode() === 400)
+    val w = post("/dq/check",
+      """{"table": "orders", "where": "o_orderkey >== banana"}""")
+    assert(w.statusCode() === 400)
+  }
 }

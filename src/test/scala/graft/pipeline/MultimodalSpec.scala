@@ -528,4 +528,67 @@ class MultimodalSpec extends SparkSpec {
       .bytes()
     assert(Mp4Codec.spsDims(sps) === Some((320, 240)))
   }
+
+  test("malformed media headers degrade to the stub, never crash or OOM") {
+    // WAV: fmt declares blockAlign=0 and the data chunk is truncated —
+    // the truncated-trailing-data fallback must apply the same
+    // ba>0/rate>0 gate as the normal exit, or dimensions()/resample()
+    // divide by zero (an exception no codec fallback catches)
+    val bad = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put("RIFF".getBytes).putInt(100000) // declared >> actual
+      .put("WAVEfmt ".getBytes).putInt(16)
+      .putShort(1).putShort(2).putInt(8000)
+      .putInt(0).putShort(0).putShort(16) // blockAlign = 0
+      .put("data".getBytes).putInt(100000) // overruns the buffer
+    val badWav = bad.array()
+    assert(WavCodec.dimensions(badWav) === StubCodec.dimensions(badWav))
+    assert(WavCodec.resample(badWav, 4, 4, 2, 2) // stub passthrough
+      === StubCodec.resample(badWav, 4, 4, 2, 2))
+    // the fallback still accepts a truncated chunk when fmt is sane
+    val cut = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    cut.put("RIFF".getBytes).putInt(100000)
+      .put("WAVEfmt ".getBytes).putInt(16)
+      .putShort(1).putShort(2).putInt(8000)
+      .putInt(32000).putShort(4).putShort(16)
+      .put("data".getBytes).putInt(100000)
+    val (frames, rate, ch) = WavCodec.dimensions(cut.array())
+    assert((frames, rate, ch) === ((64 - 44) / 4, 8000, 2))
+
+    // MP4: a ~100-byte file whose stsz declares fixed sample size with
+    // count 2^31-1 — the fixed branch must cap the eager sample vector
+    // at what the file could physically hold, not allocate multi-GB
+    // (OutOfMemoryError is fatal; parse()'s NonFatal never sees it)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      buf.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      buf.array()
+    }
+    val stszBomb = {
+      val p = java.nio.ByteBuffer.allocate(12)
+      p.putInt(0).putInt(10).putInt(Int.MaxValue) // fixed 10, n 2^31-1
+      p.array()
+    }
+    val stco1 = {
+      val p = java.nio.ByteBuffer.allocate(12)
+      p.putInt(0).putInt(1).putInt(40)
+      p.array()
+    }
+    def hdlr(handler: String) = {
+      val p = java.nio.ByteBuffer.allocate(25)
+      p.putInt(0).putInt(0).put(handler.getBytes("US-ASCII"))
+      p.array()
+    }
+    val ftyp = box("ftyp",
+      "isomiso2".getBytes("US-ASCII") ++ Array.fill(4)(0.toByte))
+    val bomb = ftyp ++ box("moov", box("trak", box("mdia",
+      box("hdlr", hdlr("vide")) ++ box("minf", box("stbl",
+        box("stsz", stszBomb) ++ box("stco", stco1))))))
+    val info = Mp4Codec.parse(bomb)
+    assert(info.isDefined, "capped parse must still succeed")
+    assert(info.get.samples.length <= bomb.length / 10,
+      s"sample table bounded by file bytes: ${info.get.samples.length}")
+  }
 }
