@@ -64,10 +64,16 @@ object InputTuning {
     * only exists to trade latency for locality across a real cluster.
     */
   def configure(b: SparkSession.Builder, dir: String,
-      cpus: Int): SparkSession.Builder =
-    settings(smallInput(dir), cpus, inputBytes(dir)).foldLeft(b) {
+      cpus: Int): SparkSession.Builder = {
+    // walk the tree ONCE: a second walk doubles startup I/O on exactly
+    // the many-file layouts that hurt, and two reads racing a
+    // concurrent ingest could straddle the threshold and emit an
+    // inconsistent knob set
+    val bytes = inputBytes(dir)
+    settings(bytes < AdaptiveThresholdBytes, cpus, bytes).foldLeft(b) {
       case (bb, (k, v)) => bb.config(k, v)
     }
+  }
 
   /** Static shuffle parallelism for the small-input regime. Below the
     * AQE threshold every post-shuffle partition holds kilobytes, so

@@ -22,8 +22,26 @@ import org.apache.spark.sql.types._
   * `0.0 + x₀·y₀ + x₁·y₁ + …` with each float widened to double before
   * the IEEE multiply — bit-identical to DuckDB's
   * `list_reduce(list_prepend(0.0, list_transform(list_zip(a,b), …)))`
-  * used by the oracles. Element nulls are not expected (embeddings are
-  * dense); null ARRAYS propagate null via BinaryExpression.
+  * used by the oracles on equal-length dense inputs.
+  *
+  * Degenerate inputs — the validation LAYERING is deliberate:
+  *  - Length mismatch THROWS (one int compare per row, free). The
+  *    oracle's zip-pad-NULL would silently drop the row from a `> τ`
+  *    filter; in a curation pipeline a dimension mismatch is data
+  *    corruption, and failing the job beats silently losing pairs —
+  *    and beats a truncated partial dot (the pre-fix behavior, a
+  *    plausible WRONG similarity) most of all.
+  *  - Null ELEMENTS are a documented precondition, validated at
+  *    ingest (v05_embedding_stats flags zero/non-finite/dim-drift
+  *    vectors), NOT per-pair: making this expression nullable threads
+  *    null branches through every downstream cosine predicate and
+  *    measured +10% on v03's sf10 candidate fold even with the check
+  *    as a single 64-bit word probe of the UnsafeArrayData null
+  *    bitset (an in-loop isNullAt+break was +56%, 22.3 → 34.9 s).
+  *    The fold runs ~10⁴ times per vector at sf10 — per-pair
+  *    validation is the wrong layer by that same factor. On unsafe
+  *    rows a null slot reads as 0.0f; null ARRAYS still propagate
+  *    null via BinaryExpression.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,7 +64,10 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: length mismatch $n vs ${y.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -62,7 +83,11 @@ case class FloatVecDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: length mismatch " + $n + " vs " + $b.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
@@ -94,8 +119,24 @@ object Functions {
       if (!reg.functionExists(
           org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
-    ifAbsent("vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)))
-    ifAbsent("h32", exprs => Md5Word32(exprs.head, 0))
-    ifAbsent("h32b", exprs => Md5Word32(exprs.head, 1))
+    // arity-checked builders: a wrong argument count must surface as
+    // an AnalysisException naming the function, not an
+    // IndexOutOfBounds from exprs(1) — and never silently IGNORE
+    // extra arguments (vec_dot(a, b, c) returning dot(a,b) would be a
+    // plausible wrong number)
+    def arity(name: String, n: Int, exprs: Seq[Expression]): Unit =
+      if (exprs.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name,
+            "expectedNum" -> n.toString,
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+    ifAbsent("vec_dot", exprs => {
+      arity("vec_dot", 2, exprs); FloatVecDot(exprs.head, exprs(1))
+    })
+    ifAbsent("h32", exprs => { arity("h32", 1, exprs); Md5Word32(exprs.head, 0) })
+    ifAbsent("h32b", exprs => { arity("h32b", 1, exprs); Md5Word32(exprs.head, 1) })
   }
 }

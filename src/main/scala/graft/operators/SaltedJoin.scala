@@ -50,8 +50,25 @@ object SaltedJoin {
       salts: Int, saltBy: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "at least one join key required")
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val saltCols: Seq[Column] =
-      (if (saltBy.nonEmpty) saltBy else probe.columns.toSeq).map(col)
+    // __salt is this operator's reserved working column: silently
+    // overwriting a user column of that name (and then dropping it)
+    // would break the result-identical-to-plain-join contract
+    require(!(probe.columns ++ build.columns).contains("__salt"),
+      "input already has a __salt column; rename it before salting")
+    val saltCols: Seq[Column] = {
+      val names =
+        if (saltBy.nonEmpty) saltBy
+        // row-identity default: all probe columns EXCEPT maps, which
+        // hash() rejects at analysis time (SPARK-27619) — a map column
+        // is never the only stable identity in practice
+        else probe.schema.fields.collect {
+          case f if !f.dataType.isInstanceOf[
+            org.apache.spark.sql.types.MapType] => f.name
+        }.toSeq
+      require(names.nonEmpty,
+        "no hashable salt columns: pass saltBy explicitly")
+      names.map(col)
+    }
     val saltedProbe = probe.withColumn("__salt",
       pmod(hash(saltCols: _*), lit(salts)))
     val explodedBuild = build.withColumn("__salt",

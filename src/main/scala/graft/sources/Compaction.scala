@@ -82,13 +82,26 @@ object Compaction {
     val inQ = inP.getFileSystem(hc).makeQualified(inP)
     val outP = new Path(outDir)
     val outQ = outP.getFileSystem(hc).makeQualified(outP)
-    require(inQ != outQ,
-      s"compact cannot overwrite its own input: $inQ — write to a fresh " +
-        "directory and swap the table location (atomic-sink recipe)")
+    // Containment, not just equality: an outDir that is an ANCESTOR of
+    // dir is the same data-loss (overwrite clears it, input included,
+    // before the lazy scan runs); outDir INSIDE dir corrupts every
+    // later partition discovery of dir. Compare slash-terminated URI
+    // strings so /lake/t2 is not treated as a prefix of /lake/t20.
+    def uriOf(p: Path) = p.toUri.toString.stripSuffix("/") + "/"
+    require(!uriOf(inQ).startsWith(uriOf(outQ)) &&
+        !uriOf(outQ).startsWith(uriOf(inQ)),
+      s"compact cannot overwrite or nest into its own input: $inQ vs $outQ " +
+        "— write to a fresh sibling directory and swap the table " +
+        "location (atomic-sink recipe)")
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive: $targetFileBytes")
     val before = fileStats(spark, dir)
     require(before.nonEmpty, s"nothing to compact under $dir")
     val totalBytes = before.map(_.bytes).sum
-    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    // clamp to Int range BEFORE toInt: a tiny target over a large
+    // directory would wrap negative and fail after the full listing
+    val nOut = math.min(Int.MaxValue.toLong, math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes))
     spark.read.parquet(dir)
       .repartition(nOut.toInt)
       .write.mode("overwrite").parquet(outDir)

@@ -32,7 +32,13 @@ object Jdbc {
     spark.read.jdbc(url, table, props(user, password, driver))
 
   /** Range-partitioned parallel read: `numPartitions` concurrent
-    * queries, each bounded on `partitionColumn` ∈ [lower, upper]. */
+    * queries striding `partitionColumn` across [lower, upper].
+    * NOTE (Spark JDBC contract): the bounds decide the STRIDE ONLY,
+    * not a filter — the first partition's predicate is open below
+    * (`col < lo+stride OR col IS NULL`) and the last open above, so
+    * every row of the table is returned regardless of the bounds.
+    * Rows outside [lower, upper] just pile into the edge partitions;
+    * add an explicit `.where` if a range FILTER is wanted. */
   def readPartitioned(spark: SparkSession, url: String, table: String,
       partitionColumn: String, lowerBound: Long, upperBound: Long,
       numPartitions: Int,

@@ -81,4 +81,47 @@ class FunctionsSpec extends SparkSpec {
       .select(expr("h32(s)")).collect()(0).getLong(0)
     assert(interpreted === viaPlan)
   }
+
+  test("vec_dot fails loudly on degenerate inputs, never a truncated dot") {
+    import spark.implicits._
+    Functions.register(spark)
+    val rows = Seq((1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("id", "a", "b")
+    assert(rows.selectExpr("vec_dot(a, b) AS d")
+      .collect()(0).getDouble(0) === 32.0)
+    // length mismatch THROWS (in both codegen and interpreted eval) —
+    // a silently-truncated partial dot is a plausible WRONG number in
+    // a similarity ranking, and the zip-pad-NULL alternative would
+    // silently drop the row from a threshold filter
+    val mism = Seq((2L, Seq(1.0f, 2.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("id", "a", "b")
+    val e = intercept[Exception] {
+      mism.selectExpr("vec_dot(a, b)").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse(""))).mkString(" | ")
+    assert(rootMsg(e).contains("length mismatch"))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val at = ArrayType(FloatType, containsNull = true)
+    val interp = intercept[IllegalArgumentException] {
+      FloatVecDot(
+        Literal(new GenericArrayData(Array[Any](1.0f, 2.0f)), at),
+        Literal(new GenericArrayData(Array[Any](4.0f, 5.0f, 6.0f)), at))
+        .eval(null)
+    }
+    assert(interp.getMessage.contains("length mismatch"))
+    // wrong arity fails analysis with the function named, and extra
+    // arguments are never silently dropped
+    val one = intercept[org.apache.spark.sql.AnalysisException] {
+      rows.selectExpr("vec_dot(a)").collect()
+    }
+    assert(one.getMessage.contains("vec_dot"))
+    val three = intercept[org.apache.spark.sql.AnalysisException] {
+      rows.selectExpr("vec_dot(a, b, a)").collect()
+    }
+    assert(three.getMessage.contains("vec_dot"))
+  }
 }

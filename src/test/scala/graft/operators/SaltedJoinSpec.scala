@@ -64,4 +64,24 @@ class SaltedJoinSpec extends SparkSpec {
       Seq("k"), salts = 4, saltBy = Seq("row_id"))
     assert(reshuffled.count() === plain)
   }
+
+  test("map columns and reserved __salt are handled, not analysis errors") {
+    import org.apache.spark.sql.functions._
+    val plain = probe.join(build, Seq("k")).count()
+    // hash() rejects MapType (SPARK-27619): the row-identity default
+    // must skip map columns instead of failing analysis on tables
+    // that happen to carry one
+    val withMap = probe.withColumn("m",
+      map(lit("a"), col("row_id").cast("string")))
+    val viaDefault = SaltedJoin.join(withMap, build, Seq("k"), salts = 4)
+    assert(viaDefault.count() === plain)
+    assert(viaDefault.columns.contains("m"), "map column must survive")
+    // a pre-existing __salt data column must be refused loudly, not
+    // silently clobbered and dropped from the result
+    val clash = probe.withColumn("__salt", lit(7))
+    val e = intercept[IllegalArgumentException] {
+      SaltedJoin.join(clash, build, Seq("k"), salts = 4)
+    }
+    assert(e.getMessage.contains("__salt"))
+  }
 }

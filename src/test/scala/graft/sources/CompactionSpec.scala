@@ -66,7 +66,28 @@ class CompactionSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Compaction.compact(spark, src, src.stripSuffix("/") + "/")
     }
-    assert(e.getMessage.contains("cannot overwrite its own input"))
+    assert(e.getMessage.contains("cannot overwrite or nest into its own input"))
+    // containment both ways is the same data loss: an ANCESTOR outDir
+    // clears the input via overwrite before the lazy scan runs; an
+    // outDir INSIDE dir corrupts later partition discovery
+    val up = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, src, java.nio.file.Paths.get(src)
+        .getParent.toString)
+    }
+    assert(up.getMessage.contains("cannot overwrite or nest"))
+    val in = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, src, src + "/compacted")
+    }
+    assert(in.getMessage.contains("cannot overwrite or nest"))
+    // a SIBLING whose name shares a prefix is NOT containment
+    val sib = src.stripSuffix("/") + "2"
+    Compaction.compact(spark, src, sib)
+    assert(spark.read.parquet(sib).count() === 100L)
+    // a zero/negative file-size target fails fast, not divide-by-zero
+    val z = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, src, sib + "b", targetFileBytes = 0L)
+    }
+    assert(z.getMessage.contains("targetFileBytes"))
     assert(spark.read.parquet(src).count() === 100L, "input must be intact")
   }
 
