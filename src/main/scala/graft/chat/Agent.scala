@@ -86,8 +86,16 @@ class Agent(
     runner.run(provider.complete(question, rowLimit))
   }
 
-  /** §3.2 agent loop with bounded refine steps. */
+  /** §3.2 agent loop with bounded refine steps. `maxSteps` comes raw
+    * off the HTTP body, so it is normalized like the reference's
+    * `(inp.max_steps or 2)` — 0 is falsy in Python, so 0 (and
+    * negatives, which would skip the loop and return an empty
+    * non-answer) mean the default 2 — and CAPPED at 16: the reference
+    * trusts the field unbounded, which lets one request drive
+    * millions of provider calls + Spark queries on a handler thread
+    * (resource DoS). 16 is far past any useful refine depth. */
   def run(question: String, maxSteps: Int = 2): AgentResult = {
+    val steps = math.min(16, if (maxSteps <= 0) 2 else maxSteps)
     Metrics.inc("ai_requests_total", Map("route" -> "agent"))
     val plan = Planner.makePlan(question, schemaDocs)
     var candidates = Vector.empty[CandidateSql]
@@ -125,9 +133,16 @@ class Agent(
       sql = SqlGuard.extractSqlFromMarkdown(draftMd)
     }
 
+    // Two deliberate parity quirks of this loop (both match the
+    // reference exactly, `chat.py:108-176`): lastError is STICKY — a
+    // later successful step does not clear it, so telemetry can carry
+    // last_error="empty" alongside a non-empty answer and the
+    // empty-results counter counts recoveries; and the FINAL
+    // iteration still pays a refine whose draft nothing consumes —
+    // its retries/gen_ms are part of the declared response shape.
     var step = 0
     var done = false
-    while (step < maxSteps && !done) {
+    while (step < steps && !done) {
       step += 1
       val (ok, reason) = SqlGuard.isSafe(sql)
       if (!ok) {

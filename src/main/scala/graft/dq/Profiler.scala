@@ -98,7 +98,12 @@ object Profiler {
 
     // Pass 2: top-k for all columns at once via melt (null-excluded).
     val stackExpr = fields.map { f =>
-      val lit = f.name.replace("'", "''")
+      // escape backslashes BEFORE quotes: with Spark's default
+      // escapedStringLiterals=false a raw backslash in a column name
+      // either eats the closing quote (ParseException for a schema
+      // Spark itself accepts) or decodes to a control char, silently
+      // desyncing the groupBy key from f.name
+      val lit = f.name.replace("\\", "\\\\").replace("'", "\\'")
       s"'$lit', CAST(${quoted(f.name)} AS STRING)"
     }.mkString(", ")
     val w = Window.partitionBy("column")

@@ -188,14 +188,24 @@ object DqEngine {
                 now: Instant = Instant.now()): DqReport = {
     graft.metrics.Metrics.inc("dq_requests_total", Map("route" -> "check"))
     val clamped = math.max(1, math.min(limit, 200000))
-    val sample = where.foldLeft(df)((d, p) => d.where(p)).limit(clamped).cache()
+    // A caller that already clamped AND persisted its sample (the
+    // facade's dqCheck does, so rule evaluation and the returned
+    // sample_rows come from ONE materialization) must not get a
+    // second limit+cache layered on top — that is a distinct plan,
+    // so the same rows would occupy block-manager storage twice for
+    // the duration of the request.
+    val preCached = where.isEmpty &&
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val sample =
+      if (preCached) df.limit(clamped)
+      else where.foldLeft(df)((d, p) => d.where(p)).limit(clamped).cache()
     try {
       val prof = Profiler.profile(sample)
       val results = evaluate(sample, rules, now)
       results.foreach(r => graft.metrics.Metrics.inc(
         "dq_checks_total", Map("passed" -> r.passed.toString)))
       DqReport(prof, results, Report.render(prof, results))
-    } finally sample.unpersist()
+    } finally if (!preCached) sample.unpersist()
   }
 }
 

@@ -67,7 +67,13 @@ class QueryRunner(
     watchdog.schedule(new java.util.TimerTask {
       override def run(): Unit = {
         timedOut.set(true)
-        sc.cancelJobGroup(group)
+        // ...AndFutureJobs: plain cancelJobGroup cancels only jobs
+        // already RUNNING, so a timeout firing during parse/analysis/
+        // planning (or between a query's jobs) would be a silent
+        // no-op and the collect() submitted afterwards would run
+        // unbounded. The group is a fresh UUID per call, so "future"
+        // can never leak onto another query.
+        sc.cancelJobGroupAndFutureJobs(group)
       }
     }, queryTimeoutMs)
     try body

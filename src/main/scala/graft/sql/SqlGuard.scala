@@ -33,7 +33,11 @@ object SqlGuard {
     "(?i)\\b(INSERT|UPDATE|DELETE|CREATE|DROP|ALTER|ATTACH|COPY|PRAGMA|EXPORT|IMPORT)\\b".r
   private val SqlBlock = "(?is)```sql(.*?)```".r
   private val BlockComment = "(?s)/\\*.*\\*/".r
-  private val TrailingLimit = "(?is)\\bLIMIT\\s+\\d+\\s*;?\\s*$".r
+  // a trailing OFFSET is part of the limit clause: replacing only the
+  // LIMIT and appending another would produce `LIMIT 10 OFFSET 5
+  // LIMIT 50` — a parse error for valid SQL
+  private val TrailingLimit =
+    "(?is)\\bLIMIT\\s+\\d+(\\s+OFFSET\\s+\\d+)?\\s*;?\\s*$".r
 
   /** V6: pull the first ```sql fenced block, else the whole string. */
   def extractSqlFromMarkdown(s: String): String =
@@ -72,12 +76,20 @@ object SqlGuard {
     (true, "ok")
   }
 
-  /** V7: replace a trailing `LIMIT n` with an override (or append —
-    * after stripping trailing semicolons/whitespace, which would
-    * otherwise make the appended LIMIT a second statement). */
+  /** V7: replace a trailing `LIMIT n [OFFSET m]` with an override (or
+    * append — after stripping trailing semicolons/whitespace, which
+    * would otherwise make the appended LIMIT a second statement). A
+    * match whose line carries a `--` before it is inside a trailing
+    * line comment: rewriting there would silently turn the override
+    * into a comment edit, so those append on a fresh line instead
+    * (the newline ends the comment). */
   def overrideLimit(sql: String, n: Int): String =
-    TrailingLimit.findFirstIn(sql) match {
-      case Some(_) => TrailingLimit.replaceFirstIn(sql, s"LIMIT $n")
-      case None => sql.replaceAll("[;\\s]+$", "") + s"\nLIMIT $n"
+    TrailingLimit.findFirstMatchIn(sql) match {
+      case Some(m) if !sql.substring(
+          sql.lastIndexOf('\n', math.max(0, m.start - 1)) + 1, m.start)
+          .contains("--") =>
+        val offset = Option(m.group(1)).getOrElse("")
+        sql.substring(0, m.start) + s"LIMIT $n$offset"
+      case _ => sql.replaceAll("[;\\s]+$", "") + s"\nLIMIT $n"
     }
 }

@@ -110,4 +110,20 @@ class AgentSpec extends SparkSpec {
     assert(out.rows.isEmpty)
     assert(out.candidates.count(_.reason.startsWith("ok:0rows")) === 2)
   }
+
+  test("agent loop: max_steps is normalized (0 ⇒ default 2) and capped") {
+    val docs = withTestdata()
+    val provider = new NlToSql {
+      override def complete(question: String, rowLimit: Int): String =
+        "```sql\nSELECT o_orderkey FROM orders WHERE o_totalprice < 0\n```"
+    }
+    // 0 is falsy in the reference (`inp.max_steps or 2`): the loop
+    // must run the default 2 steps, not skip and return a non-answer
+    val zero = new Agent(spark, provider, docs).run("q", maxSteps = 0)
+    assert(zero.candidates.count(_.reason.startsWith("ok:0rows")) === 2)
+    // an absurd request value is capped (16), not an unbounded
+    // provider/Spark loop on a facade handler thread
+    val huge = new Agent(spark, provider, docs).run("q", maxSteps = 1000000)
+    assert(huge.candidates.count(_.reason.startsWith("ok:0rows")) === 16)
+  }
 }

@@ -95,6 +95,19 @@ class SqlGuardSpec extends SparkSpec {
     assert(runner.run("SELECT id FROM al_u LIMIT 100000").rows.length === 50)
   }
 
+  test("overrideLimit handles OFFSET tails and comment-trapped LIMITs") {
+    // a trailing OFFSET belongs to the limit clause: replace the
+    // count, keep the offset — appending a second LIMIT is a parse
+    // error for valid SQL
+    assert(SqlGuard.overrideLimit("SELECT * FROM t LIMIT 10 OFFSET 5", 50)
+      === "SELECT * FROM t LIMIT 50 OFFSET 5")
+    // 'LIMIT 10' inside a trailing line comment must not be rewritten
+    // (a comment edit silently loses the override); the appended
+    // LIMIT starts a fresh line, which ends the comment
+    assert(SqlGuard.overrideLimit("SELECT * FROM t -- cap LIMIT 10", 50)
+      === "SELECT * FROM t -- cap LIMIT 10\nLIMIT 50")
+  }
+
   test("overrideLimit appends cleanly after trailing semicolons/whitespace") {
     assert(SqlGuard.overrideLimit("SELECT 1;\n", 50) === "SELECT 1\nLIMIT 50")
     assert(SqlGuard.overrideLimit("SELECT 1;;", 50) === "SELECT 1\nLIMIT 50")
