@@ -35,7 +35,11 @@ object Names {
     * on empty input (reference raises ValueError). */
   def normalizeSchemaName(name: String): String = {
     require(name != null && name.nonEmpty, "Schema name cannot be empty")
-    var s = name.toLowerCase.trim
+    // Locale.ROOT: default-locale toLowerCase turns 'I' into dotless
+    // 'ı' on Turkish/Azeri JVMs, so the SAME display name would
+    // normalize to DIFFERENT schema identifiers on differently
+    // configured hosts and break lookups of previously created schemas
+    var s = name.toLowerCase(java.util.Locale.ROOT).trim
     for ((from, to) <- Translit) s = s.replace(from, to)
     s = s.replaceAll("[^a-z0-9_]", "_")
     s = s.replaceAll("_+", "_")

@@ -74,7 +74,15 @@ class GitHubClient(
       Some(mapper.writeValueAsString(o))))
     r.status match {
       case 200 | 201 => mapper.readTree(r.body).path("object").path("sha").asText()
-      case 422 => getBranchSha(newBranch) // already exists
+      // 422 covers OTHER validation failures too (invalid ref name,
+      // …): blindly resolving those would 404 on getBranchSha and
+      // report a nonsensical "Branch not found" for a branch the
+      // caller just asked to create — only the already-exists body
+      // takes the resolve path
+      case 422 if r.body != null &&
+          r.body.toLowerCase(java.util.Locale.ROOT)
+            .contains("already exists") =>
+        getBranchSha(newBranch)
       case s => throw GitHubError(s"Create branch failed: $s ${r.body}")
     }
   }

@@ -119,6 +119,7 @@ class HttpFacade(
     if (ownsSessionCaches) {
       graft.queries.TextPipeline.invalidate(spark)
       graft.queries.VectorPipeline.invalidate(spark)
+      graft.streaming.VectorStreams.invalidate(spark)
       graft.sources.Tables.invalidate(spark)
     }
   }

@@ -43,7 +43,14 @@ class MetricsRegistry {
 
   private def labelStr(labels: Seq[(String, String)]): String =
     if (labels.isEmpty) ""
-    else labels.map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")
+    else labels.map { case (k, v) =>
+      // Prometheus exposition escaping (\\, \", \n): one unescaped
+      // quote or newline in a label VALUE makes the whole /metrics
+      // page unparseable, dropping every metric from the scrape
+      val escaped = v.replace("\\", "\\\\")
+        .replace("\"", "\\\"").replace("\n", "\\n")
+      s"""$k="$escaped""""
+    }.mkString("{", ",", "}")
 
   private def exportLocal(): String = {
     val lines = mutable.ArrayBuffer.empty[String]
@@ -60,11 +67,17 @@ class MetricsRegistry {
     lines.mkString("", "\n", "\n")
   }
 
-  def exportPrometheus(): String = synchronized {
+  def exportPrometheus(): String = {
+    // invoke the external exporter OUTSIDE the registry lock: it is an
+    // arbitrary callback (possibly doing I/O), and holding the lock
+    // for its duration would stall every inc/observeMs on the request
+    // hot path — and deadlock outright if the callback's thread ever
+    // re-enters this registry
+    val exporter = synchronized(externalExporter)
     val external =
-      externalExporter.map(e => try e() catch { case _: Exception => "" })
+      exporter.map(e => try e() catch { case _: Exception => "" })
         .getOrElse("")
-    val local = exportLocal()
+    val local = synchronized(exportLocal())
     if (external.trim.isEmpty) local
     else external.replaceAll("\\s+$", "") + "\n" + local
   }

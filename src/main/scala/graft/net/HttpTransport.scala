@@ -34,7 +34,9 @@ class JdkHttpTransport extends HttpTransport {
     val builder = HttpRequest.newBuilder(URI.create(call.url))
       .timeout(Duration.ofMillis(call.timeoutMs))
     call.headers.foreach { case (k, v) => builder.header(k, v) }
-    val req = call.method.toUpperCase match {
+    // Locale.ROOT: "options".toUpperCase on a Turkish-locale JVM is
+    // "OPTİONS" (dotted İ) — an invalid HTTP method token
+    val req = call.method.toUpperCase(java.util.Locale.ROOT) match {
       case "GET" => builder.GET()
       case m => builder.method(m,
         call.body.map(HttpRequest.BodyPublishers.ofString(_))

@@ -71,8 +71,15 @@ class Orchestrator(transport: HttpTransport,
       case (k, v: Int) => p.put(k, v)
       case (k, v: Long) => p.put(k, v)
       case (k, v: Double) => p.put(k, v)
+      case (k, v: Float) => p.put(k, v)
       case (k, v: Boolean) => p.put(k, v)
-      case (k, v) => p.put(k, String.valueOf(v))
+      case (k, null) => p.putNull(k)
+      // a catch-all String.valueOf would ship Scala toString for
+      // lists/maps ("List(us, eu)") as a typed-string parameter —
+      // Prefect then rejects it or the flow runs on garbage; unsupported
+      // types must fail HERE, naming the key, not downstream
+      case (k, v) => throw new IllegalArgumentException(
+        s"unsupported flow parameter type for '$k': ${v.getClass.getName}")
     }
     val url =
       s"$apiBase/deployments/name/${enc(flowName)}/${enc(deployment)}/create_flow_run"

@@ -25,26 +25,60 @@ object VectorStreams {
 
   final case class CandVec(vecId: Long, embedding: Seq[Float], ts: Timestamp)
 
+  // One cached corpus index per (session, dir) — the
+  // [[graft.queries.VectorPipeline]] sigCache discipline: a service
+  // building a new stream per request would otherwise persist a FRESH
+  // copy of the full bucketed corpus on every [[similar]] call, with
+  // no handle to unpersist any of them.
+  private val corpusCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** Drop this session's cached corpus indexes (session stop / corpus
+    * re-ingest) — mirror of `VectorPipeline.invalidate`. */
+  def invalidate(s: SparkSession): Unit = {
+    val it = corpusCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
+  }
+
   /** Score a stream of query vectors (`query_id`, `embedding`, `ts`)
     * against the corpus at `dir`: emits (query_id, neighbor_id, cos,
     * ts) for same-bucket candidates with cos ≥ `minCos`. Works
-    * unchanged on a batch frame of queries. */
+    * unchanged on a batch frame of queries.
+    *
+    * Zero-norm vectors are dropped on BOTH sides before the join: a
+    * 0-norm query makes every bucket-0 cosine 0/0 = NaN, and Spark
+    * ranks NaN above every number, so `cos >= minCos` would fail OPEN
+    * and emit the whole bucket as neighbors (a 0-norm corpus row
+    * fails open the same way via ±Infinity). A zero vector has no
+    * direction — no cosine neighbor set is meaningful for it. */
   def similar(spark: SparkSession, dir: String, queries: DataFrame,
       minCos: Double = 0.3): DataFrame = {
     val (normC, bucketC) = VectorPipeline.normAndBucket(spark)
-    val corpus = VectorPipeline.bucketedCorpus(spark, dir)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bucket").as("cbucket"))
-      .cache() // the static side: built once, served to every microbatch
+    val corpus = corpusCache.computeIfAbsent((spark, dir), { _ =>
+      VectorPipeline.bucketedCorpus(spark, dir)
+        .where(col("nrm") > 0)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("bucket").as("cbucket"))
+        .cache() // the static side: built once, served to every microbatch
+    })
     val q = queries.select(
       col("query_id"), col("ts"),
       col("embedding").as("qe"), normC.as("qn"), bucketC.as("bucket"))
+      .where(col("qn") > 0)
     q.join(corpus, col("bucket") === col("cbucket"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
         expr("vec_dot(qe, embedding)").divide(col("qn") * col("nrm")).as("cos"),
         col("ts"))
-      .where(col("cos") >= minCos)
+      // NaN from non-finite embedding VALUES (ingest-validation
+      // territory, v05) must still not fail open past the threshold
+      .where(col("cos") >= minCos && !isnan(col("cos")))
   }
 
   /** Ingest-time semantic decontamination gate: every arriving

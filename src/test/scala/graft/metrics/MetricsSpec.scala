@@ -35,4 +35,24 @@ class MetricsSpec extends AnyFunSuite {
     m.setExternalExporter(() => throw new RuntimeException("boom"))
     assert(m.exportPrometheus().contains("c 1"))
   }
+
+  test("label values are exposition-escaped; exporter runs outside the lock") {
+    val m = new MetricsRegistry
+    // one raw quote/backslash/newline in a label value makes the whole
+    // /metrics page unparseable for a Prometheus scrape
+    m.inc("errs_total", Map("msg" -> "say \"hi\"\\path\nnext"))
+    val out = m.exportPrometheus()
+    assert(out.contains("""errs_total{msg="say \"hi\"\\path\nnext"} 1"""))
+    // an exporter that re-enters the registry must not deadlock (it
+    // used to run INSIDE the synchronized block)
+    val m2 = new MetricsRegistry
+    m2.inc("self")
+    m2.setExternalExporter(() => { m2.inc("from_exporter"); "ext 1\n" })
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => { m2.exportPrometheus(); done.countDown() })
+    t.start()
+    assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "exportPrometheus deadlocked on a re-entrant exporter")
+    assert(m2.counter("from_exporter") === 1L)
+  }
 }

@@ -127,6 +127,16 @@ class AdaptersSpec extends AnyFunSuite {
       HttpReply(422, """{"message":"Reference already exists"}"""),
       HttpReply(200, """{"object":{"sha":"existing-sha"}}"""))
     assert(gh(t2).createBranch("feat") === "existing-sha")
+
+    // a 422 for any OTHER validation failure (invalid ref name) must
+    // surface the real cause, not chase a nonexistent branch and
+    // report a nonsensical "Branch not found"
+    val t3 = new FakeTransport(
+      HttpReply(200, """{"object":{"sha":"base-sha"}}"""),
+      HttpReply(422, """{"message":"'feat..x' is not a valid ref name"}"""))
+    val e = intercept[GitHubClient.GitHubError](gh(t3).createBranch("feat..x"))
+    assert(e.getMessage.contains("Create branch failed"))
+    assert(e.getMessage.contains("not a valid ref name"))
   }
 
   test("github: upsert encodes base64, carries prior sha only when file exists") {

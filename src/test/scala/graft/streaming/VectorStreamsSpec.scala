@@ -54,6 +54,28 @@ class VectorStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a zero-norm query emits nothing instead of failing open on NaN") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // an all-zero embedding has qn=0, so every bucket-0 cosine is
+    // 0/0 = NaN; Spark ranks NaN above all doubles, so an unguarded
+    // `cos >= minCos` would emit the ENTIRE bucket as neighbors
+    val dim = graft.sources.Tables.table(spark, dir, "embeddings")
+      .selectExpr("size(embedding)").head().getInt(0)
+    val src = MemoryStream[QueryVec]
+    val out = similar(spark, dir,
+      src.toDF().withColumnRenamed("queryId", "query_id"), minCos = 0.2)
+    val q = out.writeStream.format("memory").queryName("stream_ann_zero")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(QueryVec(999L, Seq.fill(dim)(0.0f),
+        new Timestamp(1700000000000L)))
+      q.processAllAvailable()
+      assert(spark.table("stream_ann_zero").count() === 0L,
+        "zero-norm query must match nothing")
+    } finally q.stop()
+  }
+
   test("streamed decontamination gate matches a batch recount against the eval set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
