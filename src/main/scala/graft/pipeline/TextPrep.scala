@@ -58,9 +58,19 @@ object TextPrep {
     * FunctionsSpec) without materializing and re-parsing the 32-char
     * hex string per value. Registered idempotently on the active
     * session, the hash site's hot-path analogue of `vec_dot`. */
+  // Best-effort registration for ad-hoc frames: a Column carries no
+  // session, so cover the thread-active AND default sessions. The
+  // authoritative registration is session-scoped at the frame-owning
+  // entry (graft.sources.Tables.table registers on ITS session), which
+  // covers every corpus-reading path in a multi-session process.
+  private def regSessions(): Unit = {
+    val ss = org.apache.spark.sql.SparkSession
+    (ss.getActiveSession.toSeq ++ ss.getDefaultSession.toSeq).distinct
+      .foreach(graft.functions.Functions.register)
+  }
+
   def h32(c: Column): Column = {
-    graft.functions.Functions.register(
-      org.apache.spark.sql.SparkSession.active)
+    regSessions()
     call_function("h32", c)
   }
 
@@ -74,8 +84,7 @@ object TextPrep {
     * here); md5 output words are independent, so the pair behaves as
     * one uniform 64-bit hash on both engines. */
   def h32b(c: Column): Column = {
-    graft.functions.Functions.register(
-      org.apache.spark.sql.SparkSession.active)
+    regSessions()
     call_function("h32b", c)
   }
 

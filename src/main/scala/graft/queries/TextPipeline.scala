@@ -170,8 +170,16 @@ object TextPipeline extends graft.Registry {
     * Pure stateless column expressions over a `(doc_id, lang, text)`
     * frame — the SAME transform scores a streaming ingest
     * ([[graft.streaming.DocStreams.qualityFilter]]). */
-  private[graft] def scoreQuality(d: DataFrame): DataFrame = {
+  private[graft] def scoreQuality(d0: DataFrame): DataFrame = {
     val inList = Stopwords.map(w => s"'$w'").mkString(", ")
+    // Re-scoring already-scored input must be idempotent, not
+    // ambiguous (the piiTag discipline): drop any prior derived
+    // columns before re-deriving them, so chaining streaming
+    // operators that each call this (qualityFilter → mixtureQuota)
+    // can never stack duplicate names into AMBIGUOUS_REFERENCE.
+    val reserved = Seq("n_chars_calc", "t", "n_tokens", "n_stopwords",
+      "stop_ratio", "avg_word_len", "quality_score")
+    val d = d0.drop(reserved: _*)
     // every column except the scored pair rides through unchanged —
     // including `text` itself: a streaming ingest must keep the
     // document body (it is the payload being landed) and its
@@ -232,10 +240,14 @@ object TextPipeline extends graft.Registry {
     * wide shuffles key on tok and doc_id.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
+    // cached once (plan-keyed, invalidate-owned): the token explode is
+    // the expensive subtree and BOTH the df aggregation and the
+    // scoring join consume it — uncached, Catalyst scans and explodes
+    // the corpus twice per run
+    val toks = cachedByPlan(docs(s, dir)
       .select(
         col("doc_id"), col("lang"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
+        explode(array_distinct(split(col("text"), " "))).as("tok")))
     val df = toks
       .groupBy(col("tok"), col("lang").as("df_lang"))
       .agg(count(lit(1)).as("df"))
@@ -430,25 +442,42 @@ object TextPipeline extends graft.Registry {
   private def jaccardPairGraph(s: SparkSession, dir: String): DataFrame =
     pairCache.computeIfAbsent((s, dir), _ => dedupJaccard(s, dir).cache())
 
-  /** Drop this session's cached pair graphs + the underlying shingle
-    * index (session stop / corpus re-ingest). */
+  // Owner for the operators' intermediate cached frames (minhash/
+  // simhash signatures, drift token counts, phrase unigrams, langId
+  // tokens), keyed by the frame's canonicalized plan: a bare
+  // per-invocation .cache() has NO owner — ContextCleaner reclaims
+  // RDDs, not Dataset cache entries — so every bench/driver re-run of
+  // those queries would leave one more cached copy in storage memory
+  // until session stop. Same plan ⇒ same entry ⇒ re-runs also reuse
+  // instead of re-materializing.
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]()
+
+  private def cachedByPlan(df: DataFrame): DataFrame =
+    planCache.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.analyzed.canonicalized),
+      _ => df.cache())
+
+  /** Drop this session's cached pair graphs, intermediate frames, and
+    * the underlying shingle index (session stop / corpus re-ingest). */
   def invalidate(s: SparkSession): Unit = {
-    val it = pairCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq s) {
-        e.getValue.unpersist()
-        it.remove()
+    def drop[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
+        sessionOf: K => SparkSession): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (sessionOf(e.getKey) eq s) {
+          e.getValue.unpersist()
+          it.remove()
+        }
       }
     }
-    val it2 = interCache.entrySet().iterator()
-    while (it2.hasNext) {
-      val e = it2.next()
-      if (e.getKey._1 eq s) {
-        e.getValue.unpersist()
-        it2.remove()
-      }
-    }
+    drop(pairCache, (k: (SparkSession, String)) => k._1)
+    drop(interCache, (k: (SparkSession, String, Long)) => k._1)
+    drop(planCache,
+      (k: (SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)) => k._1)
     TextPrep.invalidate(s)
   }
 
@@ -548,10 +577,9 @@ object TextPipeline extends graft.Registry {
     * and the incremental ingest gate (td23). */
   private[graft] def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val mhAggs = (0 until NumHashes).map(i => min(perm(i, col("h"))).as(s"mh$i"))
-    val sig = shingleIndex(s, dir)
+    val sig = cachedByPlan(shingleIndex(s, dir)
       .groupBy("doc_id")
-      .agg(mhAggs.head, mhAggs.tail: _*)
-      .cache()
+      .agg(mhAggs.head, mhAggs.tail: _*))
     (0 until Bands)
       .map { j =>
         sig.select(
@@ -707,9 +735,8 @@ object TextPipeline extends graft.Registry {
   private[graft] val MankuMinDocs = 400000L
 
   def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSig(
-      shingleIndex(s, dir).withColumn("h2", h32b(col("shingle"))))
-      .cache()
+    val sig = cachedByPlan(simhashSig(
+      shingleIndex(s, dir).withColumn("h2", h32b(col("shingle")))))
     // AQE-style runtime choice from the TRUE corpus cardinality (sig
     // is cached — the count is a cache scan, not a recompute):
     // Catalyst cannot cost this itself (Generate stats don't multiply
@@ -1350,7 +1377,7 @@ object TextPipeline extends graft.Registry {
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("c"))
     val ts = st.groupBy("source").agg(sum("c").as("ts"))
-    val ct = st.groupBy("token").agg(sum("c").as("ct")).cache()
+    val ct = cachedByPlan(st.groupBy("token").agg(sum("c").as("ct")))
     val g = ct.agg(sum("ct").as("g"))
     val sExp = ct.crossJoin(broadcast(g))
       .agg(sum(expr("ct * 1000000 div g")).as("s_exp"))
@@ -1488,8 +1515,15 @@ object TextPipeline extends graft.Registry {
           .map(r => (r.getString(0), r.getLong(1)))
           .sortBy { case (t, c) => (-c, t) }
           .take(k)
+        // division form of `count * (cap+1) > total`: the product
+        // overflows Long once the k-th count passes ~2^63/cap (a
+        // ~10^14-token corpus at the 2^20 capacity ceiling), turning a
+        // provably-exact top-k into a spurious uncertifiable abort —
+        // the same overflow class as bucketsForRows' pow2 round-up
+        // for non-negative counts, c*(cap+1) > total ⟺ c > total/(cap+1)
+        // under floor division — exact, with no product to overflow
         val separable =
-          top.length == k && top.last._2 * (cap + 1L) > mg.total
+          top.length == k && top.last._2 > mg.total / (cap + 1L)
         if (separable) result = Some(top.toSeq)
         else {
           lastDiag = s"k-th count ${top.lastOption.map(_._2)} does not " +
@@ -1636,6 +1670,9 @@ object TextPipeline extends graft.Registry {
       }
       val labels = parent.keys.toSeq.sorted.map(k => (k, find(k)))
       import spark.implicits._
+      // the result is a driver-local frame: the loop-scoped cache is
+      // done — release it rather than pin it until session stop
+      pairsC.unpersist()
       return (labels.toDF("node", "root"), 0)
     }
     val edges = pairsC
@@ -1680,6 +1717,11 @@ object TextPipeline extends graft.Registry {
     // pointer-jumping, maxRounds = 50 covers component diameters up
     // to ~2^50 — non-convergence means something is broken, not big.
     require(converged, s"component propagation did not converge in $rounds rounds")
+    // the final labels are a localCheckpoint (lineage already cut), so
+    // the loop-scoped caches can be released here instead of pinning
+    // one pair graph + doubled edge list per invocation
+    edges.unpersist()
+    pairsC.unpersist()
     (labels, rounds)
   }
 
@@ -1782,10 +1824,9 @@ object TextPipeline extends graft.Registry {
     * fits, SMJ at web scale); N is a 1-row broadcast; the report is a
     * TakeOrderedAndProject heap, never a global sort. */
   def phraseDetect(s: SparkSession, dir: String): DataFrame = {
-    val uni = docs(s, dir)
+    val uni = cachedByPlan(docs(s, dir)
       .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("c"))
-      .cache()
+      .groupBy("token").agg(count(lit(1)).as("c")))
     val nTok = uni.agg(sum("c").as("n_tok"))
     val pairs = docs(s, dir)
       .select(split(col("text"), " ").as("a"))

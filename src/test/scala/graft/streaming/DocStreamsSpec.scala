@@ -316,6 +316,15 @@ class DocStreamsSpec extends SparkSpec {
         .orderBy(org.apache.spark.sql.functions.desc("quality_score"))
         .collect().map(_.getAs[Long]("doc_id")).toSeq
       assert(batch.take(2) === Seq(10L, 11L))
+      // re-scoring already-scored output is idempotent, not ambiguous
+      // (the piiGate discipline): chaining the streaming quality
+      // operators must never stack duplicate derived columns
+      val scored = graft.queries.TextPipeline.scoreQuality(
+        Seq((10L, "en", good)).toDF("doc_id", "lang", "text"))
+      val rescored = graft.queries.TextPipeline.scoreQuality(scored)
+      assert(rescored.columns.toSeq.sorted === scored.columns.toSeq.sorted)
+      assert(rescored.select("doc_id", "quality_score").collect().toSeq
+        === scored.select("doc_id", "quality_score").collect().toSeq)
     } finally q.stop()
   }
 
