@@ -97,7 +97,10 @@ object EventPipeline extends graft.Registry {
         col("view_id"),
         col("view_us"),
         (col("ev_us") - col("view_us")).as("gap_us"))
-      .orderBy("purchase_id")
+      // total order: event_id is unique in shipped testdata, but the
+      // oracle compare is row-order exact, so tie-break on the full
+      // purchase identity in case a corpus carries duplicate ids
+      .orderBy("purchase_id", "user_id", "purchase_us")
       .limit(200)
   }
 
@@ -165,7 +168,7 @@ object EventPipeline extends graft.Registry {
     counted
       .select(col("purchase_id"), col("user_id"),
         col("p_us").as("purchase_us"), col("n_views_1h"))
-      .orderBy("purchase_id")
+      .orderBy("purchase_id", "user_id", "purchase_us")
       .limit(200)
   }
 
@@ -546,7 +549,7 @@ object EventPipeline extends graft.Registry {
          |         epoch_us(p.ts) AS purchase_us, p.value,
          |         v.event_id AS view_id, epoch_us(v.ts) AS view_us,
          |         ROW_NUMBER() OVER (
-         |           PARTITION BY p.event_id
+         |           PARTITION BY p.event_id, p.user_id, p.ts
          |           ORDER BY v.ts DESC, v.event_id DESC) AS rn
          |  FROM events p
          |  LEFT JOIN events v
@@ -556,7 +559,7 @@ object EventPipeline extends graft.Registry {
          |SELECT purchase_id, user_id, purchase_us, value, view_id, view_us,
          |       purchase_us - view_us AS gap_us
          |FROM pv WHERE rn = 1
-         |ORDER BY purchase_id LIMIT 200""".stripMargin,
+         |ORDER BY purchase_id, user_id, purchase_us LIMIT 200""".stripMargin,
     "e02_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, epoch_us(ts) AS ev_us, event_id FROM events),
@@ -593,7 +596,7 @@ object EventPipeline extends graft.Registry {
          |     AND epoch_us(v.ts) <= epoch_us(p.ts)
          |WHERE p.event_type = '$ProbeType'
          |GROUP BY p.event_id, p.user_id, epoch_us(p.ts)
-         |ORDER BY purchase_id LIMIT 200""".stripMargin,
+         |ORDER BY purchase_id, p.user_id, purchase_us LIMIT 200""".stripMargin,
     "e04_json_props" ->
       s"""WITH k AS (
          |  SELECT event_type,

@@ -75,7 +75,9 @@ object Relational extends graft.Registry {
     t(s, dir, "events")
       .where(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-11"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      .orderBy("event_id")
+      // full-row tiebreak: event_id is unique in shipped testdata, but
+      // the compare is row-order exact and duplicates are in-domain
+      .orderBy("event_id", "user_id", "event_type", "value")
 
   /** Q3: numeric + categorical conjunctive predicates (`query.http:118,128`). */
   def predFilter(s: SparkSession, dir: String): DataFrame =
@@ -230,8 +232,13 @@ object Relational extends graft.Registry {
             col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("country"))
       .agg(moneySum("o_totalprice").as("revenue"))
+    // register the reference's documented view name for the schema
+    // surface, but compute the RESULT from the local frame: reading
+    // the fixed-name view back races a concurrent viewRevenue on
+    // another dir (its replace could land between this create and the
+    // read, silently serving the other dir's data)
     v.createOrReplaceTempView("v_revenue_by_country")
-    s.table("v_revenue_by_country").orderBy(desc("revenue"), col("country"))
+    v.orderBy(desc("revenue"), col("country"))
   }
 
   /** Q14: constant select (`query.http:95-97`). */
@@ -246,8 +253,12 @@ object Relational extends graft.Registry {
     * 600 M lineitem rows (74 s; 22× for 10× data). The plan property
     * pinned in BucketingSpec is count-independent as long as both
     * sides match — only the parallelism ceiling moves. */
+  // keyed by (session, dir), NOT dir alone: the managed tables live in
+  // the session's IN-MEMORY catalog, so a second SparkSession in the
+  // same JVM (two suites in one sbt fork) would find the dir memoized
+  // while its own catalog has no such tables — TABLE_OR_VIEW_NOT_FOUND
   private val bucketedDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
   /** Buckets for the q15 layout: one bucket per ~16 M fact rows
     * (≈ 128 MB of written 2-column parquet at the measured sf100
     * compression), rounded UP to a power of two, floored at 8 (the
@@ -278,8 +289,15 @@ object Relational extends graft.Registry {
       else Integer.highestOneBit(want) * 2
     math.min(128, math.max(8, up))
   }
-  private def bucketedName(dir: String, tbl: String): String =
-    s"graft_b15_${tbl}_${java.lang.Integer.toHexString(dir.hashCode)}"
+  // md5 of the path, not String.hashCode: a 32-bit hash with no
+  // collision handling could map two dirs to the same managed table
+  // and silently serve one dir's data for the other
+  private def bucketedName(dir: String, tbl: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+    s"graft_b15_${tbl}_$digest"
+  }
   /** The session catalog is in-memory but the managed-table location
     * under spark.sql.warehouse.dir persists across JVMs — a fresh
     * session's CREATE would refuse the stale directory
@@ -292,8 +310,8 @@ object Relational extends graft.Registry {
     if (fs.exists(wh)) fs.delete(wh, true)
   }
   private def ensureBucketedLayout(s: SparkSession, dir: String): Unit =
-    if (!bucketedDirs.contains(dir)) bucketedDirs.synchronized {
-      if (!bucketedDirs.contains(dir)) {
+    if (!bucketedDirs.contains((s, dir))) bucketedDirs.synchronized {
+      if (!bucketedDirs.contains((s, dir))) {
         dropStale(s, bucketedName(dir, "orders"))
         dropStale(s, bucketedName(dir, "lineitem"))
         val buckets = bucketCountFor(s, dir)
@@ -303,7 +321,7 @@ object Relational extends graft.Registry {
         graft.sources.Bucketing.writeBucketed(
           t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
           bucketedName(dir, "lineitem"), buckets, Seq("l_orderkey"))
-        bucketedDirs.add(dir)
+        bucketedDirs.add((s, dir))
       }
     }
 
@@ -349,7 +367,7 @@ object Relational extends graft.Registry {
     graft.operators.SaltedJoin
       .join(ev, perType, Seq("event_type"), salts = 8, saltBy = Seq("event_id"))
       .select("event_id", "event_type", "value", "type_n")
-      .orderBy("event_id")
+      .orderBy("event_id", "event_type", "value")
       .limit(200)
   }
 
@@ -390,7 +408,7 @@ object Relational extends graft.Registry {
     "q02_ts_range_filter" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE ts >= '2024-01-10' AND ts < '2024-01-11'
-        |ORDER BY event_id""".stripMargin,
+        |ORDER BY event_id, user_id, event_type, value""".stripMargin,
     "q03_pred_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -504,7 +522,7 @@ object Relational extends graft.Registry {
         |FROM events
         |JOIN (SELECT event_type, COUNT(*) AS type_n
         |      FROM events GROUP BY event_type) USING (event_type)
-        |ORDER BY event_id
+        |ORDER BY event_id, event_type, value
         |LIMIT 200""".stripMargin
   )
 }

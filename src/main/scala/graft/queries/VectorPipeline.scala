@@ -182,7 +182,7 @@ object VectorPipeline extends graft.Registry {
     // Materialize the bucketed index once (at scale this is the
     // stored LSH index build); both the query and corpus sides read
     // it, so the 8 projection folds are evaluated a single time.
-    val e = bucketedCorpus(s, dir).cache()
+    val e = cachedByPlan(bucketedCorpus(s, dir))
     val q = e.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
@@ -209,7 +209,7 @@ object VectorPipeline extends graft.Registry {
     * is a broadcast join + argmax and the probe is a seed-keyed
     * equijoin, both shuffle-friendly. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, dir).cache()
+    val e = cachedByPlan(withNorm(s, dir))
     val seeds = e.where(col("vec_id") < NumSeeds)
       .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
         col("nrm").as("sn"))
@@ -268,21 +268,47 @@ object VectorPipeline extends graft.Registry {
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
     DataFrame]()
 
-  /** Drop this session's cached signature frames (session stop /
-    * corpus re-ingest) — the same discipline as
+  // Owner for the other operators' intermediate cached frames (ANN
+  // corpus/centroid frames, k-means quantized corpus, semdedup
+  // assignments, dispersion quantization, index-health degrees) —
+  // the TextPipeline planCache discipline: a bare per-invocation
+  // .cache() is never unpersisted (ContextCleaner reclaims RDDs, not
+  // Dataset cache entries), so re-runs would pin one more corpus-sized
+  // copy each, and a re-ingested corpus would keep serving the OLD
+  // cached data (CacheManager substitutes by canonicalized plan).
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]()
+
+  private def cachedByPlan(df: DataFrame): DataFrame =
+    planCache.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.analyzed.canonicalized),
+      _ => df.cache())
+
+  /** Drop this session's cached signature/intermediate frames (session
+    * stop / corpus re-ingest) — the same discipline as
     * [[graft.queries.TextPipeline.invalidate]]: without an
-    * invalidation path the cache leaks map entries after session
-    * stop and would return stale signatures if the same source path
+    * invalidation path the caches leak map entries after session
+    * stop and would return stale frames if the same source path
     * were re-ingested with new data. */
   def invalidate(s: SparkSession): Unit = {
-    val it = sigCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq s) {
-        e.getValue.unpersist()
-        it.remove()
+    def drop[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
+        sessionOf: K => SparkSession): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (sessionOf(e.getKey) eq s) {
+          e.getValue.unpersist()
+          it.remove()
+        }
       }
     }
+    drop(sigCache,
+      (k: (SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)) => k._1)
+    drop(planCache,
+      (k: (SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)) => k._1)
   }
 
   private def ndSignatures(e: DataFrame): DataFrame =
@@ -456,7 +482,7 @@ object VectorPipeline extends graft.Registry {
     * [[KmQ]]-quantized integer space, so Spark and the DuckDB oracle
     * agree bitwise — see the range audit at [[KmQ]]. */
   def kmeansStep(s: SparkSession, dir: String): DataFrame = {
-    val e = quantized(s, dir).cache()
+    val e = cachedByPlan(quantized(s, dir))
     // Bounded driver state: the k seed vectors (k = NumSeeds, a
     // constant — this is the MLlib centroid sync, not a corpus
     // collect).
@@ -494,17 +520,27 @@ object VectorPipeline extends graft.Registry {
       .agg(sum("v").as("sv"), count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-    val seedByCluster = seeds.toMap
     // (cluster, n_assigned, drift_q, new centroid), cluster-ordered.
-    val moved: Array[(Long, Long, Long, Array[Long])] = sums
-      .groupBy(_._1).toArray.sortBy(_._1)
-      .map { case (cluster, rows) =>
-        val n = rows.head._4
-        val cq = rows.sortBy(_._2)
-          .map(t => math.floor(t._3.toDouble / t._4).toLong)
-        val drift = cq.zip(seedByCluster(cluster))
-          .map { case (x, y) => math.abs(x - y) }.sum
-        (cluster, n, drift, cq)
+    // Iterate over the SEEDS, not the assignment groups: a cluster
+    // can receive zero first-assignment rows (two identical seed
+    // vectors — the higher-id seed loses its own row to the
+    // tie-break) and must still report, per this operator's
+    // empty-clusters-still-report contract — zero count, zero drift,
+    // centroid unchanged. Grouping by assignments alone silently
+    // dropped such a cluster from the report on both engines.
+    val sumsByCluster = sums.groupBy(_._1)
+    val moved: Array[(Long, Long, Long, Array[Long])] =
+      seeds.map { case (cluster, sv) =>
+        sumsByCluster.get(cluster) match {
+          case Some(rows) =>
+            val n = rows.head._4
+            val cq = rows.sortBy(_._2)
+              .map(t => math.floor(t._3.toDouble / t._4).toLong)
+            val drift = cq.zip(sv)
+              .map { case (x, y) => math.abs(x - y) }.sum
+            (cluster, n, drift, cq)
+          case None => (cluster, 0L, 0L, sv)
+        }
       }
     val reassigned = assignTo(moved.map(t => (t._1, t._4)))
       .groupBy("cluster")
@@ -799,7 +835,15 @@ object VectorPipeline extends graft.Registry {
     graft.functions.Functions.register(s)
     Tables.table(s, dir, "embeddings")
       .select(
-        size(col("embedding")).cast("long").as("dim"),
+        // NULL for a null array (DuckDB len(NULL) semantics) so a
+        // NULL-embedding row drops out of MIN/MAX on both engines
+        // instead of Spark contributing a sentinel; such rows are
+        // counted explicitly as n_null below — a health report that
+        // silently buckets broken rows nowhere under-reports exactly
+        // what it exists to flag
+        when(col("embedding").isNotNull, size(col("embedding")))
+          .cast("long").as("dim"),
+        col("embedding").isNull.cast("int").as("is_null"),
         expr(s"sqrt(${dotSql("embedding", "embedding")})").as("nrm"),
         expr("CAST(exists(embedding, x -> isnan(x) " +
           "OR x = CAST('Infinity' AS FLOAT) OR x = CAST('-Infinity' AS FLOAT)) AS INT)")
@@ -808,6 +852,7 @@ object VectorPipeline extends graft.Registry {
         count(lit(1)).as("n_vecs"),
         min("dim").as("dim_min"),
         max("dim").as("dim_max"),
+        sum("is_null").cast("long").as("n_null"),
         sum(expr("CAST(nrm = CAST(0 AS DOUBLE) AS INT)")).cast("long").as("n_zero"),
         sum("bad").cast("long").as("n_nonfinite"),
         min(when(col("bad") === 0, col("nrm"))).as("min_norm"),
@@ -849,7 +894,7 @@ object VectorPipeline extends graft.Registry {
     * cosine is the shared ordered fold, ties break on seed_id /
     * vec_id, outputs are pure counts. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, dir).cache()
+    val e = cachedByPlan(withNorm(s, dir))
     semDedupOn(e, math.max(SemMinClusters, e.count() / SemCellTarget))
   }
 
@@ -865,13 +910,12 @@ object VectorPipeline extends graft.Registry {
     // cache: the assignment (the n·k fold pass) feeds BOTH pair-join
     // sides and the cell census — uncached it would run three times
     // (at scale this is the materialized IVF assignment table)
-    val assigned = e.crossJoin(broadcast(seeds))
+    val assigned = cachedByPlan(e.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"),
         (expr(dotSql("embedding", "se")) / (col("nrm") * col("sn"))).as("scos"))
       .withColumn("arn", row_number().over(wAssign))
       .where(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"))
-      .cache()
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id")))
     val a = assigned.select(col("seed_id"), col("vec_id").as("a_id"),
       col("embedding").as("ae"), col("nrm").as("an"))
     val b = assigned.select(col("seed_id"), col("vec_id").as("b_id"),
@@ -1106,11 +1150,10 @@ object VectorPipeline extends graft.Registry {
     * centroid-array frame are bounded by the class domain and
     * broadcast back. */
   def labelDispersion(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.table(s, dir, "embeddings")
+    val e = cachedByPlan(Tables.table(s, dir, "embeddings")
       .select(col("label"),
         expr("transform(embedding, " +
-          s"x -> CAST(floor(CAST(x AS DOUBLE) * $VdQ) AS BIGINT))").as("qv"))
-      .cache()
+          s"x -> CAST(floor(CAST(x AS DOUBLE) * $VdQ) AS BIGINT))").as("qv")))
     val mu = e
       .select(col("label"), posexplode(col("qv")).as(Seq("d", "v")))
       .groupBy("label", "d")
@@ -1183,10 +1226,9 @@ object VectorPipeline extends graft.Registry {
   def indexHealth(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
     val cand = ndCandidates(e)
-    val deg = cand.select(col("vec_a").as("vec_id"))
+    val deg = cachedByPlan(cand.select(col("vec_a").as("vec_id"))
       .unionAll(cand.select(col("vec_b").as("vec_id")))
-      .groupBy("vec_id").agg(count(lit(1)).as("degree"))
-      .cache()
+      .groupBy("vec_id").agg(count(lit(1)).as("degree")))
     val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_vecs"))
     val zero = e.agg(count(lit(1)).as("n_total"))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nonzero"))))
@@ -1393,12 +1435,14 @@ object VectorPipeline extends graft.Registry {
     "v05_embedding_stats" ->
       s"""WITH e AS (
          |  SELECT CAST(len(embedding) AS BIGINT) AS dim,
+         |         CAST(embedding IS NULL AS INT) AS is_null,
          |         sqrt(${dotDuck("embedding", "embedding")}) AS nrm,
          |         CAST(len(list_filter(embedding,
          |               x -> isnan(x) OR isinf(x))) > 0 AS INT) AS bad
          |  FROM embeddings)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
          |       MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+         |       CAST(SUM(is_null) AS BIGINT) AS n_null,
          |       CAST(SUM(CAST(nrm = CAST(0 AS DOUBLE) AS INT)) AS BIGINT) AS n_zero,
          |       CAST(SUM(bad) AS BIGINT) AS n_nonfinite,
          |       MIN(CASE WHEN bad = 0 THEN nrm END) AS min_norm,
@@ -1558,11 +1602,13 @@ object VectorPipeline extends graft.Registry {
          |              ORDER BY d) AS cq
          |  FROM sums GROUP BY cluster),
          |moved AS (
-         |  SELECT c.cluster, c.n_assigned, c.cq,
+         |  SELECT s.cluster,
+         |         CAST(COALESCE(c.n_assigned, 0) AS BIGINT) AS n_assigned,
+         |         COALESCE(c.cq, s.sq) AS cq,
          |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |           list_transform(list_zip(c.cq, s.sq),
+         |           list_transform(list_zip(COALESCE(c.cq, s.sq), s.sq),
          |             p -> abs(p[1] - p[2]))), (acc, v) -> acc + v) AS drift_q
-         |  FROM cent c JOIN seeds s ON s.cluster = c.cluster),
+         |  FROM seeds s LEFT JOIN cent c ON c.cluster = s.cluster),
          |re AS (
          |  SELECT cluster, COUNT(*) AS n_reassigned FROM (
          |    SELECT q.vec_id, c.cluster,
