@@ -38,8 +38,12 @@ object TextPipeline extends graft.Registry {
   private val SpanGram = 8
 
   private val NumHashes = 16 // minhash signature length
-  private val Bands = 4 // LSH bands (4 rows each): ~0.7 similarity knee
-  private val Rows = NumHashes / Bands
+  // private[graft]: the streaming twin (DocStreams.rowLocalBands)
+  // derives its band layout from THIS constant — its bkeys join the
+  // batch index, so a silent re-hardcode diverging from a retune here
+  // would make the (band, bkey) equijoin stop matching with no error
+  private[graft] val Bands = 4 // LSH bands (4 rows each): ~0.7 similarity knee
+  private[graft] val Rows = NumHashes / Bands
   // SimHash calibration: 64-bit signature, 8 bands of 8 bits, exact
   // Hamming ≤ 7 — the Manku et al. (WWW'07, "Detecting near-duplicates
   // for web crawling") operating point (64-bit fingerprints, small

@@ -370,7 +370,9 @@ object DocStreams {
     import graft.pipeline.TextPrep.{MinHashAB, MinHashP}
     graft.functions.Functions.register(docs.sparkSession)
     val NumHashes = MinHashAB.size
-    val Bands = 4
+    // the BATCH index's layout — sharing the constant is what keeps
+    // the stream-vs-corpus (band, bkey) equijoin joinable forever
+    val Bands = graft.queries.TextPipeline.Bands
     val Rows = NumHashes / Bands
     val shingled = withShingles(docs)
       .withColumn("hs", expr(
@@ -382,13 +384,21 @@ object DocStreams {
     val sig = shingled.select(
       Seq(col("doc_id"), col("source"), col("ingest_ts")) ++ sigCols: _*)
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"mh$i")): _*))
-    (0 until Bands).map { j =>
-      sig.select(
-        col("doc_id"), col("source"), col("ingest_ts"), col("sig"),
-        lit(j).as("band"),
+    // ONE band array exploded per row, not a 4-way unionAll: streaming
+    // cannot cache the signature subtree, so union branches would each
+    // re-evaluate the shingle + 16-permutation fold per micro-batch —
+    // 4× the dominant row-local work (the explode(array(...)) form
+    // nearDupSimHash already uses)
+    val bandStructs = array((0 until Bands).map { j =>
+      struct(lit(j).as("band"),
         concat_ws(":",
           (0 until Rows).map(k => col(s"mh${j * Rows + k}")): _*).as("bkey"))
-    }.reduce(_ unionAll _)
+    }: _*)
+    sig
+      .select(col("doc_id"), col("source"), col("ingest_ts"), col("sig"),
+        explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("source"), col("ingest_ts"), col("sig"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
   def nearDupMinHash(docs: DataFrame,
@@ -474,8 +484,14 @@ object DocStreams {
       .select(col("doc_id"), col("source"), col("ingest_ts"),
         when(col("cmh").isNotNull, 1).otherwise(0).as("exact_vote"),
         lit(0).as("near_vote"))
+    // keep only the join key + signature from the corpus side: the
+    // documented td07 index (minhashBands output) also carries doc_id,
+    // which would collide with the stream side's doc_id and break the
+    // select below with AMBIGUOUS_REFERENCE
+    val corpusSide = corpusBands.select(
+      col("band"), col("bkey"), col("sigarr"))
     val nearVotes = rowLocalBands(wm)
-      .join(corpusBands, Seq("band", "bkey"))
+      .join(corpusSide, Seq("band", "bkey"))
       .where(expr(
         s"size(filter(zip_with(sig, sigarr, (x, y) -> x = y), m -> m)) >= $minMatches"))
       .select(col("doc_id"), col("source"), col("ingest_ts"),

@@ -70,10 +70,14 @@ object EventStreams {
   private[streaming] final case class SessionState(
       start: Long, end: Long, n: Long, total: Double) // bounds in µs
 
-  /** Streaming source over a parquet event directory. */
+  /** Streaming source over a parquet event directory. Carries `props`
+    * too — omitting it left the module's own source unable to feed
+    * its e04 twin ([[jsonPropsWindowed]] resolves `props` and would
+    * fail analysis with UNRESOLVED_COLUMN). */
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+      .schema("event_id LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING, ts TIMESTAMP")
       .parquet(dir)
 
   /** Hourly per-type counts/revenue with a 10-minute watermark: late
@@ -821,13 +825,16 @@ object EventStreams {
       if (weeks >= DecayZeroWeeks) 0L else DecayBaseQ.toLong >> weeks.toInt
     }
     val ages = b.buckets.map(d => (refDay - d.day, d))
+    // one binding: engagement must equal engagementQ / DecayBaseQ by
+    // construction, not by two expressions staying textually in sync
+    val engagementQ = ages.map { case (a, d) => d.n * wq(a) }.sum
     EngagementScore(
       b.userId,
       b.nEvents,
       ages.collect { case (a, d) if a < 7 => d.n }.sum,
       refDay - b.lastDay,
-      ages.map { case (a, d) => d.n * wq(a) }.sum,
-      ages.map { case (a, d) => d.n * wq(a) }.sum.toDouble / DecayBaseQ,
+      engagementQ,
+      engagementQ.toDouble / DecayBaseQ,
       ages.map { case (a, d) => d.nPurchase * wq(a) }.sum)
   }
 }
