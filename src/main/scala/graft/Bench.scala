@@ -60,11 +60,18 @@ object Bench {
     // Skip query warmup only when bench runs ON the smallest SF itself
     // (warming there would pre-cache the timed dataset); the first
     // timed query then absorbs codegen, which is the lesser distortion.
+    // warm only what will be timed: with SPARK_GRAFT_BENCH_ONLY set
+    // (the single-operator fast loop), warming the other ~88 queries
+    // is tens of wasted seconds per iteration
+    val onlyWarm = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     if (warmDir.isDirectory && !sameDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir.getPath).write.format("noop").mode("overwrite").save()
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+      SparkEntry.queries
+        .filter { case (name, _) => onlyWarm.forall(_.contains(name)) }
+        .foreach { case (_, fn) =>
+          try fn(spark, warmDir.getPath).write.format("noop").mode("overwrite").save()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
     // Drop warmup-cached blocks so the timed pass doesn't compete with
     // them for executor memory (sfDir cache entries don't exist yet).
     spark.catalog.clearCache()
@@ -246,7 +253,16 @@ object Bench {
     val mirrorLine =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"errors_count":${errors.size},"runs_per_query":$Runs,"estimator":"min_of_runs","detail":$detailJson,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), mirrorLine + "\n")
+      // guarded like the detail write above: an unwritable mirror path
+      // must not stack-trace AFTER the contract line and push its head
+      // out of the driver's last-2000-chars scrape window (the exact
+      // round-7/8 failure mode), nor skip spark.stop()
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), mirrorLine + "\n")
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"mirror write failed: $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

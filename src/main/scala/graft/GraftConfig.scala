@@ -74,7 +74,12 @@ final case class GraftConfig(
       case "openai" => llm.openaiApiKey.exists(_.nonEmpty)
       case "openrouter" => llm.openrouterApiKey.exists(_.nonEmpty)
       case "ollama" => true
-      case _ => false
+      case "stub" => false // explicit opt-in to the deterministic stub
+      // a typo'd provider name must fail HERE, loudly — silently
+      // routing to the stub serves canned demo SQL with HTTP 200 and
+      // the misconfiguration is undetectable from the outside
+      case other => throw new IllegalArgumentException(
+        s"unknown llm.provider '$other' (openai | openrouter | ollama | stub)")
     }
     val llmCfg = graft.chat.Providers.LlmConfig(llm.provider, llm.model,
       llm.openaiApiKey, llm.openrouterApiKey, llm.ollamaBaseUrl)

@@ -25,8 +25,16 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     Lifespan.startupCheck(spark)
     sys.env.get("GRAFT_DATA_DIR").orElse(Some("/root/testdata/sf0.001"))
-      .filter(d => new java.io.File(d).isDirectory)
-      .foreach(d => sources.Tables.registerAll(spark, d))
+      .foreach { d =>
+        if (new java.io.File(d).isDirectory)
+          sources.Tables.registerAll(spark, d)
+        else
+          // a typo'd or not-yet-mounted data dir must not start a
+          // server that answers every query with obscure
+          // table-not-found errors and no hint why
+          System.err.println(s"WARNING: data dir '$d' does not exist — " +
+            "serving with NO tables registered (set GRAFT_DATA_DIR)")
+      }
     val facade = cfg.buildFacade(spark)
     facade.start(cfg.server.port)
     println(s"graft facade serving on port ${facade.port}")

@@ -26,14 +26,27 @@ object SparkEntry {
     graft.queries.EventPipeline
   )
 
+  // Map ++ silently keeps the later value on a key collision — a
+  // duplicate query name across two registries would silently shrink
+  // the bench/verify surface by one. Fail at aggregation instead.
+  private def merged[V](parts: Seq[Map[String, V]], what: String): Map[String, V] = {
+    val m = parts.reduce(_ ++ _)
+    require(m.size == parts.map(_.size).sum,
+      s"duplicate $what name across registries: " +
+        parts.flatMap(_.keys).groupBy(identity).collect {
+          case (k, vs) if vs.size > 1 => k
+        }.mkString(", "))
+    m
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(_.queries).reduce(_ ++ _)
+    merged(registry.map(_.queries), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    registry.map(_.oracleSql).reduce(_ ++ _)
+    merged(registry.map(_.oracleSql), "oracle")
 }
 
 /** A module contributing declared queries + oracles. */

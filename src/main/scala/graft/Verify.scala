@@ -20,10 +20,12 @@ object Verify {
     // leave its stale parquet behind for the oracle compare to
     // silently re-validate.
     val outPath = Paths.get(outDir)
-    if (Files.exists(outPath))
-      Files.walk(outPath)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+    if (Files.exists(outPath)) {
+      val walk = Files.walk(outPath)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => Files.delete(p))
+      finally walk.close() // Files.walk holds directory fds until closed
+    }
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated filter for local single-operator
     // iteration (mirrors Bench's SPARK_GRAFT_BENCH_ONLY; the driver

@@ -79,12 +79,16 @@ object Providers {
       system: String, user: String): String = {
     val key = config.openrouterApiKey.filter(_.nonEmpty)
       .getOrElse(throw LlmError("OPENROUTER_API_KEY is not set"))
+    // attribution headers only when configured: empty-valued
+    // HTTP-Referer/X-Title are nonstandard and some middleboxes
+    // mishandle them
+    val attribution = Seq(
+      "HTTP-Referer" -> config.referer,
+      "X-Title" -> config.title).filter(_._2.nonEmpty)
     val r = transport.send(HttpCall("POST",
       "https://openrouter.ai/api/v1/chat/completions",
       Map("Authorization" -> s"Bearer $key",
-        "HTTP-Referer" -> config.referer,
-        "X-Title" -> config.title,
-        "Content-Type" -> "application/json"),
+        "Content-Type" -> "application/json") ++ attribution,
       Some(payload(config, system, user)),
       timeoutMs = 45000))
     if (r.status >= 300) throw LlmError(s"OpenRouter error ${r.status}: ${r.body}")
@@ -119,7 +123,12 @@ object Providers {
 class ProviderNlToSql(
     config: Providers.LlmConfig,
     transport: HttpTransport,
-    schemaDocs: String) extends NlToSql {
+    // by-name, re-read per LLM call: a frozen startup-time string
+    // would keep sending the provider a Schema section that predates
+    // every uploaded/refreshed table, while the planner and
+    // /dbt/generate already see the fresh docs — the reference loads
+    // docs inside make_plan (`chain.py:97`), not at worker start
+    schemaDocs: => String) extends NlToSql {
 
   /** Reference `SYSTEM_PROMPT` (`src/chain.py:7-26`), schema and row
     * limit interpolated per call. The schema docs are appended AFTER

@@ -55,6 +55,17 @@ class GraftConfigSpec extends SparkSpec {
     assert(e.orchestration.prefectApi === "http://p:4200/api")
   }
 
+  test("an unknown llm.provider fails buildFacade loudly, never the silent stub") {
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig.fromMap(Map("llm.provider" -> "Ollama")) // mis-cased
+        .buildFacade(spark)
+    }
+    assert(e.getMessage.contains("Ollama"))
+    // the explicit stub opt-in still constructs
+    assert(GraftConfig.fromMap(Map("llm.provider" -> "stub"))
+      .buildFacade(spark) != null)
+  }
+
   test("buildFacade assembles a serving app from config (stub provider path)") {
     graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
     val dbtDir = Files.createTempDirectory("graft-cfg-dbt")
