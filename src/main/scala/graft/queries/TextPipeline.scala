@@ -738,9 +738,17 @@ object TextPipeline extends graft.Registry {
     * sits between the decades where each advantage is decisive. */
   private[graft] val MankuMinDocs = 400000L
 
-  def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
-    val sig = cachedByPlan(simhashSig(
+  /** The corpus SimHash signature frame (cached, invalidate-owned) —
+    * ONE construction shared by the product path, the A/B harness
+    * ([[graft.tools.SimHashAb]]) and the specs, so the
+    * scheme-equivalence evidence can never drift from the shipped
+    * operator's actual signature build. */
+  private[graft] def simhashSigOf(s: SparkSession, dir: String): DataFrame =
+    cachedByPlan(simhashSig(
       shingleIndex(s, dir).withColumn("h2", h32b(col("shingle")))))
+
+  def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSigOf(s, dir)
     // AQE-style runtime choice from the TRUE corpus cardinality (sig
     // is cached — the count is a cache scan, not a recompute):
     // Catalyst cannot cost this itself (Generate stats don't multiply

@@ -41,6 +41,13 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("localdata/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // validate BEFORE generating anything: factor <= 0 used to die
+    // mid-run with an opaque empty.reduce, and factor > 4096 only hit
+    // the embeddings closure's require AFTER the seven other tables
+    // were fully written — leaving a 7/8-complete dir that downstream
+    // benches on non-embedding tables would accept as valid
+    require(factor >= 1 && factor <= 4096,
+      s"factor must be in [1, 4096] (embedding rotation uniqueness bound), got $factor")
     val spark = graft.LocalSpark.hardened(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -20,6 +20,11 @@ object SimHashAb {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mode = if (args.length > 1) args(1) else "both"
+    // validate, don't default: a typo'd mode ("Scan") silently ran
+    // BOTH variants — including the multi-minute sf100 join the
+    // caller was trying to skip
+    require(Set("join", "scan", "both").contains(mode),
+      s"mode must be join|scan|both, got '$mode'")
     val runs = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = LocalSpark.hardened(SparkSession.builder())
@@ -30,10 +35,10 @@ object SimHashAb {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sig = TextPipeline.simhashSig(
-      TextPrep.shingleIndex(spark, dir)
-        .withColumn("h2", TextPrep.h32b(col("shingle"))))
-      .cache()
+    // the SHARED product-path construction (TextPipeline.simhashSigOf):
+    // a local re-build here could silently drift from the operator the
+    // equivalence evidence claims to describe
+    val sig = TextPipeline.simhashSigOf(spark, dir)
     val n = sig.count()
     println(s"docs=$n dir=$dir")
 
@@ -47,6 +52,12 @@ object SimHashAb {
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
     }
     def time[A](label: String)(f: => A): A = {
+      // one untimed warm-up per variant: without it the FIRST-timed
+      // variant absorbs the process's one-time JIT/codegen/shuffle
+      // init (an ordering bias in the very ratio this tool exists to
+      // measure); with runs > 1 the min already hides it, but the
+      // single-run quick mode must be honest too
+      f
       var best = Long.MaxValue; var out: Option[A] = None
       for (_ <- 1 to runs) {
         val t0 = System.nanoTime()
@@ -55,7 +66,7 @@ object SimHashAb {
         if (dt < best) best = dt
         if (out.isEmpty) out = Some(v)
       }
-      println(f"$label%-6s ${best / 1e9}%.2f s (min of $runs)")
+      println(f"$label%-6s ${best / 1e9}%.2f s (min of $runs, warmed)")
       out.get
     }
 

@@ -52,7 +52,7 @@ object SkewBench {
   }
 
   private def timeIt(spark: SparkSession, df: => DataFrame)
-      : (Double, Double, Double, Int, Long) = {
+      : (Double, Double, Double, Int) = {
     val listener = new TaskTimes
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
@@ -64,9 +64,18 @@ object SkewBench {
     // to drain before reading (measurement tool, not product code).
     Thread.sleep(1000)
     spark.sparkContext.removeSparkListener(listener)
-    val n = df.count()
     val (mx, med, tasks) = listener.worstStage()
-    (wall, mx, med, tasks, n)
+    (wall, mx, med, tasks)
+  }
+
+  /** Order-free VALUE fingerprint (count + 64-bit row-hash sum): the
+    * identity assertion the docstring promises — a count-only check
+    * cannot see a salted join attaching the wrong payload to a row. */
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(df.columns.sorted.map(col): _*).cast("decimal(38,0)")))
+      .collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
   }
 
   def main(args: Array[String]): Unit = {
@@ -96,9 +105,15 @@ object SkewBench {
     unsalted.write.format("noop").mode("overwrite").save()
     salted.write.format("noop").mode("overwrite").save()
 
-    val (uw, umx, umed, utasks, un) = timeIt(spark, unsalted)
-    val (sw, smx, smed, stasks, sn) = timeIt(spark, salted)
-    require(un == sn, s"salted join changed the row count: $un vs $sn")
+    val (uw, umx, umed, utasks) = timeIt(spark, unsalted)
+    val (sw, smx, smed, stasks) = timeIt(spark, salted)
+    // asserted identical BY VALUE (once, outside the clocks — same
+    // number of extra executions as the old per-variant counts)
+    val ufp = fingerprint(unsalted)
+    val sfp = fingerprint(salted)
+    require(ufp == sfp,
+      s"salted join changed the result: count/sum $ufp vs $sfp")
+    val un = ufp._1
 
     def j(w: Double, mx: Double, med: Double, tasks: Int): String =
       f"""{"wall_sec":$w%.3f,"max_task_sec":$mx%.3f,"median_task_sec":$med%.3f,"spread":${if (med > 0) mx / med else 0.0}%.1f,"tasks":$tasks}"""
