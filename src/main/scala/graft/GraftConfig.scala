@@ -83,10 +83,14 @@ final case class GraftConfig(
     }
     val llmCfg = graft.chat.Providers.LlmConfig(llm.provider, llm.model,
       llm.openaiApiKey, llm.openrouterApiKey, llm.ollamaBaseUrl)
+    // ONE refresh-gated docs cache shared by the provider's system
+    // prompt and the facade's planner/dbt surfaces: a frozen copy (or
+    // a per-call rebuild) would let the two disagree about which
+    // tables exist, and POST /schema/refresh must reach both
+    val docsCache = new graft.catalog.SchemaDocsCache(spark)
     val nlToSql: graft.chat.NlToSql =
       if (providerConfigured)
-        new graft.chat.ProviderNlToSql(llmCfg, transport,
-          graft.catalog.SchemaDocs.buildMarkdown(spark))
+        new graft.chat.ProviderNlToSql(llmCfg, transport, docsCache.get)
       else new graft.chat.StubNlToSql
     // the reference backs /dbt/generate with the same provider stack
     // (`dbt_generator.py:97` → `provider.complete`); stub only when no
@@ -117,7 +121,8 @@ final case class GraftConfig(
       rowLimit = sql.rowLimit,
       queryTimeoutMs = sql.queryTimeoutMs,
       bindHost = server.host,
-      dq = dataQuality)
+      dq = dataQuality,
+      docsCache = docsCache)
   }
 }
 

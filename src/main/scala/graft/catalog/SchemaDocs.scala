@@ -67,3 +67,19 @@ object SchemaDocs {
     target.toString
   }
 }
+
+/** Refresh-gated holder for the schema-docs markdown — the
+  * reference's lru_cache'd `load_schema_docs` + `cache_clear`
+  * (`route/chat.py:353`) as one injectable object, so the facade's
+  * planner surface and an LLM provider's system prompt SHARE one
+  * cache and can never disagree about which tables exist (and an LLM
+  * call never re-walks the whole catalog per request). */
+final class SchemaDocsCache(spark: org.apache.spark.sql.SparkSession) {
+  @volatile private var cached: String = null
+  def get: String = {
+    var d = cached
+    if (d == null) { d = SchemaDocs.buildMarkdown(spark); cached = d }
+    d
+  }
+  def clear(): Unit = cached = null
+}

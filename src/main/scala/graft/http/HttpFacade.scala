@@ -55,22 +55,22 @@ class HttpFacade(
     // to whoever owns the session's lifetime, and an unconditional
     // drop would silently re-charge the surviving facade the full
     // shingle-index/pair/signature build cost.
-    ownsSessionCaches: Boolean = true) {
+    ownsSessionCaches: Boolean = true,
+    // Schema docs for the planner/dbt surfaces: cached like the
+    // reference's lru_cache'd load_schema_docs and cleared ONLY by
+    // POST /schema/refresh (`route/chat.py:353` cache_clear) — a
+    // plain lazy val would hand /chat and /dbt/generate the
+    // pre-refresh markdown for the facade's lifetime while GET
+    // /schema recomputes fresh. Injectable so an externally-built
+    // LLM provider (GraftConfig.buildFacade) can SHARE the same
+    // refresh-gated cache instead of freezing its own copy or
+    // re-walking the catalog per call.
+    docsCache: graft.catalog.SchemaDocsCache = null) {
 
   private val mapper = new ObjectMapper()
-  // Schema docs for the planner/dbt surfaces: cached like the
-  // reference's lru_cache'd load_schema_docs and cleared ONLY by
-  // POST /schema/refresh (`route/chat.py:353` cache_clear) — a plain
-  // lazy val would hand /chat and /dbt/generate the pre-refresh
-  // markdown for the facade's lifetime while GET /schema recomputes
-  // fresh, leaving the two surfaces permanently disagreeing about
-  // tables loaded after first use.
-  @volatile private var schemaDocsCache: String = null
-  private def schemaDocs: String = {
-    var d = schemaDocsCache
-    if (d == null) { d = SchemaDocs.buildMarkdown(spark); schemaDocsCache = d }
-    d
-  }
+  private val docs: graft.catalog.SchemaDocsCache =
+    Option(docsCache).getOrElse(new graft.catalog.SchemaDocsCache(spark))
+  private def schemaDocs: String = docs.get
   private lazy val agent =
     new Agent(spark, provider, schemaDocs, rowLimit, queryTimeoutMs)
   // Both SQL-executing routes (/chat* via the agent's runner, and
@@ -180,7 +180,7 @@ class HttpFacade(
       okJson(obj("schema_markdown" -> SchemaDocs.buildMarkdown(spark)))
     case ("POST", "/schema/refresh") =>
       val written = SchemaDocs.writeSchemaDocs(spark, schemaDocsPath)
-      schemaDocsCache = null // the reference's cache_clear (chat.py:353)
+      docs.clear() // the reference's cache_clear (chat.py:353)
       okJson(obj(
         "schema_docs_path" -> written,
         "size_bytes" -> Files.size(java.nio.file.Paths.get(written))))

@@ -56,14 +56,22 @@ object SaltedJoin {
     require(!(probe.columns ++ build.columns).contains("__salt"),
       "input already has a __salt column; rename it before salting")
     val saltCols: Seq[Column] = {
+      // hash() rejects MapType ANYWHERE in the type tree (SPARK-27619)
+      // — a map nested inside a struct or array fails analysis just
+      // like a top-level one
+      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => hasMap(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
       val names =
         if (saltBy.nonEmpty) saltBy
-        // row-identity default: all probe columns EXCEPT maps, which
-        // hash() rejects at analysis time (SPARK-27619) — a map column
-        // is never the only stable identity in practice
+        // row-identity default: all probe columns except map-carrying
+        // ones — a map column is never the only stable identity
         else probe.schema.fields.collect {
-          case f if !f.dataType.isInstanceOf[
-            org.apache.spark.sql.types.MapType] => f.name
+          case f if !hasMap(f.dataType) => f.name
         }.toSeq
       require(names.nonEmpty,
         "no hashable salt columns: pass saltBy explicitly")

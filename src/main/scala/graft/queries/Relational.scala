@@ -253,12 +253,24 @@ object Relational extends graft.Registry {
     * 600 M lineitem rows (74 s; 22× for 10× data). The plan property
     * pinned in BucketingSpec is count-independent as long as both
     * sides match — only the parallelism ceiling moves. */
-  // keyed by (session, dir), NOT dir alone: the managed tables live in
+  // keyed by session → dirs, NOT dir alone: the managed tables live in
   // the session's IN-MEMORY catalog, so a second SparkSession in the
   // same JVM (two suites in one sbt fork) would find the dir memoized
-  // while its own catalog has no such tables — TABLE_OR_VIEW_NOT_FOUND
-  private val bucketedDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  // while its own catalog has no such tables — TABLE_OR_VIEW_NOT_FOUND.
+  // WEAK session keys: the memo has no invalidate hook (q15 is not
+  // facade-driven), so strong keys would pin every stopped session's
+  // object graph for the JVM lifetime.
+  private val bucketedDirs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+  private def dirsOf(s: SparkSession): java.util.Set[String] =
+    bucketedDirs.synchronized {
+      var v = bucketedDirs.get(s)
+      if (v == null) {
+        v = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        bucketedDirs.put(s, v)
+      }
+      v
+    }
   /** Buckets for the q15 layout: one bucket per ~16 M fact rows
     * (≈ 128 MB of written 2-column parquet at the measured sf100
     * compression), rounded UP to a power of two, floored at 8 (the
@@ -309,9 +321,10 @@ object Relational extends graft.Registry {
     val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(wh)) fs.delete(wh, true)
   }
-  private def ensureBucketedLayout(s: SparkSession, dir: String): Unit =
-    if (!bucketedDirs.contains((s, dir))) bucketedDirs.synchronized {
-      if (!bucketedDirs.contains((s, dir))) {
+  private def ensureBucketedLayout(s: SparkSession, dir: String): Unit = {
+    val dirs = dirsOf(s)
+    if (!dirs.contains(dir)) dirs.synchronized {
+      if (!dirs.contains(dir)) {
         dropStale(s, bucketedName(dir, "orders"))
         dropStale(s, bucketedName(dir, "lineitem"))
         val buckets = bucketCountFor(s, dir)
@@ -321,9 +334,10 @@ object Relational extends graft.Registry {
         graft.sources.Bucketing.writeBucketed(
           t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
           bucketedName(dir, "lineitem"), buckets, Seq("l_orderkey"))
-        bucketedDirs.add((s, dir))
+        dirs.add(dir)
       }
     }
+  }
 
   /** Q15: fact⋈fact join from a PERSISTENT bucketed layout
     * ([[graft.sources.Bucketing.writeBucketed]]) — the declared proof

@@ -181,7 +181,11 @@ object TextPipeline extends graft.Registry {
     // columns before re-deriving them, so chaining streaming
     // operators that each call this (qualityFilter → mixtureQuota)
     // can never stack duplicate names into AMBIGUOUS_REFERENCE.
-    val reserved = Seq("n_chars_calc", "t", "n_tokens", "n_stopwords",
+    // Only OUR OUTPUT columns are reserved: drop-and-re-derive is the
+    // idempotence semantics for them. The intermediates use __q_-
+    // prefixed names so a caller's own generic "t" or "n_stopwords"
+    // column rides through untouched instead of being eaten.
+    val reserved = Seq("n_chars_calc", "n_tokens",
       "stop_ratio", "avg_word_len", "quality_score")
     val d = d0.drop(reserved: _*)
     // every column except the scored pair rides through unchanged —
@@ -197,18 +201,18 @@ object TextPipeline extends graft.Registry {
         // long, not int: DuckDB length()/len() are BIGINT and the
         // driver hashes typed values — match the width exactly
         length(col("text")).cast("long").as("n_chars_calc"),
-        split(col("text"), " ").as("t")) ++ extras: _*)
+        split(col("text"), " ").as("__q_t")) ++ extras: _*)
       .select(Seq(
         col("doc_id"), col("lang"),
         col("n_chars_calc"),
-        size(col("t")).cast("long").as("n_tokens"),
-        expr(s"size(filter(t, x -> x IN ($inList)))").as("n_stopwords"))
+        size(col("__q_t")).cast("long").as("n_tokens"),
+        expr(s"size(filter(__q_t, x -> x IN ($inList)))").as("__q_nstop"))
         ++ extras: _*)
       .select(Seq(
         col("doc_id"), col("lang"),
         col("n_tokens"),
         col("n_chars_calc"),
-        expr("CAST(n_stopwords AS DOUBLE) / n_tokens").as("stop_ratio"),
+        expr("CAST(__q_nstop AS DOUBLE) / n_tokens").as("stop_ratio"),
         expr("CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens")
           .as("avg_word_len")) ++ extras: _*)
       .withColumn(
@@ -448,20 +452,9 @@ object TextPipeline extends graft.Registry {
 
   // Owner for the operators' intermediate cached frames (minhash/
   // simhash signatures, drift token counts, phrase unigrams, langId
-  // tokens), keyed by the frame's canonicalized plan: a bare
-  // per-invocation .cache() has NO owner — ContextCleaner reclaims
-  // RDDs, not Dataset cache entries — so every bench/driver re-run of
-  // those queries would leave one more cached copy in storage memory
-  // until session stop. Same plan ⇒ same entry ⇒ re-runs also reuse
-  // instead of re-materializing.
-  private val planCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    DataFrame]()
-
-  private def cachedByPlan(df: DataFrame): DataFrame =
-    planCache.computeIfAbsent(
-      (df.sparkSession, df.queryExecution.analyzed.canonicalized),
-      _ => df.cache())
+  // tokens) — see [[graft.PlanKeyedCache]].
+  private val planCache = new graft.PlanKeyedCache
+  private def cachedByPlan(df: DataFrame): DataFrame = planCache(df)
 
   /** Drop this session's cached pair graphs, intermediate frames, and
     * the underlying shingle index (session stop / corpus re-ingest). */
@@ -479,9 +472,7 @@ object TextPipeline extends graft.Registry {
     }
     drop(pairCache, (k: (SparkSession, String)) => k._1)
     drop(interCache, (k: (SparkSession, String, Long)) => k._1)
-    drop(planCache,
-      (k: (SparkSession,
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)) => k._1)
+    planCache.invalidate(s)
     TextPrep.invalidate(s)
   }
 

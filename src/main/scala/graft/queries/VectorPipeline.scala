@@ -264,26 +264,14 @@ object VectorPipeline extends graft.Registry {
     * frame: a per-invocation `.cache()` with no unpersist would
     * accumulate storage memory in a long-lived session, one orphaned
     * copy per call. */
-  private val sigCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    DataFrame]()
+  private val sigCache = new graft.PlanKeyedCache
 
   // Owner for the other operators' intermediate cached frames (ANN
   // corpus/centroid frames, k-means quantized corpus, semdedup
   // assignments, dispersion quantization, index-health degrees) —
-  // the TextPipeline planCache discipline: a bare per-invocation
-  // .cache() is never unpersisted (ContextCleaner reclaims RDDs, not
-  // Dataset cache entries), so re-runs would pin one more corpus-sized
-  // copy each, and a re-ingested corpus would keep serving the OLD
-  // cached data (CacheManager substitutes by canonicalized plan).
-  private val planCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    DataFrame]()
-
-  private def cachedByPlan(df: DataFrame): DataFrame =
-    planCache.computeIfAbsent(
-      (df.sparkSession, df.queryExecution.analyzed.canonicalized),
-      _ => df.cache())
+  // see [[graft.PlanKeyedCache]].
+  private val planCache = new graft.PlanKeyedCache
+  private def cachedByPlan(df: DataFrame): DataFrame = planCache(df)
 
   /** Drop this session's cached signature/intermediate frames (session
     * stop / corpus re-ingest) — the same discipline as
@@ -292,33 +280,15 @@ object VectorPipeline extends graft.Registry {
     * stop and would return stale frames if the same source path
     * were re-ingested with new data. */
   def invalidate(s: SparkSession): Unit = {
-    def drop[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
-        sessionOf: K => SparkSession): Unit = {
-      val it = m.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (sessionOf(e.getKey) eq s) {
-          e.getValue.unpersist()
-          it.remove()
-        }
-      }
-    }
-    drop(sigCache,
-      (k: (SparkSession,
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)) => k._1)
-    drop(planCache,
-      (k: (SparkSession,
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)) => k._1)
+    sigCache.invalidate(s)
+    planCache.invalidate(s)
   }
 
-  private def ndSignatures(e: DataFrame): DataFrame =
-    sigCache.computeIfAbsent(
-      (e.sparkSession, e.queryExecution.analyzed.canonicalized), { _ =>
-        val sigCols = (0 until NdBands).map(j => ndBandKey(j).as(s"bk$j"))
-        e.select(
-          col("vec_id") +: col("embedding") +: col("nrm") +: sigCols: _*)
-          .cache()
-      })
+  private def ndSignatures(e: DataFrame): DataFrame = {
+    val sigCols = (0 until NdBands).map(j => ndBandKey(j).as(s"bk$j"))
+    sigCache(e.select(
+      col("vec_id") +: col("embedding") +: col("nrm") +: sigCols: _*))
+  }
 
   /** DISTINCT banded candidate pairs with both sides' payloads, each
     * pair emitted EXACTLY once: a pair colliding in bands S surfaces

@@ -76,18 +76,35 @@ object SqlGuard {
     (true, "ok")
   }
 
+  /** Whether position `pos` sits inside a `--` line comment: scan its
+    * line tracking single-quote state, so a `--` INSIDE a string
+    * literal (`tag = 'a--b'`) never counts — a naive contains("--")
+    * would mis-route such SQL to the append branch and emit a second
+    * LIMIT (a parse error on valid input). A doubled quote inside a
+    * literal toggles twice, leaving the state correct. */
+  private def inLineComment(sql: String, pos: Int): Boolean = {
+    val lineStart = sql.lastIndexOf('\n', math.max(0, pos - 1)) + 1
+    var i = lineStart
+    var inQuote = false
+    while (i < pos) {
+      val c = sql.charAt(i)
+      if (c == '\'') inQuote = !inQuote
+      else if (!inQuote && c == '-' && i + 1 < pos && sql.charAt(i + 1) == '-')
+        return true
+      i += 1
+    }
+    false
+  }
+
   /** V7: replace a trailing `LIMIT n [OFFSET m]` with an override (or
     * append — after stripping trailing semicolons/whitespace, which
     * would otherwise make the appended LIMIT a second statement). A
-    * match whose line carries a `--` before it is inside a trailing
-    * line comment: rewriting there would silently turn the override
-    * into a comment edit, so those append on a fresh line instead
-    * (the newline ends the comment). */
+    * match inside a trailing LINE COMMENT is not rewritten (that
+    * would silently turn the override into a comment edit); those
+    * append on a fresh line instead, which ends the comment. */
   def overrideLimit(sql: String, n: Int): String =
     TrailingLimit.findFirstMatchIn(sql) match {
-      case Some(m) if !sql.substring(
-          sql.lastIndexOf('\n', math.max(0, m.start - 1)) + 1, m.start)
-          .contains("--") =>
+      case Some(m) if !inLineComment(sql, m.start) =>
         val offset = Option(m.group(1)).getOrElse("")
         sql.substring(0, m.start) + s"LIMIT $n$offset"
       case _ => sql.replaceAll("[;\\s]+$", "") + s"\nLIMIT $n"

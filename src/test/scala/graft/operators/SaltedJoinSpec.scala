@@ -76,6 +76,13 @@ class SaltedJoinSpec extends SparkSpec {
     val viaDefault = SaltedJoin.join(withMap, build, Seq("k"), salts = 4)
     assert(viaDefault.count() === plain)
     assert(viaDefault.columns.contains("m"), "map column must survive")
+    // hash() rejects maps NESTED in structs/arrays too — the skip
+    // must see the whole type tree, not just top-level MapType
+    val withNested = probe.withColumn("meta",
+      struct(map(lit("a"), lit("b")).as("tags")))
+    val viaNested = SaltedJoin.join(withNested, build, Seq("k"), salts = 4)
+    assert(viaNested.count() === plain)
+    assert(viaNested.columns.contains("meta"))
     // a pre-existing __salt data column must be refused loudly, not
     // silently clobbered and dropped from the result
     val clash = probe.withColumn("__salt", lit(7))

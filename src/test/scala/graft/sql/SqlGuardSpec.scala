@@ -106,6 +106,15 @@ class SqlGuardSpec extends SparkSpec {
     // LIMIT starts a fresh line, which ends the comment
     assert(SqlGuard.overrideLimit("SELECT * FROM t -- cap LIMIT 10", 50)
       === "SELECT * FROM t -- cap LIMIT 10\nLIMIT 50")
+    // '--' INSIDE a string literal is not a comment: the trailing
+    // LIMIT must be rewritten, never doubled into a parse error
+    assert(SqlGuard.overrideLimit(
+      "SELECT * FROM t WHERE tag = 'a--b' LIMIT 10", 50)
+      === "SELECT * FROM t WHERE tag = 'a--b' LIMIT 50")
+    // doubled quotes keep the literal-state tracking honest
+    assert(SqlGuard.overrideLimit(
+      "SELECT * FROM t WHERE s = 'it''s--x' LIMIT 10", 50)
+      === "SELECT * FROM t WHERE s = 'it''s--x' LIMIT 50")
   }
 
   test("overrideLimit appends cleanly after trailing semicolons/whitespace") {
