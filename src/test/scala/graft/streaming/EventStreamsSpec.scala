@@ -714,6 +714,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel does NOT chain across a gap longer than the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // view@0, then a click@120 with horizon 60' — the kept pre-gap
+    // scalars must still be horizon-GATED: keeping state across the
+    // quiet timeout is for legal chains only, never a license to
+    // qualify a click whose predecessor is out of range
+    val src = MemoryStream[Event]
+    val q = funnel(src.toDS(), horizonMinutes = 60, quietMinutes = 30)
+      .writeStream.format("memory").queryName("funnel_horizon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(Event(1L, 1L, "view", 1.0, ts(0)))
+      q.processAllAvailable()
+      src.addData(ev(990, 99L, 60)); q.processAllAvailable()
+      src.addData(ev(991, 99L, 100)); q.processAllAvailable() // 1st quiet
+      src.addData(Event(2L, 1L, "click", 1.0, ts(120)),
+        Event(3L, 1L, "purchase", 1.0, ts(125)))
+      q.processAllAvailable()
+      src.addData(ev(992, 99L, 300)); q.processAllAvailable()
+      src.addData(ev(993, 99L, 500)); q.processAllAvailable() // 2nd quiet
+      val got = spark.table("funnel_horizon").as[FunnelReport].collect()
+        .filter(_.userId == 1L)
+        .map(r => (r.firstViewUs, r.firstQualClickUs, r.firstConversionUs,
+          r.nConversions)).toSet
+      // both quiet reports are view-only: the 120' click is 120' > 60'
+      // past the view, so it never qualifies and the purchase has no
+      // qualifying click to convert from
+      assert(got === Set((1700000000000000L, None, None, 0L)),
+        s"out-of-horizon click must not chain: $got")
+    } finally q.stop()
+  }
+
   test("sessionize is batch-boundary independent: a late bridging event merges") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
