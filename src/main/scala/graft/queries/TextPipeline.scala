@@ -1020,6 +1020,14 @@ object TextPipeline extends graft.Registry {
     * [[vocabGrowth]]: frozen, parameterizes query + oracle. */
   private val GrowthBucketDocs = 250L
 
+  /** Buckets per prefix-sum chunk in [[vocabGrowth]]: the cumulative
+    * trajectory is computed as a two-level distributed prefix sum
+    * (within-chunk running totals under a chunk-partitioned window +
+    * broadcast cumulative chunk offsets), so the only single-partition
+    * pass runs over the chunk-partials report — buckets/4096 rows,
+    * ~10^4 at a 10^10-doc corpus — never over buckets themselves. */
+  private val GrowthChunkBuckets = 4096L
+
   /** td30: vocabulary-growth (Heaps' law) curve — per 250-document
     * ingestion slice: docs, token mass, NEW shingle types first seen
     * in that slice, and the cumulative types-vs-tokens trajectory.
@@ -1037,12 +1045,16 @@ object TextPipeline extends graft.Registry {
     * MIN(doc_id) with map-side partials — the only corpus-sized
     * shuffle, identical in kind to the df joins the dedup family
     * already pays; everything after runs on the bounded bucket
-    * domain (corpus/250 rows), where the unpartitioned cumulative
-    * window is a deliberate single-partition pass over that bounded
-    * report, never over shingles. */
+    * domain (corpus/250 rows). The cumulative trajectory is a
+    * two-level distributed prefix sum: within-chunk running totals
+    * under a window PARTITIONED by `bucket div 4096` (so the bucket
+    * domain never collapses to one task — at a 10^10-doc corpus the
+    * ~4×10^7 buckets spread across ~10^4 chunks), plus cumulative
+    * chunk offsets computed on the chunk-partials report (buckets/4096
+    * rows — the only single-partition window, ~10^4 rows at 10^10
+    * docs) and broadcast back. Exact BIGINT addition throughout, so
+    * the split is bit-identical to a serial running sum. */
   def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val byDoc = docs(s, dir)
       .select(expr(s"doc_id div $GrowthBucketDocs").as("bucket"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -1055,12 +1067,35 @@ object TextPipeline extends graft.Registry {
       .agg(count(lit(1)).as("n_new_shingles"))
     // both report frames are bounded (corpus/250 rows); the hint
     // stops Catalyst sort-merge-joining two stat-less aggregates
-    byDoc.join(broadcast(newTypes), Seq("bucket"), "left")
+    val report = byDoc.join(broadcast(newTypes), Seq("bucket"), "left")
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
         coalesce(col("n_new_shingles"), lit(0L)).as("n_new_shingles"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w).cast("long"))
-      .withColumn("cum_shingles",
-        sum("n_new_shingles").over(w).cast("long"))
+      .withColumn("chunk", expr(s"bucket div $GrowthChunkBuckets"))
+    // level 1: running totals inside each chunk (distributed window)
+    val wIn = Window.partitionBy("chunk").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = report
+      .withColumn("loc_tokens", sum("n_tokens").over(wIn))
+      .withColumn("loc_shingles", sum("n_new_shingles").over(wIn))
+    // level 2: exclusive cumulative offsets over the chunk partials —
+    // the single-partition window runs on buckets/4096 rows only
+    val wOff = Window.orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = report.groupBy("chunk")
+      .agg(sum("n_tokens").as("c_tokens"),
+        sum("n_new_shingles").as("c_shingles"))
+      .withColumn("off_tokens",
+        coalesce(sum("c_tokens").over(wOff), lit(0L)))
+      .withColumn("off_shingles",
+        coalesce(sum("c_shingles").over(wOff), lit(0L)))
+      .select("chunk", "off_tokens", "off_shingles")
+    local.join(broadcast(offsets), Seq("chunk"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("n_new_shingles"),
+        (col("loc_tokens") + col("off_tokens")).cast("long")
+          .as("cum_tokens"),
+        (col("loc_shingles") + col("off_shingles")).cast("long")
+          .as("cum_shingles"))
       .orderBy("bucket")
   }
 

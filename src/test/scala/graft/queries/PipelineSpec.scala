@@ -1238,6 +1238,54 @@ class PipelineSpec extends SparkSpec {
         got.head.getAs[Long]("n_new_shingles"))
   }
 
+  test("td30 prefix sum is exact across chunk boundaries") {
+    // sf corpora put every bucket in chunk 0 (doc_id < 250*4096), so
+    // the broadcast-offset path never fires there; plant sparse
+    // doc_ids spanning three 4096-bucket chunks and recount serially
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_td30_chunks").toString
+    val chunkSpan = 250L * 4096L // doc_ids per chunk
+    val rows = for {
+      c <- 0L to 2L
+      i <- 0L to 3L
+    } yield {
+      val id = c * chunkSpan + i * 250L // one doc per bucket
+      // chunk-local vocab plus one shared trigram, so later chunks
+      // still mint new types AND re-see old ones
+      val text = s"alpha$c beta$i gamma$c delta$i the quick fox"
+      (id, text, "en", s"src$c", text.length.toLong)
+    }
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8)
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = TextPipeline.vocabGrowth(spark, tmp)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    assert(got.length === 12)
+    // serial recount
+    val firstSeen = scala.collection.mutable.Map[String, Long]()
+    rows.sortBy(_._1).foreach { case (id, text, _, _, _) =>
+      text.split(" ").sliding(3)
+        .foreach(g => firstSeen.getOrElseUpdate(g.mkString(" "), id))
+    }
+    val newBy = firstSeen.values.groupBy(_ / 250L)
+      .map { case (b, v) => b -> v.size.toLong }
+    var cumT = 0L; var cumS = 0L
+    got.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      cumT += r.getAs[Long]("n_tokens")
+      cumS += newBy.getOrElse(b, 0L)
+      assert(r.getAs[Long]("n_new_shingles") === newBy.getOrElse(b, 0L))
+      assert(r.getAs[Long]("cum_tokens") === cumT)
+      assert(r.getAs[Long]("cum_shingles") === cumS,
+        s"cumulative shingles wrong at bucket $b (chunk ${b / 4096})")
+    }
+    // the planted ids must actually straddle chunks or the test is
+    // vacuous
+    assert(got.map(_.getAs[Long]("bucket") / 4096L).distinct.length === 3)
+  }
+
   test("v18 knn label purity equals an in-memory 5-NN majority vote") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet").collect()
       .map(r => (r.getAs[Long]("vec_id"),

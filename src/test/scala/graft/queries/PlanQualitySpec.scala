@@ -489,6 +489,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the bounded bucket-report join must broadcast, not SMJ")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the bucket-domain running totals must be chunk-partitioned (two-
+    // level prefix sum): a windowspecdefinition over bucket with no
+    // chunk partition key would collapse all buckets onto one task
+    val bucketWindows = "windowspecdefinition\\(([^)]*)bucket#".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(bucketWindows.nonEmpty, "bucket running totals must exist")
+    assert(bucketWindows.forall(_.contains("chunk#")),
+      "every bucket-ordered window must be partitioned by chunk")
   }
 
   test("knn label purity (v18): broadcast query set, top-K prunes, vote aggs partial") {
