@@ -57,6 +57,8 @@ class Catalog(
     now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
   import spark.implicits._
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[Catalog])
+
   val MaxCsvBytes: Long = 50L * 1024 * 1024
 
   private val nsPath = s"$metaDir/namespaces.parquet"
@@ -326,22 +328,26 @@ class Catalog(
         // is a conflict with other traffic, not a bad request — surface
         // it as ConcurrentModification (→ 409), not a require failure
         // (createTable's namespace check) or a bare NoSuchElement
-        // (ingest's namespace lookup). Any OTHER per-file failure —
-        // two file names normalizing to the same table name, a file
-        // Spark cannot parse as CSV — skips that file and keeps
-        // loading: the skip-and-continue the size pre-filter above
-        // already promises, instead of aborting with the old demo
-        // namespace destroyed and a half-loaded one in its place.
+        // (ingest's namespace lookup). EXPECTED per-file failures —
+        // two file names normalizing to the same table name, an empty
+        // basename, a file Spark cannot parse as CSV — skip that file
+        // (logged with the reason) and keep loading: the
+        // skip-and-continue the size pre-filter above already
+        // promises, instead of aborting with the old demo namespace
+        // destroyed and a half-loaded one in its place. Any OTHER
+        // IllegalArgumentException from createTable is an unexpected
+        // bug and propagates rather than being silently skipped.
         try {
           val entry = createTable(ns.id, base)
           try Some(loadCsv(entry.id, path))
           catch {
             case e @ (_: IllegalArgumentException | _: NoSuchElementException)
                 if getNamespace(ns.id).isEmpty => throw e // outer 409 path
-            case NonFatal(_) =>
+            case NonFatal(e) =>
               // content failed after the entry was created: remove the
               // empty husk so the namespace only lists loaded tables
               try deleteTable(entry.id) catch { case NonFatal(_) => () }
+              log.warn(s"demo load skipped '$path': ${e.getMessage}")
               None
           }
         } catch {
@@ -349,7 +355,12 @@ class Catalog(
               if getNamespace(ns.id).isEmpty =>
             throw Catalog.ConcurrentModification(
               s"namespace '${ns.schemaName}' was deleted concurrently during demo load")
-          case _: IllegalArgumentException => None // duplicate table name
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                (e.getMessage.contains("already exists in namespace") ||
+                  e.getMessage.contains("Schema name cannot be empty")) =>
+            log.warn(s"demo load skipped '$path': ${e.getMessage}")
+            None
         }
       }.toSeq
       require(entries.nonEmpty,

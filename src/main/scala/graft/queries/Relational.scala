@@ -321,10 +321,40 @@ object Relational extends graft.Registry {
     val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(wh)) fs.delete(wh, true)
   }
+  /** One-time (per warehouse per JVM) sweep of bucketed directories
+    * written by pre-md5 builds: their names carried
+    * `Integer.toHexString(dir.hashCode)` — 1-8 hex chars — where the
+    * current scheme always emits 16, so [[dropStale]] (which only
+    * knows current names) would orphan them on disk forever. The
+    * suffix length separates the generations unambiguously: the one
+    * underscore after the table name anchors the hex run, so a
+    * current 16-hex name can never parse as a legacy ≤8-hex one, and
+    * other sfDirs' live layouts are untouched. */
+  private val sweptWarehouses =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val LegacyBucketDir = "graft_b15_[a-z]+_[0-9a-f]{1,8}".r
+  private def sweepLegacyBucketDirs(s: SparkSession): Unit = {
+    val whConf = s.conf.get("spark.sql.warehouse.dir")
+    if (sweptWarehouses.add(whConf)) sweepLegacyBucketDirsNow(s, whConf)
+  }
+  // memo-free body, separated so the sweep is testable in a JVM where
+  // an earlier layout build already consumed the once-per-warehouse memo
+  private[graft] def sweepLegacyBucketDirsNow(
+      s: SparkSession, whConf: String): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(whConf)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) return
+    fs.listStatus(wh).foreach { st =>
+      val n = st.getPath.getName
+      if (LegacyBucketDir.pattern.matcher(n).matches())
+        fs.delete(st.getPath, true)
+    }
+  }
   private def ensureBucketedLayout(s: SparkSession, dir: String): Unit = {
     val dirs = dirsOf(s)
     if (!dirs.contains(dir)) dirs.synchronized {
       if (!dirs.contains(dir)) {
+        sweepLegacyBucketDirs(s)
         dropStale(s, bucketedName(dir, "orders"))
         dropStale(s, bucketedName(dir, "lineitem"))
         val buckets = bucketCountFor(s, dir)

@@ -76,24 +76,30 @@ object SqlGuard {
     (true, "ok")
   }
 
-  /** Whether position `pos` sits inside a `--` line comment: scan its
-    * line tracking single-quote state, so a `--` INSIDE a string
-    * literal (`tag = 'a--b'`) never counts — a naive contains("--")
-    * would mis-route such SQL to the append branch and emit a second
-    * LIMIT (a parse error on valid input). A doubled quote inside a
-    * literal toggles twice, leaving the state correct. */
+  /** Whether position `pos` sits inside a `--` line comment: scan from
+    * the START of the statement tracking single-quote and comment
+    * state, so a `--` INSIDE a string literal (`tag = 'a--b'`) never
+    * counts — a naive contains("--") would mis-route such SQL to the
+    * append branch and emit a second LIMIT (a parse error on valid
+    * input). Scanning the whole statement (not just `pos`'s line) also
+    * classifies a multi-line literal correctly: a literal opened on an
+    * earlier line keeps a `--` on the LIMIT's line inside the string.
+    * A doubled quote inside a literal toggles twice, leaving the state
+    * correct; a comment ends at its newline. */
   private def inLineComment(sql: String, pos: Int): Boolean = {
-    val lineStart = sql.lastIndexOf('\n', math.max(0, pos - 1)) + 1
-    var i = lineStart
+    var i = 0
     var inQuote = false
+    var inComment = false
     while (i < pos) {
       val c = sql.charAt(i)
-      if (c == '\'') inQuote = !inQuote
-      else if (!inQuote && c == '-' && i + 1 < pos && sql.charAt(i + 1) == '-')
-        return true
+      if (inComment) { if (c == '\n') inComment = false }
+      else if (inQuote) { if (c == '\'') inQuote = false }
+      else if (c == '\'') inQuote = true
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-')
+        inComment = true
       i += 1
     }
-    false
+    inComment
   }
 
   /** V7: replace a trailing `LIMIT n [OFFSET m]` with an override (or

@@ -195,17 +195,30 @@ object EventStreams {
     * [[graft.queries.EventPipeline.funnel]] in EventStreamsSpec). The
     * buffer holds at most the user's events from one watermark delay,
     * and the folded machine is six longs, which is what an idle user
-    * costs after their buffer flushes — kept, not evicted, so a
-    * return inside `horizonMinutes` still chains off its pre-gap
-    * predecessor; a deployment wanting true eviction bounds it with a
-    * retention rule, accepting the lost cross-gap chains. */
+    * costs after their buffer flushes — kept BY DEFAULT, so a return
+    * inside `horizonMinutes` still chains off its pre-gap predecessor.
+    *
+    * `retentionMinutes` bounds that idle state for long-running
+    * deployments (unbounded distinct users would otherwise grow the
+    * state store forever): once the watermark passes
+    * `lastEvent + retention`, the user's state is dropped — the
+    * eviction fire first re-emits the cumulative report (content-
+    * identical to the user's last quiet report, since any intervening
+    * event would have re-armed the quiet timeout), so the stream's
+    * last-write-wins reading is unchanged; a user returning AFTER
+    * eviction restarts the machine, losing the cross-gap chain —
+    * that divergence from the batch twin is the documented price of
+    * the bound. Retention below `quietMinutes` evicts at the first
+    * quiet fire. None (default) = keep, exact batch parity. */
   def funnel(events: Dataset[Event],
       horizonMinutes: Long = 24 * 60,
       quietMinutes: Long = 60,
-      watermark: String = "10 minutes"): Dataset[FunnelReport] = {
+      watermark: String = "10 minutes",
+      retentionMinutes: Option[Long] = None): Dataset[FunnelReport] = {
     import events.sparkSession.implicits._
     val horizonUs = horizonMinutes * 60000000L
     val quietMs = quietMinutes * 60000L
+    val retentionUs = retentionMinutes.map(_ * 60000000L)
 
     def fold(st: FunnelState, evs: Seq[PendEv]): FunnelState =
       // (us, stage, id) ascending = the batch window's sort order:
@@ -251,9 +264,26 @@ object EventStreams {
             // this one. Without the keep, the default parameters
             // (horizon 24 h >> quiet 1 h) would lose a qualifying
             // predecessor across every quiet gap and diverge from the
-            // batch twin.
+            // batch twin. With a retention bound, the keep lasts until
+            // the watermark passes lastEvent + retention: the fire at
+            // that point re-emits the (unchanged) cumulative report
+            // and drops the state.
             val closed = fold(state.get, state.get.pending)
-            state.update(closed.copy(pending = Vector.empty))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            retentionUs match {
+              case Some(r) if wmUs >= closed.lastEventUs + r =>
+                state.remove()
+              case Some(r) =>
+                state.update(closed.copy(pending = Vector.empty))
+                // ceil to ms: a truncated timestamp could land AT the
+                // current watermark (illegal) or fire with the micro-
+                // second eviction condition still false and re-arm at
+                // the same value forever
+                state.setTimeoutTimestamp(
+                  (closed.lastEventUs + r + 999L) / 1000L)
+              case None =>
+                state.update(closed.copy(pending = Vector.empty))
+            }
             report(userId, closed)
           } else {
             val empty = FunnelState(Vector.empty, None, None, None, None,
@@ -311,18 +341,23 @@ object EventStreams {
     * three scalars; an event-time quiet timeout flushes idle users'
     * buffers but keeps those scalars (the [[adjacentPairs]]
     * discipline), so a purchase after an idle gap still matches its
-    * pre-gap view exactly as batch e01 does; a deployment wanting
-    * true eviction bounds it with a retention rule, accepting
-    * `None` matches across the evicted gaps. Sealing is STRICT
+    * pre-gap view exactly as batch e01 does. `retentionMinutes`
+    * bounds the keep for long-running deployments: once the watermark
+    * passes `lastEvent + retention` the user's state is dropped, and
+    * a purchase arriving after the eviction matches `viewId = None`
+    * across the evicted gap — the documented price of the bound.
+    * None (default) = keep, exact batch parity. Sealing is STRICT
     * (`us < watermark`): Spark admits
     * late rows AT the watermark, so an inclusive seal could fold a
     * probe before an equal-timestamp view arrives and miss the
     * tie-inclusive match. */
   def asofJoin(events: Dataset[Event],
       quietMinutes: Long = 60,
-      watermark: String = "10 minutes"): Dataset[AsofMatch] = {
+      watermark: String = "10 minutes",
+      retentionMinutes: Option[Long] = None): Dataset[AsofMatch] = {
     import events.sparkSession.implicits._
     val quietMs = quietMinutes * 60000L
+    val retentionUs = retentionMinutes.map(_ * 60000000L)
 
     def fold(userId: Long, st: AsofState, evs: Seq[PendAsof])
         : (AsofState, Vector[AsofMatch]) = {
@@ -350,10 +385,24 @@ object EventStreams {
             // Flush the buffer but KEEP the last-view scalars (the
             // adjacentPairs discipline): a purchase after an idle gap
             // must still match the pre-gap view, exactly as batch e01
-            // does — eviction here would turn that match into a wrong
-            // viewId=None.
+            // does — unbounded eviction here would turn that match
+            // into a wrong viewId=None. With a retention bound, the
+            // keep ends once the watermark passes lastEvent +
+            // retention (opt-in state cap; post-eviction purchases
+            // match None).
             val (s2, out) = fold(userId, state.get, state.get.pending)
-            state.update(s2.copy(pending = Vector.empty))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            retentionUs match {
+              case Some(r) if wmUs >= s2.lastEventUs + r =>
+                state.remove()
+              case Some(r) =>
+                state.update(s2.copy(pending = Vector.empty))
+                // ceil to ms (see funnel's eviction arm)
+                state.setTimeoutTimestamp(
+                  (s2.lastEventUs + r + 999L) / 1000L)
+              case None =>
+                state.update(s2.copy(pending = Vector.empty))
+            }
             out.iterator
           } else {
             val st0 = state.getOption
@@ -395,17 +444,22 @@ object EventStreams {
     * without that, the twin would drop exactly the long-gap pairs
     * e06's p95 exists to surface. Idle-user state is therefore three
     * scalars, the same per-user footprint the batch operator's
-    * shuffle holds, and a deployment wanting eviction bounds it with
-    * a retention rule, accepting the boundary pair loss.
+    * shuffle holds. `retentionMinutes` bounds it for long-running
+    * deployments: once the watermark passes `lastEvent + retention`
+    * the chain head is dropped, losing exactly the boundary pair a
+    * post-eviction return would have formed. None (default) = keep,
+    * exact batch parity.
     *
     * Read-side folds [[transitionsAt]] / [[gapQuantilesAt]] aggregate
     * the emitted pairs into the batch reports with identical integer
     * arithmetic (EventStreamsSpec pins both batch-exact). */
   def adjacentPairs(events: Dataset[Event],
       quietMinutes: Long = 60,
-      watermark: String = "10 minutes"): Dataset[AdjPair] = {
+      watermark: String = "10 minutes",
+      retentionMinutes: Option[Long] = None): Dataset[AdjPair] = {
     import events.sparkSession.implicits._
     val quietMs = quietMinutes * 60000L
+    val retentionUs = retentionMinutes.map(_ * 60000000L)
 
     def fold(userId: Long, st: AdjState, evs: Seq[PendAdj])
         : (AdjState, Vector[AdjPair]) = {
@@ -429,9 +483,22 @@ object EventStreams {
         (userId: Long, it: Iterator[Event], state: GroupState[AdjState]) =>
           if (it.isEmpty && state.hasTimedOut) {
             // watermark > timeout ≥ every pending event: all sealed.
-            // Keep the compact chain head; drop only the buffer.
+            // Keep the compact chain head; drop only the buffer —
+            // unless a retention bound says the watermark has passed
+            // lastEvent + retention, in which case drop it all.
             val (s2, out) = fold(userId, state.get, state.get.pending)
-            state.update(s2.copy(pending = Vector.empty))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            retentionUs match {
+              case Some(r) if wmUs >= s2.lastEventUs + r =>
+                state.remove()
+              case Some(r) =>
+                state.update(s2.copy(pending = Vector.empty))
+                // ceil to ms (see funnel's eviction arm)
+                state.setTimeoutTimestamp(
+                  (s2.lastEventUs + r + 999L) / 1000L)
+              case None =>
+                state.update(s2.copy(pending = Vector.empty))
+            }
             out.iterator
           } else {
             val st0 = state.getOption.getOrElse(

@@ -52,12 +52,13 @@ object SimHashAb {
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
     }
     def time[A](label: String)(f: => A): A = {
-      // one untimed warm-up per variant: without it the FIRST-timed
-      // variant absorbs the process's one-time JIT/codegen/shuffle
-      // init (an ordering bias in the very ratio this tool exists to
-      // measure); with runs > 1 the min already hides it, but the
-      // single-run quick mode must be honest too
-      f
+      // single-run quick mode gets one untimed warm-up: without it the
+      // FIRST-timed variant absorbs the process's one-time JIT/codegen/
+      // shuffle init (an ordering bias in the very ratio this tool
+      // exists to measure). With runs > 1 the min-of-runs already
+      // hides cold start, so the extra pass would only double the
+      // wall-clock of multi-minute sf100 measurements
+      if (runs == 1) f
       var best = Long.MaxValue; var out: Option[A] = None
       for (_ <- 1 to runs) {
         val t0 = System.nanoTime()
@@ -66,7 +67,8 @@ object SimHashAb {
         if (dt < best) best = dt
         if (out.isEmpty) out = Some(v)
       }
-      println(f"$label%-6s ${best / 1e9}%.2f s (min of $runs, warmed)")
+      println(f"$label%-6s ${best / 1e9}%.2f s (min of $runs" +
+        (if (runs == 1) ", warmed)" else ")"))
       out.get
     }
 

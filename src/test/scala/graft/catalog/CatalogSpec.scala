@@ -167,6 +167,10 @@ class CatalogSpec extends SparkSpec {
     Files.writeString(dir.resolve("sales report.csv"), "x\n1\n")
     Files.writeString(dir.resolve("sales_report.csv"), "y\n2\n3\n")
     Files.writeString(dir.resolve("zz_ok.csv"), "z\n9\n")
+    // a file named just '.csv' has an EMPTY basename — the other
+    // expected per-file skip (normalizeSchemaName refuses empty), now
+    // that the catch is narrowed to the two validated conditions
+    Files.writeString(dir.resolve(".csv"), "w\n7\n")
     val (ns, entries) = cat.loadDemoDataset(dir.toString, "Bulk NS Skip")
     assert(entries.map(_.tableName).sorted === Seq("sales_report", "zz_ok"))
     assert(entries.forall(_.isLoaded))

@@ -151,4 +151,31 @@ class BucketingSpec extends SparkSpec {
     assert(bucketsForRows(Long.MaxValue) === 128)
     assert(bucketsForRows((1L << 34) * 16000000L) === 128) // want 2^34
   }
+
+  test("legacy bucket-dir sweep removes pre-md5 names, keeps 16-hex ones") {
+    // pre-md5 builds named layout dirs with Integer.toHexString of the
+    // sfDir's hashCode (1-8 hex chars); dropStale only knows current
+    // 16-hex md5 names, so those orphans sat on disk forever
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_wh_sweep").toString
+    def mk(name: String): java.nio.file.Path = {
+      val d = java.nio.file.Paths.get(wh, name)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("part-0.parquet"), "x")
+      d
+    }
+    val legacy1 = mk("graft_b15_orders_1a2b3c4d")   // 8-hex hashCode
+    val legacy2 = mk("graft_b15_lineitem_fade")     // short hashCode
+    val current = mk("graft_b15_orders_0123456789abcdef")  // live md5
+    val currentL = mk("graft_b15_lineitem_abcdef0123456789")
+    val unrelated = mk("some_other_table")
+    graft.queries.Relational.sweepLegacyBucketDirsNow(spark, wh)
+    assert(!java.nio.file.Files.exists(legacy1), "legacy 8-hex must go")
+    assert(!java.nio.file.Files.exists(legacy2), "legacy short-hex must go")
+    assert(java.nio.file.Files.exists(current),
+      "a current 16-hex layout (possibly another sfDir's) must survive")
+    assert(java.nio.file.Files.exists(currentL))
+    assert(java.nio.file.Files.exists(unrelated),
+      "non-graft warehouse content must never be touched")
+  }
 }

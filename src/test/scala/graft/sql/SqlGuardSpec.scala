@@ -115,6 +115,18 @@ class SqlGuardSpec extends SparkSpec {
     assert(SqlGuard.overrideLimit(
       "SELECT * FROM t WHERE s = 'it''s--x' LIMIT 10", 50)
       === "SELECT * FROM t WHERE s = 'it''s--x' LIMIT 50")
+    // a MULTI-LINE literal opened on an earlier line keeps a '--' on
+    // the LIMIT's own line inside the string: quote state must carry
+    // across newlines (a per-line scan would misread the LIMIT as
+    // commented and double it into a parse error)
+    assert(SqlGuard.overrideLimit(
+      "SELECT * FROM t WHERE s = 'a\n-- b' LIMIT 10", 50)
+      === "SELECT * FROM t WHERE s = 'a\n-- b' LIMIT 50")
+    // and the converse: a real comment on an earlier line ENDS at its
+    // newline, so the trailing LIMIT is live and must be rewritten
+    assert(SqlGuard.overrideLimit(
+      "SELECT * FROM t -- note\nLIMIT 10", 50)
+      === "SELECT * FROM t -- note\nLIMIT 50")
   }
 
   test("overrideLimit appends cleanly after trailing semicolons/whitespace") {

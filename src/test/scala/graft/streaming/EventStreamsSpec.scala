@@ -658,6 +658,131 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asof retention bound evicts idle state; inside the bound it chains") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    // user 1's retention (60') elapses before the first quiet fire →
+    // evicted at that fire; user 2's (300') has not → kept, then
+    // evicted by the re-armed retention timeout
+    val q = asofJoin(src.toDS(), quietMinutes = 30,
+        retentionMinutes = Some(60))
+      .writeStream.format("memory").queryName("asof_evict")
+      .outputMode(OutputMode.Append).start()
+    val q2 = asofJoin(src.toDS(), quietMinutes = 30,
+        retentionMinutes = Some(300))
+      .writeStream.format("memory").queryName("asof_keep300")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def step(es: Event*): Unit = {
+        src.addData(es: _*); q.processAllAvailable(); q2.processAllAvailable()
+      }
+      step(Event(1L, 1L, "view", 1.0, ts(0)),
+        Event(100L, 1L, "purchase", 1.0, ts(5)))
+      step(ev(900, 99L, 200)) // wm → 190 after this batch
+      // quiet fire (armed 5'+30'): wm 190' ≥ 5'+60' evicts in q;
+      // 190' < 5'+300' keeps in q2 (re-armed at 305')
+      step(ev(901, 99L, 210))
+      // the user returns above the watermark (200'): q lost the view,
+      // q2 still chains to it
+      step(Event(101L, 1L, "purchase", 1.0, ts(205)))
+      step(ev(902, 99L, 600)) // wm → 590
+      // seal+quiet fire for the return; q2's retention (205'+300')
+      // also elapses here → evicted after flushing
+      step(ev(903, 99L, 610))
+      // a third purchase: now BOTH queries have lost the view
+      step(Event(102L, 1L, "purchase", 1.0, ts(615)))
+      step(ev(904, 99L, 1000))
+      step(ev(905, 99L, 1010)) // seal + quiet fire
+      val evicted = spark.table("asof_evict").as[AsofMatch].collect()
+        .map(r => r.purchaseId -> r.viewId).toMap
+      val kept = spark.table("asof_keep300").as[AsofMatch].collect()
+        .map(r => r.purchaseId -> r.viewId).toMap
+      assert(evicted === Map(100L -> Some(1L), 101L -> None, 102L -> None),
+        s"60' retention must drop the pre-gap view: $evicted")
+      assert(kept === Map(100L -> Some(1L), 101L -> Some(1L), 102L -> None),
+        s"300' retention must chain at 205' and evict by 615': $kept")
+    } finally { q.stop(); q2.stop() }
+  }
+
+  test("funnel retention bound drops the machine; eviction re-report is identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = funnel(src.toDS(), horizonMinutes = 24 * 60, quietMinutes = 30,
+        retentionMinutes = Some(60))
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def step(es: Event*): Unit = { src.addData(es: _*); q.processAllAvailable() }
+      step(Event(1L, 1L, "view", 1.0, ts(0)),
+        Event(2L, 1L, "click", 1.0, ts(2)),
+        Event(3L, 1L, "purchase", 1.0, ts(4)))
+      step(ev(900, 99L, 200)) // wm → 190
+      step(ev(901, 99L, 210)) // quiet fire: report + evict (190 ≥ 4+60)
+      // the user returns with click+purchase but NO view: with the
+      // 24 h horizon an un-evicted machine would chain them off the
+      // 0' view; the evicted machine has no view, so no new report
+      step(Event(4L, 1L, "click", 1.0, ts(205)),
+        Event(5L, 1L, "purchase", 1.0, ts(207)))
+      step(ev(902, 99L, 600))
+      step(ev(903, 99L, 610)) // quiet fire for the return
+      val got = spark.table("funnel_evict").as[FunnelReport].collect()
+        .filter(_.userId == 1L)
+      assert(got.toSeq === Seq(FunnelReport(1L, microsOf(ts(0)),
+        Some(microsOf(ts(2))), Some(microsOf(ts(4))), 1L)),
+        s"evicted funnel must not chain the post-gap click: ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("funnel keep-then-evict second fire re-emits the same cumulative report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = funnel(src.toDS(), quietMinutes = 30,
+        retentionMinutes = Some(300))
+      .writeStream.format("memory").queryName("funnel_refire")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def step(es: Event*): Unit = { src.addData(es: _*); q.processAllAvailable() }
+      step(Event(1L, 1L, "view", 1.0, ts(0)))
+      step(ev(900, 99L, 200)) // wm → 190
+      step(ev(901, 99L, 210)) // quiet fire: report #1, keep (190 < 300)
+      step(ev(902, 99L, 600)) // wm → 590 (past 0'+300')
+      step(ev(903, 99L, 610)) // retention fire: report #2 + evict
+      val got = spark.table("funnel_refire").as[FunnelReport].collect()
+        .filter(_.userId == 1L)
+      assert(got.length === 2 && got.toSet.size === 1,
+        s"eviction must re-emit one content-identical report: ${got.toSeq}")
+      assert(got.head === FunnelReport(1L, microsOf(ts(0)), None, None, 0L))
+    } finally q.stop()
+  }
+
+  test("adjacent-pair retention bound loses exactly the boundary pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = adjacentPairs(src.toDS(), quietMinutes = 30,
+        retentionMinutes = Some(60))
+      .writeStream.format("memory").queryName("adj_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def step(es: Event*): Unit = { src.addData(es: _*); q.processAllAvailable() }
+      step(ev(1, 1L, 0), ev(2, 1L, 5))
+      step(ev(900, 99L, 200)) // wm → 190
+      step(ev(901, 99L, 210)) // quiet fire: evict (190 ≥ 5+60)
+      step(ev(3, 1L, 205), ev(4, 1L, 212))
+      step(ev(902, 99L, 600))
+      step(ev(903, 99L, 610)) // seal + quiet fire for the return
+      val got = spark.table("adj_evict").as[AdjPair].collect()
+        .filter(_.userId == 1L).map(_.gapUs).sorted.toSeq
+      // (0',5') and (205',212') survive; the (5',205') boundary pair
+      // is the documented retention loss
+      assert(got === Seq(5L * 60000000L, 7L * 60000000L),
+        s"only the boundary pair may be lost: $got")
+    } finally q.stop()
+  }
+
   test("funnel chains across a quiet gap; final report per user equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
