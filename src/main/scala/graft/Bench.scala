@@ -62,7 +62,12 @@ object Bench {
     // timed query then absorbs codegen, which is the lesser distortion.
     // warm only what will be timed: with SPARK_GRAFT_BENCH_ONLY set
     // (the single-operator fast loop), warming the other ~88 queries
-    // is tens of wasted seconds per iteration
+    // is tens of wasted seconds per iteration. CAVEAT: this makes solo
+    // numbers JIT-colder than full-surface numbers for the same query
+    // (~+0.2 s on sub-second driver-bound queries — measured in the
+    // round-13 drift audit, where the gap bisected to this very
+    // change, not to any operator). Compare solo-vs-solo or
+    // full-vs-full, never across the modes.
     val onlyWarm = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     if (warmDir.isDirectory && !sameDir)
