@@ -188,9 +188,17 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"total_median":$totalMedian,"first_run_total":$firstRunTotal,"errors":$errJson,"runs_per_query":$Runs,"sf":"$sfDir"}"""
     val detailPath = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
       case Some(p) =>
-        val parent = java.nio.file.Paths.get(p).toAbsolutePath.getParent
+        // name the detail after the mirror file, not a fixed sibling
+        // BENCH_DETAIL.json: two BENCH_OUT runs into one directory
+        // (e.g. the per-round sf10 + sf100 scale passes) would
+        // otherwise clobber each other's per-run arrays, leaving a
+        // committed scale file whose own "detail" pointer shows a
+        // DIFFERENT run's data (the round-13 review finding)
+        val abs = java.nio.file.Paths.get(p).toAbsolutePath
+        val stem = abs.getFileName.toString.replaceAll("\\.json$", "")
+        val parent = abs.getParent
         (if (parent == null) java.nio.file.Paths.get("")
-         else parent).resolve("BENCH_DETAIL.json")
+         else parent).resolve(s"${stem}_detail.json")
       case None => java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
     }
     val detailWritten =

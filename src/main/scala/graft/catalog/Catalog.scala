@@ -304,7 +304,15 @@ class Catalog(
       .filter(_.endsWith(".csv")).sorted
       .filter { f =>
         val size = Files.size(Paths.get(f))
-        size > 0 && size <= MaxCsvBytes
+        // the empty-basename check (a file named just '.csv') belongs
+        // HERE, before the destructive replace below: if it were a
+        // per-file skip, a directory of only such files would pass
+        // `loadable.nonEmpty`, destroy the old demo namespace, skip
+        // everything, and abort with nothing left — breaking this
+        // function's validate-before-destroying promise
+        val base = Paths.get(f).getFileName.toString.stripSuffix(".csv")
+        if (base.isEmpty) log.warn(s"demo load skipped '$f': empty basename")
+        size > 0 && size <= MaxCsvBytes && base.nonEmpty
       }
     require(loadable.nonEmpty, s"no loadable CSV files in $dir")
     val schema = Names.normalizeSchemaName(namespaceName)
@@ -320,47 +328,52 @@ class Catalog(
         namespaces.find(_.schemaName == schema).foreach(old => deleteNamespace(old.id))
         createNamespace(namespaceName, "bulk-loaded demo data")
       }
+      // Expected per-file conditions are PRE-CHECKED here (duplicate
+      // normalized names via `seen`; empty basenames in the loadable
+      // filter above) rather than caught by matching createTable's
+      // exception message — message-substring matching would couple
+      // skip-vs-abort behavior to wording in Names.scala, where a
+      // reworded require would silently turn an expected skip into a
+      // whole-load abort AFTER the old namespace was destroyed.
+      val seen = scala.collection.mutable.Set.empty[String]
       val entries = loadable.flatMap { path =>
         val base = Paths.get(path).getFileName.toString.stripSuffix(".csv")
-        // The demo lock serializes demo loads against each other, but a
-        // concurrent REGULAR deleteNamespace can still remove `ns`
-        // between createNamespace above and these per-file calls. That
-        // is a conflict with other traffic, not a bad request — surface
-        // it as ConcurrentModification (→ 409), not a require failure
-        // (createTable's namespace check) or a bare NoSuchElement
-        // (ingest's namespace lookup). EXPECTED per-file failures —
-        // two file names normalizing to the same table name, an empty
-        // basename, a file Spark cannot parse as CSV — skip that file
-        // (logged with the reason) and keep loading: the
-        // skip-and-continue the size pre-filter above already
-        // promises, instead of aborting with the old demo namespace
-        // destroyed and a half-loaded one in its place. Any OTHER
-        // IllegalArgumentException from createTable is an unexpected
-        // bug and propagates rather than being silently skipped.
-        try {
-          val entry = createTable(ns.id, base)
-          try Some(loadCsv(entry.id, path))
-          catch {
-            case e @ (_: IllegalArgumentException | _: NoSuchElementException)
-                if getNamespace(ns.id).isEmpty => throw e // outer 409 path
-            case NonFatal(e) =>
-              // content failed after the entry was created: remove the
-              // empty husk so the namespace only lists loaded tables
-              try deleteTable(entry.id) catch { case NonFatal(_) => () }
-              log.warn(s"demo load skipped '$path': ${e.getMessage}")
-              None
+        val tableName = Names.normalizeSchemaName(base)
+        if (!seen.add(tableName)) {
+          // two file names normalizing to one table: first (sorted) wins
+          log.warn(s"demo load skipped '$path': " +
+            s"table '$tableName' already loaded from an earlier file")
+          None
+        } else {
+          // The demo lock serializes demo loads against each other, but
+          // a concurrent REGULAR deleteNamespace can still remove `ns`
+          // between createNamespace above and these per-file calls. That
+          // is a conflict with other traffic, not a bad request —
+          // surface it as ConcurrentModification (→ 409), not a require
+          // failure (createTable's namespace check) or a bare
+          // NoSuchElement (ingest's namespace lookup). A file Spark
+          // cannot parse as CSV skips (logged) and keeps loading; any
+          // OTHER failure from createTable is an unexpected bug and
+          // propagates rather than being silently skipped.
+          try {
+            val entry = createTable(ns.id, base)
+            try Some(loadCsv(entry.id, path))
+            catch {
+              case e @ (_: IllegalArgumentException | _: NoSuchElementException)
+                  if getNamespace(ns.id).isEmpty => throw e // outer 409 path
+              case NonFatal(e) =>
+                // content failed after the entry was created: remove the
+                // empty husk so the namespace only lists loaded tables
+                try deleteTable(entry.id) catch { case NonFatal(_) => () }
+                log.warn(s"demo load skipped '$path': ${e.getMessage}")
+                None
+            }
+          } catch {
+            case _ @ (_: IllegalArgumentException | _: NoSuchElementException)
+                if getNamespace(ns.id).isEmpty =>
+              throw Catalog.ConcurrentModification(
+                s"namespace '${ns.schemaName}' was deleted concurrently during demo load")
           }
-        } catch {
-          case _ @ (_: IllegalArgumentException | _: NoSuchElementException)
-              if getNamespace(ns.id).isEmpty =>
-            throw Catalog.ConcurrentModification(
-              s"namespace '${ns.schemaName}' was deleted concurrently during demo load")
-          case e: IllegalArgumentException
-              if e.getMessage != null &&
-                (e.getMessage.contains("already exists in namespace") ||
-                  e.getMessage.contains("Schema name cannot be empty")) =>
-            log.warn(s"demo load skipped '$path': ${e.getMessage}")
-            None
         }
       }.toSeq
       require(entries.nonEmpty,

@@ -77,24 +77,33 @@ object SqlGuard {
   }
 
   /** Whether position `pos` sits inside a `--` line comment: scan from
-    * the START of the statement tracking single-quote and comment
-    * state, so a `--` INSIDE a string literal (`tag = 'a--b'`) never
-    * counts — a naive contains("--") would mis-route such SQL to the
-    * append branch and emit a second LIMIT (a parse error on valid
-    * input). Scanning the whole statement (not just `pos`'s line) also
-    * classifies a multi-line literal correctly: a literal opened on an
-    * earlier line keeps a `--` on the LIMIT's line inside the string.
-    * A doubled quote inside a literal toggles twice, leaving the state
-    * correct; a comment ends at its newline. */
+    * the START of the statement tracking quote and comment state, so a
+    * `--` INSIDE a quoted region never counts — a naive contains("--")
+    * would mis-route such SQL to the append branch and emit a second
+    * LIMIT (a parse error on valid input). Scanning the whole
+    * statement (not just `pos`'s line) classifies a multi-line literal
+    * correctly: a literal opened on an earlier line keeps a `--` on
+    * the LIMIT's line inside the string.
+    *
+    * All three Spark SQL quote forms are tracked: single- and
+    * double-quoted string literals (with backslash escapes — `'it\'s'`
+    * must not close the literal — and doubled-quote escapes, which
+    * read as close-then-reopen) and backtick-quoted identifiers
+    * (`` `x--y` `` — backticks escape by doubling only, a backslash
+    * inside them is a literal character). A comment ends at its
+    * newline. */
   private def inLineComment(sql: String, pos: Int): Boolean = {
     var i = 0
-    var inQuote = false
+    var quote: Char = 0 // 0 = unquoted; else the opening ', " or `
     var inComment = false
     while (i < pos) {
       val c = sql.charAt(i)
       if (inComment) { if (c == '\n') inComment = false }
-      else if (inQuote) { if (c == '\'') inQuote = false }
-      else if (c == '\'') inQuote = true
+      else if (quote != 0) {
+        if (c == '\\' && quote != '`') i += 1 // skip the escaped char
+        else if (c == quote) quote = 0
+      }
+      else if (c == '\'' || c == '"' || c == '`') quote = c
       else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-')
         inComment = true
       i += 1

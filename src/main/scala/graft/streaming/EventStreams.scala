@@ -166,6 +166,27 @@ object EventStreams {
           v.map(_._5).max, v.map(_._6).sum)
       }
 
+  /** Shared quiet-timeout keep/evict arm for the three kept-state
+    * operators ([[funnel]] / [[asofJoin]] / [[adjacentPairs]]): keep
+    * the compact state (exact batch parity) unless a retention bound
+    * is set and the watermark has passed lastEvent + retention — then
+    * drop it. Inside the bound, re-arm an event-time timeout at that
+    * point so eviction eventually fires without new arrivals; the arm
+    * CEILS to milliseconds — a truncated timestamp could land AT the
+    * current watermark (illegal) or fire with the microsecond eviction
+    * condition still false and re-arm at the same value forever. */
+  private def keepOrEvict[S](state: GroupState[S], kept: S,
+      lastEventUs: Long, retentionUs: Option[Long]): Unit = {
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    retentionUs match {
+      case Some(r) if wmUs >= lastEventUs + r => state.remove()
+      case Some(r) =>
+        state.update(kept)
+        state.setTimeoutTimestamp((lastEventUs + r + 999L) / 1000L)
+      case None => state.update(kept)
+    }
+  }
+
   final case class FunnelReport(
       userId: Long, firstViewUs: Long, firstQualClickUs: Option[Long],
       firstConversionUs: Option[Long], nConversions: Long)
@@ -269,21 +290,8 @@ object EventStreams {
             // that point re-emits the (unchanged) cumulative report
             // and drops the state.
             val closed = fold(state.get, state.get.pending)
-            val wmUs = state.getCurrentWatermarkMs() * 1000L
-            retentionUs match {
-              case Some(r) if wmUs >= closed.lastEventUs + r =>
-                state.remove()
-              case Some(r) =>
-                state.update(closed.copy(pending = Vector.empty))
-                // ceil to ms: a truncated timestamp could land AT the
-                // current watermark (illegal) or fire with the micro-
-                // second eviction condition still false and re-arm at
-                // the same value forever
-                state.setTimeoutTimestamp(
-                  (closed.lastEventUs + r + 999L) / 1000L)
-              case None =>
-                state.update(closed.copy(pending = Vector.empty))
-            }
+            keepOrEvict(state, closed.copy(pending = Vector.empty),
+              closed.lastEventUs, retentionUs)
             report(userId, closed)
           } else {
             val empty = FunnelState(Vector.empty, None, None, None, None,
@@ -391,18 +399,8 @@ object EventStreams {
             // retention (opt-in state cap; post-eviction purchases
             // match None).
             val (s2, out) = fold(userId, state.get, state.get.pending)
-            val wmUs = state.getCurrentWatermarkMs() * 1000L
-            retentionUs match {
-              case Some(r) if wmUs >= s2.lastEventUs + r =>
-                state.remove()
-              case Some(r) =>
-                state.update(s2.copy(pending = Vector.empty))
-                // ceil to ms (see funnel's eviction arm)
-                state.setTimeoutTimestamp(
-                  (s2.lastEventUs + r + 999L) / 1000L)
-              case None =>
-                state.update(s2.copy(pending = Vector.empty))
-            }
+            keepOrEvict(state, s2.copy(pending = Vector.empty),
+              s2.lastEventUs, retentionUs)
             out.iterator
           } else {
             val st0 = state.getOption
@@ -487,18 +485,8 @@ object EventStreams {
             // unless a retention bound says the watermark has passed
             // lastEvent + retention, in which case drop it all.
             val (s2, out) = fold(userId, state.get, state.get.pending)
-            val wmUs = state.getCurrentWatermarkMs() * 1000L
-            retentionUs match {
-              case Some(r) if wmUs >= s2.lastEventUs + r =>
-                state.remove()
-              case Some(r) =>
-                state.update(s2.copy(pending = Vector.empty))
-                // ceil to ms (see funnel's eviction arm)
-                state.setTimeoutTimestamp(
-                  (s2.lastEventUs + r + 999L) / 1000L)
-              case None =>
-                state.update(s2.copy(pending = Vector.empty))
-            }
+            keepOrEvict(state, s2.copy(pending = Vector.empty),
+              s2.lastEventUs, retentionUs)
             out.iterator
           } else {
             val st0 = state.getOption.getOrElse(

@@ -167,9 +167,10 @@ class CatalogSpec extends SparkSpec {
     Files.writeString(dir.resolve("sales report.csv"), "x\n1\n")
     Files.writeString(dir.resolve("sales_report.csv"), "y\n2\n3\n")
     Files.writeString(dir.resolve("zz_ok.csv"), "z\n9\n")
-    // a file named just '.csv' has an EMPTY basename — the other
-    // expected per-file skip (normalizeSchemaName refuses empty), now
-    // that the catch is narrowed to the two validated conditions
+    // a file named just '.csv' has an EMPTY basename — pre-filtered
+    // out with the size checks BEFORE the destructive replace (a
+    // per-file skip would let an all-'.csv' directory destroy the old
+    // namespace and then load nothing)
     Files.writeString(dir.resolve(".csv"), "w\n7\n")
     val (ns, entries) = cat.loadDemoDataset(dir.toString, "Bulk NS Skip")
     assert(entries.map(_.tableName).sorted === Seq("sales_report", "zz_ok"))
@@ -180,6 +181,25 @@ class CatalogSpec extends SparkSpec {
     // no husk entry left behind for the skipped file
     assert(cat.listTables(ns.id).length === 2)
     cat.deleteNamespace(ns.id)
+  }
+
+  test("demo load refuses an all-invalid directory WITHOUT destroying the old data") {
+    val (cat, _) = freshCatalog()
+    val good = Files.createTempDirectory("demo_guard_good")
+    Files.writeString(good.resolve("t1.csv"), "a\n1\n")
+    val (ns1, _) = cat.loadDemoDataset(good.toString, "Bulk NS Guard")
+    // every file in the replacement directory fails pre-validation
+    // (empty basename): the replace must refuse BEFORE the delete, so
+    // the previous demo namespace and its loaded table survive intact
+    val bad = Files.createTempDirectory("demo_guard_bad")
+    Files.writeString(bad.resolve(".csv"), "w\n7\n")
+    intercept[IllegalArgumentException](
+      cat.loadDemoDataset(bad.toString, "Bulk NS Guard"))
+    assert(cat.getNamespace(ns1.id).nonEmpty,
+      "the old namespace must survive a refused replace")
+    assert(cat.listTables(ns1.id).length === 1)
+    assert(spark.table("bulk_ns_guard.t1").count() === 1)
+    cat.deleteNamespace(ns1.id)
   }
 
   test("concurrent demo bulk loads never race the delete+create") {

@@ -127,6 +127,22 @@ class SqlGuardSpec extends SparkSpec {
     assert(SqlGuard.overrideLimit(
       "SELECT * FROM t -- note\nLIMIT 10", 50)
       === "SELECT * FROM t -- note\nLIMIT 50")
+    // all three Spark quote forms shield a '--': double-quoted string
+    // literals, backtick identifiers, and backslash-escaped quotes
+    assert(SqlGuard.overrideLimit(
+      "SELECT * FROM t WHERE c = \"a--b\" LIMIT 10", 50)
+      === "SELECT * FROM t WHERE c = \"a--b\" LIMIT 50")
+    assert(SqlGuard.overrideLimit(
+      "SELECT `x--y` FROM t LIMIT 10", 50)
+      === "SELECT `x--y` FROM t LIMIT 50")
+    assert(SqlGuard.overrideLimit(
+      "SELECT * FROM t WHERE s = 'it\\'s--x' LIMIT 10", 50)
+      === "SELECT * FROM t WHERE s = 'it\\'s--x' LIMIT 50")
+    // a backslash inside backticks is literal, not an escape: the
+    // closing backtick still closes, so the trailing comment is real
+    assert(SqlGuard.overrideLimit(
+      "SELECT `a\\` FROM t -- LIMIT 10", 50)
+      === "SELECT `a\\` FROM t -- LIMIT 10\nLIMIT 50")
   }
 
   test("overrideLimit appends cleanly after trailing semicolons/whitespace") {
