@@ -363,8 +363,12 @@ class Catalog(
                   if getNamespace(ns.id).isEmpty => throw e // outer 409 path
               case NonFatal(e) =>
                 // content failed after the entry was created: remove the
-                // empty husk so the namespace only lists loaded tables
+                // empty husk so the namespace only lists loaded tables,
+                // and RELEASE the name claim — the first SUCCESSFUL
+                // file wins, not the first attempted, so a valid later
+                // file normalizing to the same table still loads
                 try deleteTable(entry.id) catch { case NonFatal(_) => () }
+                seen.remove(tableName)
                 log.warn(s"demo load skipped '$path': ${e.getMessage}")
                 None
             }

@@ -90,25 +90,37 @@ object SqlGuard {
     * must not close the literal — and doubled-quote escapes, which
     * read as close-then-reopen) and backtick-quoted identifiers
     * (`` `x--y` `` — backticks escape by doubling only, a backslash
-    * inside them is a literal character). A comment ends at its
-    * newline. */
+    * inside them is a literal character). Block comments are tracked
+    * too, NESTED like Spark's lexer nests them: a `--` inside
+    * `/* ... */` must not start a line comment (isSafe rejects block
+    * comments on the chat path, but the dbt-preview path reaches this
+    * rewrite without isSafe), and a quote inside one opens nothing.
+    * A line comment ends at its newline. */
   private def inLineComment(sql: String, pos: Int): Boolean = {
     var i = 0
     var quote: Char = 0 // 0 = unquoted; else the opening ', " or `
     var inComment = false
+    var block = 0 // /* */ nesting depth
     while (i < pos) {
       val c = sql.charAt(i)
+      lazy val next = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
       if (inComment) { if (c == '\n') inComment = false }
+      else if (block > 0) {
+        if (c == '/' && next == '*') { block += 1; i += 1 }
+        else if (c == '*' && next == '/') { block -= 1; i += 1 }
+      }
       else if (quote != 0) {
         if (c == '\\' && quote != '`') i += 1 // skip the escaped char
         else if (c == quote) quote = 0
       }
       else if (c == '\'' || c == '"' || c == '`') quote = c
-      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-')
-        inComment = true
+      else if (c == '/' && next == '*') { block += 1; i += 1 }
+      else if (c == '-' && next == '-') inComment = true
       i += 1
     }
-    inComment
+    // inside an UNCLOSED block comment counts as commented: rewriting
+    // there would edit comment text (the input is malformed SQL anyway)
+    inComment || block > 0
   }
 
   /** V7: replace a trailing `LIMIT n [OFFSET m]` with an override (or

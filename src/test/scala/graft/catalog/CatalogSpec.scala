@@ -183,6 +183,25 @@ class CatalogSpec extends SparkSpec {
     cat.deleteNamespace(ns.id)
   }
 
+  test("demo load: a failed earlier file releases its name claim to a valid later one") {
+    val (cat, _) = freshCatalog()
+    val dir = Files.createTempDirectory("demo_csvs_release")
+    // 'sales report.csv' sorts first and FAILS content load (blank
+    // lines only: the header consumes one, the parser fails the write
+    // job on the rest); 'sales_report.csv' is valid and normalizes to
+    // the same table name. First SUCCESSFUL file wins: the failed
+    // attempt must not shadow the valid one
+    Files.writeString(dir.resolve("sales report.csv"), "\n\n")
+    Files.writeString(dir.resolve("sales_report.csv"), "y\n2\n")
+    val (ns, entries) = cat.loadDemoDataset(dir.toString, "Bulk NS Release")
+    assert(entries.map(_.tableName) === Seq("sales_report"))
+    assert(entries.forall(_.isLoaded))
+    assert(spark.table("bulk_ns_release.sales_report")
+      .columns.toSeq === Seq("y"), "the VALID later file must have won")
+    assert(cat.listTables(ns.id).length === 1)
+    cat.deleteNamespace(ns.id)
+  }
+
   test("demo load refuses an all-invalid directory WITHOUT destroying the old data") {
     val (cat, _) = freshCatalog()
     val good = Files.createTempDirectory("demo_guard_good")

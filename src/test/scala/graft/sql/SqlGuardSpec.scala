@@ -143,6 +143,20 @@ class SqlGuardSpec extends SparkSpec {
     assert(SqlGuard.overrideLimit(
       "SELECT `a\\` FROM t -- LIMIT 10", 50)
       === "SELECT `a\\` FROM t -- LIMIT 10\nLIMIT 50")
+    // a '--' INSIDE a block comment is not a line-comment start: the
+    // trailing LIMIT after */ is live and must be rewritten (this path
+    // is reachable via dbt-preview, which never calls isSafe's V5 gate)
+    assert(SqlGuard.overrideLimit(
+      "SELECT * FROM t /* -- note */ LIMIT 10", 50)
+      === "SELECT * FROM t /* -- note */ LIMIT 50")
+    // block comments nest like Spark's lexer nests them, and a quote
+    // inside one opens nothing
+    assert(SqlGuard.overrideLimit(
+      "SELECT * FROM t /* a /* -- b */ c */ LIMIT 10", 50)
+      === "SELECT * FROM t /* a /* -- b */ c */ LIMIT 50")
+    assert(SqlGuard.overrideLimit(
+      "SELECT * FROM t /* don't */ LIMIT 10", 50)
+      === "SELECT * FROM t /* don't */ LIMIT 50")
   }
 
   test("overrideLimit appends cleanly after trailing semicolons/whitespace") {
