@@ -703,33 +703,66 @@ object EventStreams {
     * weeks × 7 day-entries per active user, regardless of history
     * length (`nEvents` keeps counting the pruned mass, matching the
     * batch `n_events`). Emitted in Update mode per trigger; the
-    * latest row per user is the user's current histogram. */
+    * latest row per user is the user's current histogram.
+    *
+    * The PER-USER bound still multiplies by unbounded distinct users;
+    * `retentionMinutes` caps that for long-running deployments: the
+    * input is watermarked (`watermark`, only then) and a user idle
+    * past the bound has their final histogram re-emitted (content-
+    * identical — last-write-wins readers are unchanged) and their
+    * state dropped; a return after eviction restarts `n_events` from
+    * zero, the documented price. None (default) = keep, exact batch
+    * parity, no watermark applied. */
   def decayedEngagement(events: Dataset[Event],
-      purchaseType: String = "purchase"): Dataset[EngagementBuckets] = {
+      purchaseType: String = "purchase",
+      retentionMinutes: Option[Long] = None,
+      watermark: String = "10 minutes"): Dataset[EngagementBuckets] = {
     val spark = events.sparkSession
     import spark.implicits._
     val horizonDays = 7L * graft.queries.EventPipeline.DecayZeroWeeks
-    events
+    val retentionUs = retentionMinutes.map(_ * 60000000L)
+    val src =
+      if (retentionUs.isDefined) events.withWatermark("ts", watermark)
+      else events
+    val timeout =
+      if (retentionUs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.userId)
-      .mapGroupsWithState[EngState, EngagementBuckets](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[EngState, EngagementBuckets](timeout) {
         (userId: Long, evs: Iterator[Event], state: GroupState[EngState]) =>
-          val prev = state.getOption.getOrElse(EngState(Map.empty, 0L))
-          var buckets = prev.buckets
-          var n = prev.nEvents
-          evs.foreach { e =>
-            val day = dayOf(e.ts)
-            val (c, p) = buckets.getOrElse(day, (0L, 0L))
-            buckets += day ->
-              (c + 1L, p + (if (e.eventType == purchaseType) 1L else 0L))
-            n += 1
+          if (evs.isEmpty && state.hasTimedOut) {
+            // idle past retention: re-emit the final histogram
+            // (unchanged content) and drop the state
+            val prev = state.get
+            val maxDay = prev.buckets.keys.max
+            state.remove()
+            EngagementBuckets(userId, prev.nEvents, maxDay,
+              prev.buckets.toSeq.sortBy(_._1)
+                .map { case (d, (c, p)) => DayBucket(d, c, p) })
+          } else {
+            val prev = state.getOption.getOrElse(EngState(Map.empty, 0L))
+            var buckets = prev.buckets
+            var n = prev.nEvents
+            var lastUs = 0L
+            evs.foreach { e =>
+              val day = dayOf(e.ts)
+              val (c, p) = buckets.getOrElse(day, (0L, 0L))
+              buckets += day ->
+                (c + 1L, p + (if (e.eventType == purchaseType) 1L else 0L))
+              n += 1
+              lastUs = math.max(lastUs, microsOf(e.ts))
+            }
+            val maxDay = buckets.keys.max
+            buckets = buckets.filter { case (d, _) => maxDay - d < horizonDays }
+            state.update(EngState(buckets, n))
+            // ceil to ms, like keepOrEvict's arm
+            retentionUs.foreach(r =>
+              state.setTimeoutTimestamp((lastUs + r + 999L) / 1000L))
+            EngagementBuckets(userId, n, maxDay,
+              buckets.toSeq.sortBy(_._1)
+                .map { case (d, (c, p)) => DayBucket(d, c, p) })
           }
-          val maxDay = buckets.keys.max
-          buckets = buckets.filter { case (d, _) => maxDay - d < horizonDays }
-          state.update(EngState(buckets, n))
-          EngagementBuckets(userId, n, maxDay,
-            buckets.toSeq.sortBy(_._1)
-              .map { case (d, (c, p)) => DayBucket(d, c, p) })
       }
   }
 
@@ -808,24 +841,50 @@ object EventStreams {
     *
     * State bound: one bucket per ACTIVE calendar day per user —
     * grows with time, not event volume (e07's horizon-prune applies
-    * verbatim for deployments with a bounded retention window). */
-  def userActivity(events: Dataset[Event]): Dataset[UserActivity] = {
+    * verbatim for deployments with a bounded retention window).
+    * `retentionMinutes` additionally caps the unbounded DISTINCT-USER
+    * axis, exactly like [[decayedEngagement]]'s knob: watermarked
+    * input (only then), idle-past-bound users re-emit their final
+    * histogram (content-identical) and drop; a post-eviction return
+    * restarts the user's cohort at their new min day — the documented
+    * price. None (default) = keep, exact batch parity. */
+  def userActivity(events: Dataset[Event],
+      retentionMinutes: Option[Long] = None,
+      watermark: String = "10 minutes"): Dataset[UserActivity] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val retentionUs = retentionMinutes.map(_ * 60000000L)
+    val src =
+      if (retentionUs.isDefined) events.withWatermark("ts", watermark)
+      else events
+    val timeout =
+      if (retentionUs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.userId)
-      .mapGroupsWithState[ActState, UserActivity](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[ActState, UserActivity](timeout) {
         (userId: Long, evs: Iterator[Event], state: GroupState[ActState]) =>
-          var buckets = state.getOption.map(_.buckets)
-            .getOrElse(Map.empty[Long, Long])
-          evs.foreach { e =>
-            val day = dayOf(e.ts)
-            buckets += day -> (buckets.getOrElse(day, 0L) + 1L)
+          if (evs.isEmpty && state.hasTimedOut) {
+            val buckets = state.get.buckets
+            state.remove()
+            UserActivity(userId, buckets.keys.min,
+              buckets.toSeq.sortBy(_._1).map { case (d, n) => DayCount(d, n) })
+          } else {
+            var buckets = state.getOption.map(_.buckets)
+              .getOrElse(Map.empty[Long, Long])
+            var lastUs = 0L
+            evs.foreach { e =>
+              val day = dayOf(e.ts)
+              buckets += day -> (buckets.getOrElse(day, 0L) + 1L)
+              lastUs = math.max(lastUs, microsOf(e.ts))
+            }
+            state.update(ActState(buckets))
+            // ceil to ms, like keepOrEvict's arm
+            retentionUs.foreach(r =>
+              state.setTimeoutTimestamp((lastUs + r + 999L) / 1000L))
+            UserActivity(userId, buckets.keys.min,
+              buckets.toSeq.sortBy(_._1).map { case (d, n) => DayCount(d, n) })
           }
-          state.update(ActState(buckets))
-          UserActivity(userId, buckets.keys.min,
-            buckets.toSeq.sortBy(_._1).map { case (d, n) => DayCount(d, n) })
       }
   }
 

@@ -758,6 +758,59 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decayed-engagement retention bound restarts an evicted user's counters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = decayedEngagement(src.toDS(), retentionMinutes = Some(60))
+      .writeStream.format("memory").queryName("eng_evict")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def step(es: Event*): Unit = { src.addData(es: _*); q.processAllAvailable() }
+      step((1L to 6L).map(i => ev(i, 1L, i - 1)): _*) // 6 events, last at 5'
+      step(ev(900, 99L, 200)) // wm → 190 (past 5' + 60')
+      step(ev(901, 99L, 210)) // retention timeout fires: re-emit + evict
+      step(ev(7, 1L, 300))    // the user returns AFTER eviction
+      val got = spark.table("eng_evict").as[EngagementBuckets].collect()
+        .filter(_.userId == 1L)
+      assert(got.exists(_.nEvents == 6L), "pre-eviction histogram emitted")
+      assert(got.exists(r => r.nEvents == 1L && r.buckets.length == 1),
+        s"post-eviction return must restart from zero: ${got.toSeq}")
+      assert(!got.exists(_.nEvents == 7L),
+        "state must NOT have survived the retention bound")
+    } finally q.stop()
+  }
+
+  test("user-activity retention bound restarts an evicted user's cohort") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = userActivity(src.toDS(), retentionMinutes = Some(60))
+      .writeStream.format("memory").queryName("act_evict")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def step(es: Event*): Unit = { src.addData(es: _*); q.processAllAvailable() }
+      step(ev(1, 1L, 0), ev(2, 1L, 5))
+      step(ev(900, 99L, 200)) // wm → 190 (past 5' + 60')
+      step(ev(901, 99L, 210)) // retention timeout: re-emit + evict
+      // the user returns on a LATER calendar day: an un-evicted state
+      // would keep cohort = the old min day and re-state both days
+      val laterDay = 2000L // crosses at least one calendar-day boundary
+      step(ev(3, 1L, laterDay))
+      val day0 = 1700000000000L / 86400000L
+      val dayLater = (1700000000000L + laterDay * 60000L) / 86400000L
+      assert(dayLater > day0, "the return must land on a later calendar day")
+      val got = spark.table("act_evict").as[UserActivity].collect()
+        .filter(_.userId == 1L)
+      assert(got.exists(r => r.cohortDay == day0 && r.buckets.map(_.n).sum == 2),
+        "pre-eviction activity emitted with the original cohort")
+      assert(got.exists(r => r.cohortDay == dayLater && r.buckets.length == 1),
+        s"post-eviction return must restart the cohort: ${got.toSeq}")
+      assert(!got.exists(r => r.cohortDay == day0 && r.buckets.length == 2),
+        "state must NOT have survived the retention bound")
+    } finally q.stop()
+  }
+
   test("adjacent-pair retention bound loses exactly the boundary pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
