@@ -180,12 +180,38 @@ object EventStreams {
     val wmUs = state.getCurrentWatermarkMs() * 1000L
     retentionUs match {
       case Some(r) if wmUs >= lastEventUs + r => state.remove()
-      case Some(r) =>
+      case Some(_) =>
         state.update(kept)
-        state.setTimeoutTimestamp((lastEventUs + r + 999L) / 1000L)
+        armRetention(state, lastEventUs, retentionUs)
       case None => state.update(kept)
     }
   }
+
+  /** The single owner of the retention-arm arithmetic: timeout at
+    * lastEvent + retention, CEILED to milliseconds — a truncated
+    * timestamp could land AT the current watermark (illegal) or fire
+    * with the microsecond eviction condition still false and re-arm
+    * at the same value forever. */
+  private def armRetention[S](state: GroupState[S],
+      lastEventUs: Long, retentionUs: Option[Long]): Unit =
+    retentionUs.foreach(r =>
+      state.setTimeoutTimestamp((lastEventUs + r + 999L) / 1000L))
+
+  /** Watermark/timeout preamble shared by the retention-capable
+    * histogram twins: retention needs event-time timeouts, which need
+    * a watermarked input. CAVEAT the callers document: the watermark
+    * also bounds late-event ABSORPTION for live users — a row later
+    * than the bound is dropped even when its user is nowhere near
+    * eviction — so a deployment enabling retention must size
+    * `watermark` to its corpus's real disorder, where the default
+    * (no retention) twins absorb arbitrary lateness. */
+  private def retentionSource(events: Dataset[Event],
+      retentionUs: Option[Long], watermark: String)
+      : (Dataset[Event], GroupStateTimeout) =
+    if (retentionUs.isDefined)
+      (events.withWatermark("ts", watermark),
+        GroupStateTimeout.EventTimeTimeout)
+    else (events, GroupStateTimeout.NoTimeout)
 
   final case class FunnelReport(
       userId: Long, firstViewUs: Long, firstQualClickUs: Option[Long],
@@ -685,7 +711,7 @@ object EventStreams {
       engagementQ: Long, engagement: Double, purchaseQ: Long)
 
   private[streaming] final case class EngState(
-      buckets: Map[Long, (Long, Long)], nEvents: Long)
+      buckets: Map[Long, (Long, Long)], nEvents: Long, lastEventUs: Long)
 
   /** Streaming twin of the batch `e07_decayed_engagement`: per-user
     * decayed-engagement STATE maintained continuously. The batch
@@ -710,9 +736,13 @@ object EventStreams {
     * input is watermarked (`watermark`, only then) and a user idle
     * past the bound has their final histogram re-emitted (content-
     * identical — last-write-wins readers are unchanged) and their
-    * state dropped; a return after eviction restarts `n_events` from
-    * zero, the documented price. None (default) = keep, exact batch
-    * parity, no watermark applied. */
+    * state dropped. TWO documented prices: a return after eviction
+    * restarts `n_events` from zero, and the watermark bounds
+    * late-event ABSORPTION for live users too — a row arriving later
+    * than the bound is dropped where the unwatermarked default
+    * absorbs arbitrary lateness via the histogram re-statement — so
+    * size `watermark` to the corpus's real disorder. None (default)
+    * = keep, exact batch parity, no watermark applied. */
   def decayedEngagement(events: Dataset[Event],
       purchaseType: String = "purchase",
       retentionMinutes: Option[Long] = None,
@@ -721,12 +751,7 @@ object EventStreams {
     import spark.implicits._
     val horizonDays = 7L * graft.queries.EventPipeline.DecayZeroWeeks
     val retentionUs = retentionMinutes.map(_ * 60000000L)
-    val src =
-      if (retentionUs.isDefined) events.withWatermark("ts", watermark)
-      else events
-    val timeout =
-      if (retentionUs.isDefined) GroupStateTimeout.EventTimeTimeout
-      else GroupStateTimeout.NoTimeout
+    val (src, timeout) = retentionSource(events, retentionUs, watermark)
     src
       .groupByKey(_.userId)
       .mapGroupsWithState[EngState, EngagementBuckets](timeout) {
@@ -741,10 +766,15 @@ object EventStreams {
               prev.buckets.toSeq.sortBy(_._1)
                 .map { case (d, (c, p)) => DayBucket(d, c, p) })
           } else {
-            val prev = state.getOption.getOrElse(EngState(Map.empty, 0L))
+            val prev = state.getOption.getOrElse(EngState(Map.empty, 0L, 0L))
             var buckets = prev.buckets
             var n = prev.nEvents
-            var lastUs = 0L
+            // the arm must come from the user's RUNNING-max event time,
+            // not this batch's max: an out-of-order trailing arrival
+            // (admitted above the watermark but behind the user's
+            // newest event) would otherwise pull eviction earlier than
+            // the documented lastEvent + retention
+            var lastUs = prev.lastEventUs
             evs.foreach { e =>
               val day = dayOf(e.ts)
               val (c, p) = buckets.getOrElse(day, (0L, 0L))
@@ -755,10 +785,8 @@ object EventStreams {
             }
             val maxDay = buckets.keys.max
             buckets = buckets.filter { case (d, _) => maxDay - d < horizonDays }
-            state.update(EngState(buckets, n))
-            // ceil to ms, like keepOrEvict's arm
-            retentionUs.foreach(r =>
-              state.setTimeoutTimestamp((lastUs + r + 999L) / 1000L))
+            state.update(EngState(buckets, n, lastUs))
+            armRetention(state, lastUs, retentionUs)
             EngagementBuckets(userId, n, maxDay,
               buckets.toSeq.sortBy(_._1)
                 .map { case (d, (c, p)) => DayBucket(d, c, p) })
@@ -826,7 +854,8 @@ object EventStreams {
   final case class CohortCell(
       cohortDay: Long, dayOffset: Long, nActiveUsers: Long,
       nEvents: Long, cohortSize: Long, retainedPpm: Long)
-  private[streaming] final case class ActState(buckets: Map[Long, Long])
+  private[streaming] final case class ActState(
+      buckets: Map[Long, Long], lastEventUs: Long)
 
   /** Streaming twin of the batch e11 cohort retention matrix
     * ([[graft.queries.EventPipeline.cohortMatrix]]): per user,
@@ -846,20 +875,17 @@ object EventStreams {
     * axis, exactly like [[decayedEngagement]]'s knob: watermarked
     * input (only then), idle-past-bound users re-emit their final
     * histogram (content-identical) and drop; a post-eviction return
-    * restarts the user's cohort at their new min day — the documented
-    * price. None (default) = keep, exact batch parity. */
+    * restarts the user's cohort at their new min day, and the
+    * watermark bounds late-event absorption for live users (size it
+    * to the corpus's disorder — see [[decayedEngagement]]) — the
+    * documented prices. None (default) = keep, exact batch parity. */
   def userActivity(events: Dataset[Event],
       retentionMinutes: Option[Long] = None,
       watermark: String = "10 minutes"): Dataset[UserActivity] = {
     val spark = events.sparkSession
     import spark.implicits._
     val retentionUs = retentionMinutes.map(_ * 60000000L)
-    val src =
-      if (retentionUs.isDefined) events.withWatermark("ts", watermark)
-      else events
-    val timeout =
-      if (retentionUs.isDefined) GroupStateTimeout.EventTimeTimeout
-      else GroupStateTimeout.NoTimeout
+    val (src, timeout) = retentionSource(events, retentionUs, watermark)
     src
       .groupByKey(_.userId)
       .mapGroupsWithState[ActState, UserActivity](timeout) {
@@ -870,18 +896,17 @@ object EventStreams {
             UserActivity(userId, buckets.keys.min,
               buckets.toSeq.sortBy(_._1).map { case (d, n) => DayCount(d, n) })
           } else {
-            var buckets = state.getOption.map(_.buckets)
-              .getOrElse(Map.empty[Long, Long])
-            var lastUs = 0L
+            val prev = state.getOption.getOrElse(ActState(Map.empty, 0L))
+            var buckets = prev.buckets
+            // running-max arm, see decayedEngagement
+            var lastUs = prev.lastEventUs
             evs.foreach { e =>
               val day = dayOf(e.ts)
               buckets += day -> (buckets.getOrElse(day, 0L) + 1L)
               lastUs = math.max(lastUs, microsOf(e.ts))
             }
-            state.update(ActState(buckets))
-            // ceil to ms, like keepOrEvict's arm
-            retentionUs.foreach(r =>
-              state.setTimeoutTimestamp((lastUs + r + 999L) / 1000L))
+            state.update(ActState(buckets, lastUs))
+            armRetention(state, lastUs, retentionUs)
             UserActivity(userId, buckets.keys.min,
               buckets.toSeq.sortBy(_._1).map { case (d, n) => DayCount(d, n) })
           }

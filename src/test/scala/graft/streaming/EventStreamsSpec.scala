@@ -781,6 +781,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retention arms from the RUNNING max event time, not the last batch's") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = decayedEngagement(src.toDS(), retentionMinutes = Some(60))
+      .writeStream.format("memory").queryName("eng_runmax")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def step(es: Event*): Unit = { src.addData(es: _*); q.processAllAvailable() }
+      step(ev(1, 1L, 100)) // newest event: eviction due at 160'
+      step(ev(900, 99L, 105)) // wm → 95
+      // an out-of-order TRAILING arrival (admitted above wm 95, behind
+      // the user's newest 100'): arming from this batch's max alone
+      // would pull eviction forward to 156'
+      step(ev(2, 1L, 96))
+      step(ev(901, 99L, 168)) // wm → 158: must NOT fire (158 < 160)
+      step(ev(902, 99L, 169)) // a batch-max-armed 156' would fire here
+      // the user returns before 160': state must still be alive
+      step(ev(3, 1L, 165))
+      val got = spark.table("eng_runmax").as[EngagementBuckets].collect()
+        .filter(_.userId == 1L)
+      assert(got.exists(_.nEvents == 3L),
+        s"an out-of-order trailing arrival must not shorten retention: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("user-activity retention bound restarts an evicted user's cohort") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
