@@ -122,6 +122,69 @@ object Bench {
       }
       (name, if (failed) None else Some(times.min), times)
     }
+    // Automated in-family outlier audit (the round-12/13 discipline,
+    // mechanized): in a full-surface scale pass, a query timed behind
+    // hundreds of millions of scanned rows can inflate 2–7× from page
+    // -cache pressure alone (r12: e09 8.16 s in-family vs 1.18 s solo;
+    // r13: q06 18.7× vs 6.3×) — a per-decade ratio must not be called
+    // a plan regression until the query is re-run in isolation. With
+    // SPARK_GRAFT_BENCH_BASE pointing at a prior-sf artifact (mirror
+    // or detail JSON — anything with a "queries":{name:sec} map), any
+    // query whose min is ≥ SPARK_GRAFT_BENCH_RATIO (default 15)× its
+    // base value is re-run solo (min-of-Runs, back-to-back, AFTER the
+    // full pass so every neighbor's cache pollution has already
+    // happened — its own first run re-warms its own pages, which is
+    // the isolation that matters). Both numbers ship in the detail +
+    // mirror files as "outlier_audit"; stdout is left untouched (the
+    // contract line's length budget is sacred). Unset = off, so
+    // driver sf0.1 rounds are unaffected.
+    val baseQueries: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_BASE").map { p =>
+        try {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val start = txt.indexOf("\"queries\":{")
+          if (start < 0) Map.empty[String, Double]
+          else {
+            val body = txt.substring(start + "\"queries\":{".length,
+              txt.indexOf('}', start)) // flat map: values are numbers/null
+            "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] base artifact unreadable ($p): $e")
+            Map.empty[String, Double]
+        }
+      }.getOrElse(Map.empty)
+    val ratioThreshold =
+      sys.env.get("SPARK_GRAFT_BENCH_RATIO").map(_.toDouble).getOrElse(15.0)
+    val outlierAudit: Seq[(String, Double, Double, Option[Double])] =
+      results.flatMap {
+        case (name, Some(full), _) =>
+          baseQueries.get(name).filter(b => b > 0 && full / b >= ratioThreshold)
+            .map { b =>
+              System.err.println(f"[bench] outlier $name: $full%.2f s is " +
+                f"${full / b}%.1f× base $b%.2f s — re-running solo")
+              val fn = SparkEntry.queries(name)
+              val solo = (1 to Runs).flatMap { _ =>
+                val t0 = System.nanoTime()
+                try {
+                  fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                  Some((System.nanoTime() - t0) / 1e9)
+                } catch { case scala.util.control.NonFatal(_) => None }
+              }
+              (name, full, b, if (solo.isEmpty) None else Some(solo.min))
+            }
+        case _ => None
+      }
+    val outlierJson = outlierAudit
+      .map { case (n, full, b, solo) =>
+        val soloS = solo.fold("null")(_.toString)
+        s""""$n":{"full":$full,"base":$b,"ratio":${full / b},"solo":$soloS}"""
+      }
+      .mkString("{", ",", "}")
     // The driver scrapes the contract line from the LAST 2000 chars of
     // build output, and sbt appends its own "[success] Total time: …"
     // line (~75 chars) after ours — so the whole stdout line must stay
@@ -185,7 +248,7 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"total_median":$totalMedian,"first_run_total":$firstRunTotal,"errors":$errJson,"runs_per_query":$Runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"total_median":$totalMedian,"first_run_total":$firstRunTotal,"errors":$errJson,"runs_per_query":$Runs,"outlier_audit":$outlierJson,"sf":"$sfDir"}"""
     val detailPath = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
       case Some(p) =>
         // name the detail after the mirror file, not a fixed sibling
@@ -264,7 +327,7 @@ object Bench {
     // Mirror file (SPARK_GRAFT_BENCH_OUT): no scrape window, so it
     // carries every field at full precision and the FULL errors array.
     val mirrorLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"errors_count":${errors.size},"runs_per_query":$Runs,"estimator":"min_of_runs","detail":$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"errors_count":${errors.size},"runs_per_query":$Runs,"estimator":"min_of_runs","outlier_audit":$outlierJson,"detail":$detailJson,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       // guarded like the detail write above: an unwritable mirror path
       // must not stack-trace AFTER the contract line and push its head

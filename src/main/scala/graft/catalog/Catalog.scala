@@ -366,9 +366,19 @@ class Catalog(
                 // empty husk so the namespace only lists loaded tables,
                 // and RELEASE the name claim — the first SUCCESSFUL
                 // file wins, not the first attempted, so a valid later
-                // file normalizing to the same table still loads
-                try deleteTable(entry.id) catch { case NonFatal(_) => () }
-                seen.remove(tableName)
+                // file normalizing to the same table still loads. The
+                // claim is released ONLY when the husk actually came
+                // out: if deleteTable itself failed (swallowed below),
+                // the entry still exists, and a released claim would
+                // send the later same-name file into createTable's
+                // duplicate `require` — which, with the namespace
+                // present, matches no catch and would abort the whole
+                // load AFTER the old namespace was destroyed. Keeping
+                // the claim degrades that to a logged per-file skip.
+                val huskRemoved =
+                  try { deleteTable(entry.id); true }
+                  catch { case NonFatal(_) => false }
+                if (huskRemoved) seen.remove(tableName)
                 log.warn(s"demo load skipped '$path': ${e.getMessage}")
                 None
             }

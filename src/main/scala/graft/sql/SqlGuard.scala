@@ -128,7 +128,12 @@ object SqlGuard {
     * would otherwise make the appended LIMIT a second statement). A
     * match inside a trailing LINE COMMENT is not rewritten (that
     * would silently turn the override into a comment edit); those
-    * append on a fresh line instead, which ends the comment. */
+    * append on a fresh line instead, which ends a LINE comment. For
+    * an UNCLOSED block comment (inLineComment also reports true
+    * there) the newline does NOT end the comment, so the appended
+    * LIMIT stays commented out — harmless, because such input is
+    * malformed SQL that fails to parse with or without the append;
+    * this method only promises not to edit comment text. */
   def overrideLimit(sql: String, n: Int): String =
     TrailingLimit.findFirstMatchIn(sql) match {
       case Some(m) if !inLineComment(sql, m.start) =>

@@ -21,6 +21,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * per active user key and closes it by event-time timeout, which is
   * the `flatMapGroupsWithState` pattern that scales horizontally with
   * the key space.
+  *
+  * CHECKPOINT COMPATIBILITY: the retention work added a `lastEventUs`
+  * field to every kept-state class (FunnelState / AsofState /
+  * AdjState / EngState / ActState), which changes the state-store
+  * schema of the five twins. Restarting a streaming query from a
+  * checkpoint written by a pre-retention build fails Spark's state
+  * schema compatibility check even when `retentionMinutes` is left
+  * unset — a deployment upgrading across that boundary must start
+  * from a FRESH checkpoint (replaying the source) rather than resume.
+  * State schemas are not versioned here on purpose: a compatibility
+  * shim would have to carry the old encoder forever for a one-time
+  * migration the source replay already provides.
   */
 object EventStreams {
 
@@ -197,6 +209,19 @@ object EventStreams {
     retentionUs.foreach(r =>
       state.setTimeoutTimestamp((lastEventUs + r + 999L) / 1000L))
 
+  /** The single owner of the minutes → microseconds retention
+    * conversion, and the fail-fast validation gate all five
+    * retention-capable operators share: `Some(0)` or a negative value
+    * would arm a timeout timestamp at or below the current watermark,
+    * making Spark's setTimeoutTimestamp throw IllegalArgumentException
+    * MID-STREAM (first arming batch) instead of at construction —
+    * require here so the bad knob fails before a query starts. */
+  private def retentionMicros(retentionMinutes: Option[Long]): Option[Long] = {
+    require(retentionMinutes.forall(_ > 0),
+      s"retentionMinutes must be positive, got $retentionMinutes")
+    retentionMinutes.map(_ * 60000000L)
+  }
+
   /** Watermark/timeout preamble shared by the retention-capable
     * histogram twins: retention needs event-time timeouts, which need
     * a watermarked input. CAVEAT the callers document: the watermark
@@ -265,7 +290,7 @@ object EventStreams {
     import events.sparkSession.implicits._
     val horizonUs = horizonMinutes * 60000000L
     val quietMs = quietMinutes * 60000L
-    val retentionUs = retentionMinutes.map(_ * 60000000L)
+    val retentionUs = retentionMicros(retentionMinutes)
 
     def fold(st: FunnelState, evs: Seq[PendEv]): FunnelState =
       // (us, stage, id) ascending = the batch window's sort order:
@@ -391,7 +416,7 @@ object EventStreams {
       retentionMinutes: Option[Long] = None): Dataset[AsofMatch] = {
     import events.sparkSession.implicits._
     val quietMs = quietMinutes * 60000L
-    val retentionUs = retentionMinutes.map(_ * 60000000L)
+    val retentionUs = retentionMicros(retentionMinutes)
 
     def fold(userId: Long, st: AsofState, evs: Seq[PendAsof])
         : (AsofState, Vector[AsofMatch]) = {
@@ -483,7 +508,7 @@ object EventStreams {
       retentionMinutes: Option[Long] = None): Dataset[AdjPair] = {
     import events.sparkSession.implicits._
     val quietMs = quietMinutes * 60000L
-    val retentionUs = retentionMinutes.map(_ * 60000000L)
+    val retentionUs = retentionMicros(retentionMinutes)
 
     def fold(userId: Long, st: AdjState, evs: Seq[PendAdj])
         : (AdjState, Vector[AdjPair]) = {
@@ -750,7 +775,7 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     val horizonDays = 7L * graft.queries.EventPipeline.DecayZeroWeeks
-    val retentionUs = retentionMinutes.map(_ * 60000000L)
+    val retentionUs = retentionMicros(retentionMinutes)
     val (src, timeout) = retentionSource(events, retentionUs, watermark)
     src
       .groupByKey(_.userId)
@@ -884,7 +909,7 @@ object EventStreams {
       watermark: String = "10 minutes"): Dataset[UserActivity] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val retentionUs = retentionMinutes.map(_ * 60000000L)
+    val retentionUs = retentionMicros(retentionMinutes)
     val (src, timeout) = retentionSource(events, retentionUs, watermark)
     src
       .groupByKey(_.userId)

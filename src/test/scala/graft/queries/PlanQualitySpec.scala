@@ -499,6 +499,46 @@ class PlanQualitySpec extends SparkSpec {
       "every bucket-ordered window must be partitioned by chunk")
   }
 
+  test("whole-surface sweep: every unpartitioned window is on the bounded allowlist") {
+    // Guard-rail for the class of bug fixed in round 13 (td30's
+    // corpus-wide cumulative window collapsing every row onto one
+    // task): sweep EVERY declared query's plan and pin the inventory
+    // of Window operators with an empty partition spec, so any future
+    // unpartitioned window (a silent single-task scalability wall at
+    // 100 TB) fails here instead of surfacing as a "No Partition
+    // Defined" warning in a scale run's stderr. The ANALYZED plan is
+    // swept (pre cache-substitution, so windows inside subsequently-
+    // cached subtrees still appear; the optimizer only collapses
+    // windows, never introduces them) — which is also why this sweep
+    // sees more than the prior source-grep discipline did: td29's
+    // window comes from a SQL `OVER ()` inside expr(), invisible to a
+    // grep for the Window.orderBy API. Allowlist, with boundedness
+    // proofs (node counts are analyzed-level, BEFORE CollapseWindow
+    // merges same-spec siblings):
+    //  - td29_shard_assign, 1 node: share_ppm's `sum(n_docs) OVER ()`
+    //    runs on the post-aggregate shard report — exactly Shards=16
+    //    rows regardless of corpus size.
+    //  - td30_vocab_growth, 2 nodes: the two level-2 exclusive-offset
+    //    columns (off_tokens / off_shingles) over the SAME wOff spec,
+    //    collapsed to one physical pass over the chunk-partials frame
+    //    — buckets/4096 rows, ~10^4 at a 10^10-doc corpus.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        spark.catalog.clearCache()
+        val unpartitioned = fn(spark, dir).queryExecution.analyzed.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (unpartitioned.isEmpty) None else Some(name -> unpartitioned.size)
+    }
+    assert(
+      offenders == Seq("td29_shard_assign" -> 1, "td30_vocab_growth" -> 2),
+      s"unpartitioned-window inventory changed: $offenders — a window " +
+        "with no partition spec runs on ONE task regardless of cluster " +
+        "size; either partition it or document and allowlist it here " +
+        "with a proof its input is bounded")
+  }
+
   test("knn label purity (v18): broadcast query set, top-K prunes, vote aggs partial") {
     val p = plan(VectorPipeline.knnLabelPurity(spark, dir))
     assert(p.contains(

@@ -1000,4 +1000,26 @@ class EventStreamsSpec extends SparkSpec {
         s"a 65' gap must split even when the event arrives late: ${got.toSeq}")
     } finally q.stop()
   }
+
+  test("non-positive retentionMinutes fails fast at construction, not mid-stream") {
+    import spark.implicits._
+    // Some(0) (or negative) would otherwise arm setTimeoutTimestamp at
+    // or below the current watermark and throw inside the FIRST arming
+    // batch — all five retention-capable operators must instead reject
+    // the knob before any query starts.
+    val empty = spark.emptyDataset[Event]
+    val builds: Seq[(String, Option[Long] => Any)] = Seq(
+      "funnel" -> (r => funnel(empty, retentionMinutes = r)),
+      "asofJoin" -> (r => asofJoin(empty, retentionMinutes = r)),
+      "adjacentPairs" -> (r => adjacentPairs(empty, retentionMinutes = r)),
+      "decayedEngagement" -> (r => decayedEngagement(empty, retentionMinutes = r)),
+      "userActivity" -> (r => userActivity(empty, retentionMinutes = r)))
+    for ((name, build) <- builds; bad <- Seq(Some(0L), Some(-5L))) {
+      val e = intercept[IllegalArgumentException](build(bad))
+      assert(e.getMessage.contains("retentionMinutes"),
+        s"$name with $bad must name the knob: ${e.getMessage}")
+    }
+    // the valid shapes still construct
+    builds.foreach { case (_, build) => build(None); build(Some(1L)) }
+  }
 }
