@@ -121,7 +121,9 @@ object TextPipeline extends graft.Registry {
   // discriminative shingles). Testdata max df is 25 (measured at
   // sf0.1), so results are identical to the uncapped form there; a
   // production corpus would tune this toward a corpus fraction.
-  private[queries] val MaxShingleDf = 1000L
+  // private[graft]: graft.tools.PairGraphProbe measures the pair
+  // graph at the SAME cap the operators use
+  private[graft] val MaxShingleDf = 1000L
 
   /** Stopword list for quality scoring (generic English function
     * words; 'the'/'in'/'on' overlap the testdata vocabulary). */
@@ -484,6 +486,20 @@ object TextPipeline extends graft.Registry {
   // same three integers. Computed once per (session, corpus, dfCap)
   // and cached; before sharing, td28 regenerated the whole pass from
   // scratch and was the slowest sf10 query of the surface (30.6 s).
+  //
+  // MEASURED disk budget (round 14, graft.tools.PairGraphProbe; the
+  // shuffle-byte tally of the whole td06 pass, index phase excluded):
+  // candidate multiplicity Σ df·(df−1)/2 is exactly linear in docs on
+  // replicated corpora (sf0.1: 1,265,779 → sf10: ×100 to the digit —
+  // cross-replica shingle disjointness makes it arithmetic, not
+  // approximate), and the pass costs ~52 bytes of shuffle write per
+  // candidate ≈ 13.1 KB/doc at sf10 (500 k docs → 6.57 GB, 34 s,
+  // zero spill, pair cache 1.8 GB in memory). The sf100 projection is
+  // therefore ~66 GB of shuffle — a third of the earlier ~200 GB
+  // estimate, but still past this sandbox's ~50 GB free disk, which
+  // keeps td06/td09/td28 out of the one-session sf100 bench; on a
+  // cluster the budget is simply 13 KB/doc of local shuffle disk
+  // spread across executors.
   private val interCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Long), DataFrame]()
 
