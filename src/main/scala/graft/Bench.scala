@@ -102,6 +102,51 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Output-sibling resolver shared by the detail, and partial files:
+    // named after SPARK_GRAFT_BENCH_OUT's stem when set (so two scale
+    // runs into one directory never clobber each other), else a fixed
+    // CWD default for bare local runs.
+    def outSibling(suffix: String, default: String): java.nio.file.Path =
+      sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+        case Some(p) =>
+          val abs = java.nio.file.Paths.get(p).toAbsolutePath
+          val stem = abs.getFileName.toString.replaceAll("\\.json$", "")
+          val parent = abs.getParent
+          (if (parent == null) java.nio.file.Paths.get("")
+           else parent).resolve(s"$stem$suffix.json")
+        case None => java.nio.file.Paths.get(default).toAbsolutePath
+      }
+    // Scale-session hygiene, both lessons of the round-14 sf100 run
+    // (4.6 h of in-memory timings lost to a mid-run ENOSPC):
+    //  1. Results are CHECKPOINTED after every query — a one-line
+    //     partial file plus a stderr progress line — so an interrupted
+    //     multi-hour pass still yields every completed measurement.
+    //     The partial file is deleted on a clean finish; its presence
+    //     afterwards means the run died mid-pass.
+    //  2. SPARK_GRAFT_BENCH_GC=1 forces a full GC (plus a short drain
+    //     pause for the ContextCleaner thread) BETWEEN queries.
+    //     Shuffle files are only deleted once their ShuffleDependency
+    //     is garbage-collected, and a 64 GB heap can run for tens of
+    //     minutes without a full GC while a multi-query scale session
+    //     accumulates dead shuffle files — observed r14: 36 GB of
+    //     block-manager scratch → "No space left on device" mid-pass.
+    //     The pause sits outside every timed run; env-gated so driver
+    //     sf0.1 rounds measure exactly as before.
+    val gcBetween = sys.env.get("SPARK_GRAFT_BENCH_GC")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val partialPath = outSibling("_partial", "BENCH_PARTIAL.json")
+    val done =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Option[Double])]
+    def writePartial(): Unit = {
+      val qs = done
+        .map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+        .mkString("{", ",", "}")
+      val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val line = s"""{"partial":true,"done":${done.size},"of":${timed.size},""" +
+        s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(partialPath, line + "\n")
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     val results = timed.map { case (name, fn) =>
       var failed = false
       val times = (1 to Runs).flatMap { _ =>
@@ -120,7 +165,15 @@ object Bench {
           }
         }
       }
-      (name, if (failed) None else Some(times.min), times)
+      val minOpt = if (failed) None else Some(times.min)
+      done += ((name, minOpt))
+      System.err.println(
+        s"[bench] ${done.size}/${timed.size} $name " +
+          minOpt.fold("FAILED")(m => f"min=$m%.3f s") +
+          times.map(t => f"$t%.3f").mkString(" runs=[", ",", "]"))
+      writePartial()
+      if (gcBetween) { System.gc(); Thread.sleep(2000L) }
+      (name, minOpt, times)
     }
     // Automated in-family outlier audit (the round-12/13 discipline,
     // mechanized): in a full-surface scale pass, a query timed behind
@@ -134,7 +187,17 @@ object Bench {
     // base value is re-run solo (min-of-Runs, back-to-back, AFTER the
     // full pass so every neighbor's cache pollution has already
     // happened — its own first run re-warms its own pages, which is
-    // the isolation that matters). Both numbers ship in the detail +
+    // the isolation that matters). CAVEAT: the re-run happens in the
+    // SAME JVM with every frame the full pass persisted still resident
+    // (e.g. the ~1.8 GB shared pair cache), so executor memory is
+    // under residual pressure a fresh-JVM solo run (the manual
+    // r12/r13 exoneration discipline) would not have — a clearCache()
+    // here would instead evict shared caches other td queries already
+    // paid to build, changing THEIR numbers retroactively. Treat the
+    // mechanized solo figure as an UPPER bound on the true solo time:
+    // sufficient to exonerate (solo ≪ full ⇒ cache pressure), but a
+    // still-slow solo needs the fresh-JVM run before being called a
+    // plan regression. Both numbers ship in the detail +
     // mirror files as "outlier_audit"; stdout is left untouched (the
     // contract line's length budget is sacred). Unset = off, so
     // driver sf0.1 rounds are unaffected.
@@ -158,8 +221,23 @@ object Bench {
             Map.empty[String, Double]
         }
       }.getOrElse(Map.empty)
-    val ratioThreshold =
-      sys.env.get("SPARK_GRAFT_BENCH_RATIO").map(_.toDouble).getOrElse(15.0)
+    // A silently-empty base map would disable the audit with no trace
+    // in the run log — warn, mirroring the unreadable-file path above
+    // (covers a future artifact format whose queries map no longer
+    // parses with the flat-object slice).
+    if (sys.env.contains("SPARK_GRAFT_BENCH_BASE") && baseQueries.isEmpty)
+      System.err.println(
+        "[bench] base artifact yielded no queries — outlier audit is OFF")
+    // Guarded like SPARK_GRAFT_BENCH_BASE above: a malformed ratio must
+    // not throw AFTER the timed pass and lose the whole run's results.
+    val ratioThreshold = sys.env.get("SPARK_GRAFT_BENCH_RATIO")
+      .flatMap { s =>
+        val parsed = scala.util.Try(s.toDouble).toOption
+        if (parsed.isEmpty)
+          System.err.println(
+            s"[bench] SPARK_GRAFT_BENCH_RATIO unparseable ('$s'); using 15.0")
+        parsed
+      }.getOrElse(15.0)
     val outlierAudit: Seq[(String, Double, Double, Option[Double])] =
       results.flatMap {
         case (name, Some(full), _) =>
@@ -249,21 +327,13 @@ object Bench {
       .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"total_median":$totalMedian,"first_run_total":$firstRunTotal,"errors":$errJson,"runs_per_query":$Runs,"outlier_audit":$outlierJson,"sf":"$sfDir"}"""
-    val detailPath = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
-      case Some(p) =>
-        // name the detail after the mirror file, not a fixed sibling
-        // BENCH_DETAIL.json: two BENCH_OUT runs into one directory
-        // (e.g. the per-round sf10 + sf100 scale passes) would
-        // otherwise clobber each other's per-run arrays, leaving a
-        // committed scale file whose own "detail" pointer shows a
-        // DIFFERENT run's data (the round-13 review finding)
-        val abs = java.nio.file.Paths.get(p).toAbsolutePath
-        val stem = abs.getFileName.toString.replaceAll("\\.json$", "")
-        val parent = abs.getParent
-        (if (parent == null) java.nio.file.Paths.get("")
-         else parent).resolve(s"${stem}_detail.json")
-      case None => java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
-    }
+    // named after the mirror file, not a fixed sibling
+    // BENCH_DETAIL.json: two BENCH_OUT runs into one directory
+    // (e.g. the per-round sf10 + sf100 scale passes) would
+    // otherwise clobber each other's per-run arrays, leaving a
+    // committed scale file whose own "detail" pointer shows a
+    // DIFFERENT run's data (the round-13 review finding)
+    val detailPath = outSibling("_detail", "BENCH_DETAIL.json")
     val detailWritten =
       try { java.nio.file.Files.writeString(detailPath, detail + "\n"); true }
       catch {
@@ -340,6 +410,11 @@ object Bench {
           System.err.println(s"mirror write failed: $p: ${e.getMessage}")
       }
     }
+    // A clean finish removes the per-query checkpoint: its presence
+    // after the JVM exits is the signal that a pass died mid-run (and
+    // holds everything measured up to that point).
+    try java.nio.file.Files.deleteIfExists(partialPath)
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

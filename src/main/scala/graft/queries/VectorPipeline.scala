@@ -578,20 +578,34 @@ object VectorPipeline extends graft.Registry {
     * Scale: the corpus-sized work is entirely inside the three
     * underlying operators; everything here joins k-row-per-query
     * result sets keyed on (query_id, neighbor_id), so the eval itself
-    * is bounded by the query set, not the corpus. Integer hit counts
+    * is bounded by the query set, not the corpus. The exact side is
+    * consumed EXACTLY ONCE: an earlier shape referenced the brute
+    * frame three times (per-index semi-join + the n_true base), which
+    * inlined three corpus-scanning brute subtrees into one plan — 3×
+    * the baseline's cost at scale (caught by the r15 plan pin). Now
+    * the two approx lists union with 0/1 source flags, one left join
+    * marks each true neighbor, and a two-level bounded aggregation
+    * (per-pair flag max, then per-query counts) yields both recalls
+    * from a single pass. Integer hit counts
     * and `div` ppm keep the report bit-identical across engines. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = annBrute(s, dir).select("query_id", "neighbor_id")
-    def hits(approx: DataFrame, name: String) =
-      exact.join(approx.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as(name))
-    exact.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-      .join(hits(annLsh(s, dir), "lsh_hits"), Seq("query_id"), "left")
-      .join(hits(annIvf(s, dir), "ivf_hits"), Seq("query_id"), "left")
-      .select(col("query_id"), col("n_true"),
-        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
-        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+    val approx = annLsh(s, dir)
+      .select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("is_lsh"), lit(0L).as("is_ivf"))
+      .unionByName(annIvf(s, dir)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(0L).as("is_lsh"), lit(1L).as("is_ivf")))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      // per-pair flags: a true neighbor returned by BOTH indexes joins
+      // twice; max collapses it to one row per exact pair
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(coalesce(col("is_lsh"), lit(0L))).as("lsh_hit"),
+        max(coalesce(col("is_ivf"), lit(0L))).as("ivf_hit"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(col("lsh_hit")).cast("long").as("lsh_hits"),
+        sum(col("ivf_hit")).cast("long").as("ivf_hits"))
       .withColumn("lsh_recall_ppm", expr("lsh_hits * 1000000 div n_true"))
       .withColumn("ivf_recall_ppm", expr("ivf_hits * 1000000 div n_true"))
       .orderBy("query_id")

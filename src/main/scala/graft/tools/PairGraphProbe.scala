@@ -105,10 +105,14 @@ object PairGraphProbe {
       .select("doc_id", "shingle")
     val dfs = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= TextPipeline.MaxShingleDf)
+    // coalesce: sum over ZERO rows is SQL null — on a degenerate
+    // corpus whose df-capped index is empty, a bare getLong would NPE
+    // and crash the probe instead of reporting zeros.
     val stats = dfs.agg(
       count(lit(1)).as("n_shingles"),
-      sum(col("df")).as("index_rows"),
-      sum(expr("df * (df - 1) div 2")).as("cand_multiplicity")).first()
+      coalesce(sum(col("df")), lit(0L)).as("index_rows"),
+      coalesce(sum(expr("df * (df - 1) div 2")), lit(0L))
+        .as("cand_multiplicity")).first()
     val nDocs = graft.sources.Tables.table(spark, sfDir, "documents").count()
     val nPairs = TextPipeline
       .pairIntersections(spark, sfDir, TextPipeline.MaxShingleDf).count()

@@ -539,6 +539,35 @@ class PlanQualitySpec extends SparkSpec {
         "with a proof its input is bounded")
   }
 
+  test("ann recall (v08): eval joins bounded by k×queries, zero scans above the ANN children") {
+    // v08's safety previously rested on its children's pins (v01/v02/
+    // v04) plus prose; this pins the EVAL layer itself. All corpus-
+    // sized work must stay inside the three ANN children: the recall
+    // arithmetic above them only joins k-rows-per-query result sets,
+    // so it must (a) add zero parquet scans of its own — every scan in
+    // v08's plan is accounted for by the children's own plans — and
+    // (b) never fall back to a cartesian product. The hit counting is
+    // one LeftOuter join of the exact pairs against the union of both
+    // approx lists on (query_id, neighbor_id) — bounded keys, never
+    // corpus rows. The scan-count pin is what caught the original
+    // shape referencing the brute frame three times (3 corpus scans
+    // for one baseline).
+    def scans(p: String): Int = "Scan parquet".r.findAllIn(p).size
+    val children = Seq(
+      VectorPipeline.annBrute(spark, dir),
+      VectorPipeline.annLsh(spark, dir),
+      VectorPipeline.annIvf(spark, dir)).map(df => scans(plan(df))).sum
+    val p = plan(VectorPipeline.annRecall(spark, dir))
+    assert(scans(p) === children,
+      "the recall eval must add zero corpus scans above its ANN children")
+    assert(p.contains("LeftOuter"),
+      "hit marking must be one outer join on the bounded result sets")
+    assert(!p.contains("CartesianProduct"),
+      "no unkeyed join anywhere in the eval")
+    assert(p.contains("partial_count"),
+      "per-query hit counts must compact map-side")
+  }
+
   test("knn label purity (v18): broadcast query set, top-K prunes, vote aggs partial") {
     val p = plan(VectorPipeline.knnLabelPurity(spark, dir))
     assert(p.contains(
