@@ -867,16 +867,18 @@ object VectorPipeline extends graft.Registry {
     * pair work is linear in n (vs. v03's LSH banding, which prunes by
     * random hyperplane collision rather than semantic locality).
     *
-    * Scale shape: assignment is one broadcast-seeds pass (n·k ordered
-    * folds in codegen); the pair search is a self-equijoin on seed_id
+    * Scale shape: assignment is ONE corpus scan doing a row-local
+    * argmax fold over the broadcast seed array (n·k ordered folds in
+    * codegen, but never n·k ROWS — see the shape note in
+    * [[semDedupOn]]); the pair search is a self-equijoin on seed_id
     * — shuffle-partitioned by cell, never a nested-loop over the
     * corpus; the report reuses the cell partitioning. At 100 TB the
     * cluster count grows with the corpus (the formula), and the
     * centroid set would come from a real k-means ([[kmeansStep]])
     * with hierarchical assignment once k outgrows a broadcast —
-    * same plan shape, different seed source. Determinism: every
-    * cosine is the shared ordered fold, ties break on seed_id /
-    * vec_id, outputs are pure counts. */
+    * same row-local shape per level, different seed source.
+    * Determinism: every cosine is the shared ordered fold, ties
+    * break on seed_id / vec_id, outputs are pure counts. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     val e = cachedByPlan(withNorm(s, dir))
     semDedupOn(e, math.max(SemMinClusters, e.count() / SemCellTarget))
@@ -889,17 +891,40 @@ object VectorPipeline extends graft.Registry {
     val seeds = e.where(col("vec_id") < k)
       .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
         col("nrm").as("sn"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(desc("scos"), col("seed_id"))
+    // Assignment is a ROW-LOCAL argmax over the seed set carried as
+    // one broadcast array row — the v06/v14/v19 codebook shape. The
+    // r15 sf100 run proved the previous crossJoin + row_number form
+    // disk-infeasible once k grows with the corpus: WindowGroupLimit
+    // caps what SURVIVES the window's sort, not what ENTERS it, so
+    // n·k rows (7.8×10⁹ at 2 M vectors, k = 3 906) each carrying a
+    // 512-byte embedding hit the per-task local sort → >65 GB of
+    // spill → ENOSPC, twice, on two differently-loaded disks. Here no
+    // n·k row ever exists: each corpus row folds over the seed array
+    // in place (same n·k dot-product COUNT, zero materialization).
+    // array_min over (−scos, seed_id) structs = max cosine with the
+    // smallest-seed tie-break, identical to the window's
+    // (scos DESC, seed_id ASC); element order in the collected array
+    // is irrelevant to the fold, so collect_list's nondeterministic
+    // order is safe. Seed-set size bound: one row of k·(8+520) B —
+    // ~2 MB at sf100; past a broadcastable k the production recipe is
+    // hierarchical assignment (see Scaladoc), same row-local shape
+    // per level. Zero-norm corner: a 0-vector seed yields scos = 0/0
+    // = NaN, which a DESC window ranks FIRST but this fold ranks
+    // LAST; the declared corpora contain no zero vectors (v05 audits
+    // n_zero) and a production pipeline drops them before dedup.
+    val codebook = seeds
+      .agg(collect_list(struct(col("seed_id"), col("se"), col("sn")))
+        .as("cents"))
     // cache: the assignment (the n·k fold pass) feeds BOTH pair-join
     // sides and the cell census — uncached it would run three times
     // (at scale this is the materialized IVF assignment table)
-    val assigned = cachedByPlan(e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"),
-        (expr(dotSql("embedding", "se")) / (col("nrm") * col("sn"))).as("scos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id")))
+    val assigned = cachedByPlan(e.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        expr("array_min(transform(cents, c -> named_struct(" +
+          s"'ns', -(${dotSql("embedding", "c.se")}) / (nrm * c.sn), " +
+          "'seed_id', c.seed_id)))").as("best"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("best.seed_id").as("seed_id")))
     val a = assigned.select(col("seed_id"), col("vec_id").as("a_id"),
       col("embedding").as("ae"), col("nrm").as("an"))
     val b = assigned.select(col("seed_id"), col("vec_id").as("b_id"),

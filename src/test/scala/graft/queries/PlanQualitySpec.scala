@@ -280,6 +280,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(joins.isEmpty,
       s"within-cell pair join must stay a seed_id equijoin, found: $joins")
     assert(p.contains("vec_dot"), "cosines must use the codegen'd kernel")
+    // The r15 sf100 lesson: v10's cluster count GROWS with the corpus
+    // (k = n/512), so assignment must be the row-local codebook fold —
+    // a Window here means n·k rows with embedding payloads entering a
+    // per-task sort (WindowGroupLimit bounds the sort's OUTPUT, not
+    // its input), which was measured to >65 GB of spill at 2 M
+    // vectors. The pin walks the executed tree INCLUDING the cached
+    // assignment's build plan.
+    def allPlans(sp: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      Seq(sp) ++ sp.children.flatMap(allPlans) ++ (sp match {
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          allPlans(im.relation.cachedPlan)
+        case _ => Nil
+      })
+    val windows = allPlans(qe.executedPlan).filter(_.nodeName.contains("Window"))
+    assert(windows.isEmpty,
+      s"assignment must be the row-local argmax fold, not a window rank: $windows")
   }
 
   test("heavy hitters second pass (td19/td20): broadcast semi-join, not an InSet literal") {
