@@ -238,21 +238,35 @@ object Bench {
             s"[bench] SPARK_GRAFT_BENCH_RATIO unparseable ('$s'); using 15.0")
         parsed
       }.getOrElse(15.0)
+    // SPARK_GRAFT_BENCH_SOLO=0 flags outliers WITHOUT re-running them
+    // (solo = null in the audit map). The r15 lesson: a mechanized
+    // solo triplet of a ~25-min query costs more session clock than
+    // the answer is worth when the ratio is already explained (v03's
+    // quadratic) or when a dedicated fresh-JVM run (the better
+    // isolation anyway, see the caveat above) is planned — r14 died
+    // grinding exactly these re-runs. Default stays on.
+    val soloRerun = !sys.env.get("SPARK_GRAFT_BENCH_SOLO").contains("0")
     val outlierAudit: Seq[(String, Double, Double, Option[Double])] =
       results.flatMap {
         case (name, Some(full), _) =>
           baseQueries.get(name).filter(b => b > 0 && full / b >= ratioThreshold)
             .map { b =>
               System.err.println(f"[bench] outlier $name: $full%.2f s is " +
-                f"${full / b}%.1f× base $b%.2f s — re-running solo")
-              val fn = SparkEntry.queries(name)
-              val solo = (1 to Runs).flatMap { _ =>
-                val t0 = System.nanoTime()
-                try {
-                  fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-                  Some((System.nanoTime() - t0) / 1e9)
-                } catch { case scala.util.control.NonFatal(_) => None }
-              }
+                f"${full / b}%.1f× base $b%.2f s" +
+                (if (soloRerun) " — re-running solo"
+                 else " — solo re-run disabled (SPARK_GRAFT_BENCH_SOLO=0)"))
+              val solo =
+                if (!soloRerun) Seq.empty[Double]
+                else {
+                  val fn = SparkEntry.queries(name)
+                  (1 to Runs).flatMap { _ =>
+                    val t0 = System.nanoTime()
+                    try {
+                      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                      Some((System.nanoTime() - t0) / 1e9)
+                    } catch { case scala.util.control.NonFatal(_) => None }
+                  }
+                }
               (name, full, b, if (solo.isEmpty) None else Some(solo.min))
             }
         case _ => None
