@@ -105,6 +105,33 @@ object InputTuning {
   def advisoryPartitionBytes(inputBytes: Long, cpus: Int): Long =
     math.min(64L << 20, math.max(1L << 20, inputBytes / (4L * cpus)))
 
+  /** AQE's shuffle START partition count for the large regime. AQE's
+    * partition coalescing only ever MERGES post-shuffle partitions
+    * down toward the advisory size; it never splits an oversized
+    * partition unless the skew handler fires, and the skew handler
+    * only targets imbalance — a shuffle whose partitions are all
+    * uniformly huge is left alone. So when shuffles start at the
+    * session's parallelism floor (= cores), a large input packs
+    * `rows / cores` rows of join/agg state into every task no matter
+    * how big the input grows: measured at sf100 (600 M lineitem rows,
+    * 32 starting partitions), the multiway-join build state hit ~19 M
+    * rows per task and spilled — 62.5 s solo, 23×/decade, while the
+    * plan itself (pushed filters, broadcast dims) was already right.
+    * The fix is the same measured-input philosophy as
+    * [[advisoryPartitionBytes]]: start shuffles at `inputBytes /
+    * 64 MB` fine-grained partitions and let AQE coalesce DOWN to the
+    * advisory target, instead of starting at a fixed count it can
+    * never raise. Floored at `cpus` (below one healthy partition per
+    * core the start point is the parallelism floor again) and capped
+    * at 16384 — past that, map-status bookkeeping (M×R entries per
+    * shuffle) costs more on one driver than finer starts can save;
+    * a real 100 TB cluster deployment raises the cap with its
+    * executor count, and AQE still coalesces whatever excess the
+    * start point carries. */
+  def initialShufflePartitions(inputBytes: Long, cpus: Int): Int =
+    math.max(cpus.toLong,
+      math.min(inputBytes / (64L << 20), 16384L)).toInt
+
   /** The knob values for each regime, as data (unit-tested directly —
     * asserting them through a live session would mutate the suite's
     * shared SparkContext). */
@@ -125,5 +152,11 @@ object InputTuning {
       // on this input (see advisoryPartitionBytes).
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
-        advisoryPartitionBytes(inputBytes, cpus).toString)
+        advisoryPartitionBytes(inputBytes, cpus).toString,
+      // Start every shuffle fine-grained and let AQE merge down —
+      // coalescing can never SPLIT a uniformly-oversized partition,
+      // so a fixed start count turns into per-task state that grows
+      // with the input (see initialShufflePartitions).
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
+        initialShufflePartitions(inputBytes, cpus).toString)
 }

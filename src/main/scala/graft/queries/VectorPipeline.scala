@@ -284,7 +284,7 @@ object VectorPipeline extends graft.Registry {
     planCache.invalidate(s)
   }
 
-  private def ndSignatures(e: DataFrame): DataFrame = {
+  private[queries] def ndSignatures(e: DataFrame): DataFrame = {
     val sigCols = (0 until NdBands).map(j => ndBandKey(j).as(s"bk$j"))
     sigCache(e.select(
       col("vec_id") +: col("embedding") +: col("nrm") +: sigCols: _*))
@@ -350,9 +350,41 @@ object VectorPipeline extends graft.Registry {
     * pruning are proven on planted corpora in PipelineSpec, and the
     * ScaleGen-generated sf10 corpus produces a real non-empty pair
     * set (70 190 pairs, oracle-verified) — cross-replica signed
-    * rotations of structured vectors do correlate above 0.8. */
-  def nearDupLsh(s: SparkSession, dir: String): DataFrame =
-    nearDupLshOn(withNorm(s, dir))
+    * rotations of structured vectors do correlate above 0.8.
+    *
+    * SCALE GUARD: with [[NdBands]] bands over a FIXED 256-bucket key
+    * domain, the in-bucket candidate count grows as ~8·n²/256 —
+    * measured honest-quadratic at sf100 (1 507.8 s at 2 M vectors,
+    * 93×/decade, constant ~0.85 µs·core per pair). That curve is the
+    * baseline that motivates [[semDedup]], but nothing about the plan
+    * saves a caller who points it at a 100 TB corpus — so the
+    * declared query refuses loudly (the td19 certify-or-refuse
+    * pattern) above [[NdMaxVectors]] vectors, overridable per session
+    * via `graft.neardup.maxVectors`. The default admits every
+    * measured decade (2 M vectors ≈ 25 min of bucket work) and
+    * refuses the next one (20 M ≈ 1.7 days), pointing at the
+    * linear-work alternative. The count is one column-pruned scan;
+    * its cost is noise against the pair work it gates. */
+  def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val max = s.conf.getOption(NdMaxVectorsKey).map(_.toLong)
+      .getOrElse(NdMaxVectors)
+    val n = e.count()
+    require(n <= max,
+      s"v03_embedding_neardup refused: $n vectors exceed $NdMaxVectorsKey" +
+        s"=$max and the fixed-bucket LSH banding is quadratic in corpus " +
+        "size (~8n^2/256 candidate pairs) — use v10_semdedup " +
+        "(cluster-scoped near-dup, linear pair work) at this scale, or " +
+        "raise the cap for a deliberate small-corpus audit")
+    nearDupLshOn(e)
+  }
+
+  /** Session conf key overriding [[NdMaxVectors]]. */
+  private[queries] val NdMaxVectorsKey = "graft.neardup.maxVectors"
+
+  /** Default corpus-size cap for the declared v03 query (see the
+    * guard note on [[nearDupLsh]]). */
+  private[queries] val NdMaxVectors = 4L * 1000 * 1000
 
   /** Brute-force near-dup baseline over an arbitrary norm'd frame:
     * exact fold arithmetic, O(n²) BY DESIGN — the exactness yardstick
@@ -880,14 +912,25 @@ object VectorPipeline extends graft.Registry {
     * Determinism: every cosine is the shared ordered fold, ties
     * break on seed_id / vec_id, outputs are pure counts. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = cachedByPlan(withNorm(s, dir))
+    // the zero-norm filter is semDedupOn's; applied here too so the
+    // cluster-count formula counts exactly the rows the audit sees
+    val e = cachedByPlan(withNorm(s, dir).where(col("nrm") > 0))
     semDedupOn(e, math.max(SemMinClusters, e.count() / SemCellTarget))
   }
 
   /** [[semDedup]] over an arbitrary norm'd frame with an explicit
     * cluster count — the declared query binds the stored corpus and
     * the scaling formula; tests bind planted corpora. */
-  private[queries] def semDedupOn(e: DataFrame, k: Long): DataFrame = {
+  private[queries] def semDedupOn(e0: DataFrame, k: Long): DataFrame = {
+    // Zero-norm rows are EXCLUDED, not just assumed absent: a 0-vector
+    // makes every cosine 0/0 = NaN, and NaN ranks LAST in the argmax
+    // fold below but FIRST in a SQL window's DESC — so an engine pair
+    // computing the same audit would silently disagree on any corpus
+    // that violated the no-zero-vector invariant (v05 audits it; the
+    // oracle carries the same WHERE). A vector with no direction has
+    // no cosine similarity to anything — dropping it is the only
+    // self-consistent semantics.
+    val e = e0.where(col("nrm") > 0)
     val seeds = e.where(col("vec_id") < k)
       .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
         col("nrm").as("sn"))
@@ -908,10 +951,8 @@ object VectorPipeline extends graft.Registry {
     // order is safe. Seed-set size bound: one row of k·(8+520) B —
     // ~2 MB at sf100; past a broadcastable k the production recipe is
     // hierarchical assignment (see Scaladoc), same row-local shape
-    // per level. Zero-norm corner: a 0-vector seed yields scos = 0/0
-    // = NaN, which a DESC window ranks FIRST but this fold ranks
-    // LAST; the declared corpora contain no zero vectors (v05 audits
-    // n_zero) and a production pipeline drops them before dedup.
+    // per level. Zero-norm corner: excluded above — see the filter
+    // note at the top of this method.
     val codebook = seeds
       .agg(collect_list(struct(col("seed_id"), col("se"), col("sn")))
         .as("cents"))
@@ -1217,23 +1258,66 @@ object VectorPipeline extends graft.Registry {
       .orderBy("lang", "label")
   }
 
-  /** v17: ANN index health — the degree histogram of the v03 LSH
-    * candidate graph (band collisions BEFORE the cosine filter),
-    * including the isolated-vector row at degree 0. The index-quality
-    * audit run before trusting an ANN layout: a fat tail (hub vectors
-    * colliding with everything) means the hash family is collapsing
-    * on the corpus's density and bucket work will skew; a large
-    * isolated mass means recall starves. Candidate degree — not
-    * near-dup degree — is the right signal because it measures the
-    * WORK the index does, independent of how many true pairs exist.
+  /** v17: ANN index health from BUCKET OCCUPANCY — the histogram of
+    * each vector's candidate-degree UPPER BOUND, Σ_band (occupancy of
+    * the vector's bucket − 1). The index-quality audit run before
+    * trusting an ANN layout: a fat tail (hub vectors co-occupying
+    * crowded buckets) means the hash family is collapsing on the
+    * corpus's density and bucket work will skew; a large mass at
+    * degree 0 (every band bucket a singleton) means recall starves.
+    * Occupancy — not enumerated pairs — is the right unit because the
+    * bound is what sizes the index's WORK, and it is computable in
+    * LINEAR time: the r15 sf100 run proved the previous exact-degree
+    * variant (kept as [[indexHealthExact]], test-only) unbounded —
+    * it enumerated v03's full candidate multiset, which grows as
+    * ~8·n²/256 pairs (analytically ≥ v03's measured 1 508 s at 2 M
+    * vectors) and straggled on hot buckets (4/32 threads). The bound
+    * over-counts a pair once per EXTRA shared band, so it is exact
+    * whenever no pair shares two bands (true on the driver corpora at
+    * sf ≤ 0.01, asserted in PipelineSpec) and never under-reports
+    * work — the safe direction for a health audit.
     *
-    * Scale shape: v03's banded self-equijoin generates candidates
-    * (never all-pairs), the degree count is a (vec_id) groupBy of the
-    * pair list, and the histogram compacts to the bounded degree
-    * domain map-side; the two 1-row totals broadcast for the
-    * degree-0 row. */
-  def indexHealth(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, dir)
+    * Scale shape (the v10 codebook-fold discipline): band keys have a
+    * FIXED domain ([[NdBands]] × 256 sign patterns), so the occupancy
+    * table is ≤ 2 048 rows no matter the corpus size. One melt pass
+    * (n·8 narrow rows) partial-counts into it map-side; the table
+    * folds into a single broadcast map row; and each vector computes
+    * its bound ROW-LOCALLY from its own 8 keys — no self-join, no
+    * pair materialization, nothing quadratic anywhere. Hot buckets
+    * cost nothing extra: a bucket's contribution is one map entry,
+    * not occupancy² pair rows, so the r15 straggle is gone
+    * structurally rather than salted around. */
+  def indexHealth(s: SparkSession, dir: String): DataFrame =
+    indexHealthOn(withNorm(s, dir))
+
+  /** [[indexHealth]] over an arbitrary norm'd frame (tests bind
+    * planted corpora). */
+  private[queries] def indexHealthOn(e: DataFrame): DataFrame = {
+    val sig = ndSignatures(e)
+    // melt to (band, bkey) in ONE pass (posexplode), not an 8-branch
+    // union that would rescan the corpus once per band
+    val bands = sig.select(posexplode(
+      array((0 until NdBands).map(j => col(s"bk$j")): _*)).as(Seq("band", "bkey")))
+    val occ = bands.groupBy("band", "bkey").agg(count(lit(1)).as("c"))
+    val occMap = occ.agg(map_from_entries(collect_list(struct(
+      (col("band") * lit(256) + col("bkey")).as("k"),
+      col("c").as("v")))).as("m"))
+    val deg = sig.crossJoin(broadcast(occMap))
+      .select(col("vec_id"),
+        (0 until NdBands)
+          .map(j => element_at(col("m"), lit(j * 256) + col(s"bk$j")) - lit(1L))
+          .reduce(_ + _).as("degree_ub"))
+    deg.groupBy("degree_ub").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("degree_ub")
+  }
+
+  /** The r1–r15 exact-degree health audit (degree histogram of the
+    * enumerated v03 candidate graph, first-shared-band dedup'd) —
+    * RETIRED from the declared surface because enumerating the
+    * candidate multiset is quadratic by construction (see
+    * [[indexHealth]]); kept as the tiny-scale exactness yardstick the
+    * occupancy bound is tested against. */
+  private[queries] def indexHealthExact(e: DataFrame): DataFrame = {
     val cand = ndCandidates(e)
     val deg = cachedByPlan(cand.select(col("vec_a").as("vec_id"))
       .unionAll(cand.select(col("vec_b").as("vec_id")))
@@ -1269,39 +1353,31 @@ object VectorPipeline extends graft.Registry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Occupancy-bound semantics (round 16): degree_ub = Σ_band
+    // (bucket occupancy − 1), linear-time — the exact-degree variant
+    // is retired from the declared surface (see indexHealth Scaladoc).
     "v17_index_health" -> {
       val bkCols = (0 until NdBands)
         .map(j => s"${ndBandKeyDuck(j)} AS bk$j").mkString(",\n         ")
       val bandSelects = (0 until NdBands)
         .map(j => s"SELECT vec_id, $j AS band, bk$j AS bkey FROM sig")
         .mkString("\n  UNION ALL\n  ")
-      s"""WITH $normDuckCte,
-         |sig AS (
-         |  SELECT vec_id, embedding, nrm,
+      s"""WITH sig AS (
+         |  SELECT vec_id,
          |         $bkCols
-         |  FROM e),
+         |  FROM embeddings),
          |bands AS (
          |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey
-         |       AND a.vec_id < b.vec_id),
+         |occ AS (
+         |  SELECT band, bkey, COUNT(*) AS c FROM bands
+         |  GROUP BY band, bkey),
          |deg AS (
-         |  SELECT vec_id, COUNT(*) AS degree FROM (
-         |    SELECT vec_a AS vec_id FROM cand
-         |    UNION ALL SELECT vec_b AS vec_id FROM cand)
-         |  GROUP BY vec_id),
-         |hist AS (SELECT degree, COUNT(*) AS n_vecs FROM deg
-         |         GROUP BY degree),
-         |tot AS (SELECT COUNT(*) AS n_total FROM e),
-         |nz AS (SELECT COUNT(*) AS n_nonzero FROM deg)
-         |SELECT degree, n_vecs FROM hist
-         |UNION ALL
-         |SELECT CAST(0 AS BIGINT) AS degree,
-         |       CAST(n_total - n_nonzero AS BIGINT) AS n_vecs
-         |FROM tot CROSS JOIN nz
-         |ORDER BY degree""".stripMargin
+         |  SELECT b.vec_id, CAST(SUM(o.c - 1) AS BIGINT) AS degree_ub
+         |  FROM bands b JOIN occ o
+         |    ON b.band = o.band AND b.bkey = o.bkey
+         |  GROUP BY b.vec_id)
+         |SELECT degree_ub, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |FROM deg GROUP BY degree_ub ORDER BY degree_ub""".stripMargin
     },
     "v14_prototype_prune" ->
       s"""WITH qe AS (
@@ -1410,18 +1486,22 @@ object VectorPipeline extends graft.Registry {
          |ORDER BY query_id""".stripMargin,
     "v10_semdedup" ->
       s"""WITH $normDuckCte,
+         |ez AS (
+         |  -- zero-norm rows carry no cosine; excluded on BOTH engines
+         |  -- (see the semDedupOn filter note)
+         |  SELECT * FROM e WHERE nrm > 0),
          |seeds AS (
          |  SELECT vec_id AS seed_id, embedding AS se, nrm AS sn
-         |  FROM e
+         |  FROM ez
          |  WHERE vec_id < (SELECT GREATEST($SemMinClusters,
          |                                  COUNT(*) // $SemCellTarget)
-         |                  FROM e)),
+         |                  FROM ez)),
          |scored AS (
-         |  SELECT e.vec_id, e.embedding, e.nrm, s.seed_id,
-         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${dotDuck("e.embedding", "s.se")} / (e.nrm * s.sn)
+         |  SELECT ez.vec_id, ez.embedding, ez.nrm, s.seed_id,
+         |         ROW_NUMBER() OVER (PARTITION BY ez.vec_id
+         |             ORDER BY ${dotDuck("ez.embedding", "s.se")} / (ez.nrm * s.sn)
          |                      DESC, s.seed_id) AS arn
-         |  FROM e CROSS JOIN seeds s),
+         |  FROM ez CROSS JOIN seeds s),
          |assigned AS (
          |  SELECT vec_id, embedding, nrm, seed_id FROM scored WHERE arn = 1),
          |pairs AS (

@@ -52,4 +52,23 @@ class InputTuningSpec extends AnyFunSuite {
     // and it must NOT carry any of the small-regime degradations
     assert(!l.contains("spark.shuffle.compress"))
   }
+
+  test("large regime: shuffles START at inputBytes/64MB, not the core count") {
+    // AQE coalescing merges down but never splits a uniformly-huge
+    // partition, so the start count must scale with the input: at
+    // sf100 (~16 GB) a 32-partition start packed ~19 M join-state
+    // rows per task and spilled (q05, 62.5 s solo). 16 GB / 64 MB
+    // = 256 starting partitions; AQE coalesces down to the advisory
+    // target from there.
+    val l = InputTuning.settings(small = false, cpus = 32,
+      inputBytes = 16L << 30).toMap
+    assert(l("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      === "256")
+    // floor: a just-past-threshold input starts at the parallelism
+    // floor (cpus), never below
+    assert(InputTuning.initialShufflePartitions(1L << 30, 32) === 32)
+    // cap: a 100 TB input starts at 16384, not 1.6 M — map-status
+    // bookkeeping is M×R per shuffle
+    assert(InputTuning.initialShufflePartitions(100L << 40, 32) === 16384)
+  }
 }

@@ -800,6 +800,38 @@ class PipelineSpec extends SparkSpec {
       s"cell-scoped pairs ${got.values.map(_._2).sum} vs $truePairs true")
   }
 
+  test("v10 excludes zero-norm vectors instead of NaN-ranking them") {
+    // a 0-vector's cosine is 0/0 = NaN, which Spark's argmax fold
+    // ranks LAST but a SQL window's DESC ranks FIRST — so the audit
+    // DROPS directionless vectors on both engines rather than letting
+    // them silently diverge (see the semDedupOn filter note)
+    import spark.implicits._
+    val withZero = planted.unionAll(
+      Seq((9999L, Array.fill(64)(0.0f).toSeq)).toDF("vec_id", "embedding"))
+    val e = VectorPipeline.normed(spark, withZero)
+    val base = VectorPipeline.semDedupOn(VectorPipeline.normed(spark, planted), 8L)
+      .collect().toSeq
+    val got = VectorPipeline.semDedupOn(e, 8L).collect().toSeq
+    assert(got === base, "the zero vector must not reach any cell")
+  }
+
+  test("v03 declared query refuses above the corpus-size cap, pointing at v10") {
+    // the fixed-bucket banding is quadratic in corpus size; the
+    // declared query must fail loudly (td19 certify-or-refuse
+    // pattern) rather than start a 100x run that cannot finish
+    spark.conf.set("graft.neardup.maxVectors", "3")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        VectorPipeline.nearDupLsh(spark, dir)
+      }
+      assert(ex.getMessage.contains("v10_semdedup"),
+        "the refusal must point at the linear-work alternative")
+      assert(ex.getMessage.contains("graft.neardup.maxVectors"))
+    } finally spark.conf.unset("graft.neardup.maxVectors")
+    // under the default cap the declared query still builds and runs
+    assert(VectorPipeline.nearDupLsh(spark, dir).isEmpty)
+  }
+
   test("jaccard df-cap drops hot shingles from the candidate join") {
     // cap 0 drops every shingle → no candidates at all
     assert(TextPipeline.dedupJaccard(spark, dir, dfCap = 0L).isEmpty)
@@ -1124,24 +1156,53 @@ class PipelineSpec extends SparkSpec {
     assert(jac.isEmpty, "jaccard at 0.25 must stay below the 0.8 bar")
   }
 
-  test("v17 index health equals an in-memory degree recount of the candidate graph") {
+  test("v17 exact-degree yardstick equals an in-memory degree recount of the candidate graph") {
     val norm = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding", "CAST(1.0 AS DOUBLE) AS nrm")
     // nrm is carried by the banding helper but unused for candidate
     // generation; any placeholder works
-    val cand = VectorPipeline.ndCandidates(
-      norm.selectExpr("vec_id", "embedding", "CAST(1.0 AS DOUBLE) AS nrm"))
+    val cand = VectorPipeline.ndCandidates(norm)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val degrees = cand.flatMap(p => Seq(p._1, p._2))
       .groupBy(identity).map { case (_, v) => v.length.toLong }
     val wantHist = degrees.groupBy(identity)
       .map { case (d, v) => d -> v.size.toLong }
     val nTotal = norm.count()
-    val got = VectorPipeline.indexHealth(spark, dir).collect()
+    val got = VectorPipeline.indexHealthExact(norm).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(0L) === nTotal - degrees.size.toLong)
     wantHist.foreach { case (deg, n) => assert(got(deg) === n, s"degree $deg") }
     // partition of the corpus: every vector lands in exactly one bucket
     assert(got.values.sum === nTotal)
+  }
+
+  test("v17 occupancy bound: matches an in-memory recount and bounds the exact degrees") {
+    val norm = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding", "CAST(1.0 AS DOUBLE) AS nrm")
+    val nTotal = norm.count()
+    val got = VectorPipeline.indexHealthOn(norm).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // still a partition of the corpus
+    assert(got.values.sum === nTotal)
+    // the declared occupancy bound must dominate the exact-degree
+    // distribution: sum of degree_ub ≥ sum of exact degree (each pair
+    // counted once per shared band vs once total), and the isolated
+    // mass can only shrink (degree_ub = 0 ⟹ exact degree = 0)
+    val exact = VectorPipeline.indexHealthExact(norm).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def mass(h: Map[Long, Long]) = h.map { case (d, n) => d * n }.sum
+    assert(mass(got) >= mass(exact))
+    assert(got.getOrElse(0L, 0L) <= exact.getOrElse(0L, 0L))
+    // independent in-memory recount of the declared semantics over
+    // the SAME band keys (the keys themselves are validated through
+    // v03's oracle): degree_ub(v) = Σ_band (occupancy(bucket) − 1)
+    val keys = VectorPipeline.ndSignatures(norm).collect()
+      .map(r => (0 until 8).map(j => (j, r.getInt(3 + j))))
+    val occ = keys.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val wantHist = keys.map(_.map(occ(_) - 1L).sum)
+      .groupBy(identity).map { case (d, v) => d -> v.length.toLong }
+    assert(got === wantHist)
   }
 
   test("td27 phrase detect: planted collocation scores exactly, δ filters noise") {

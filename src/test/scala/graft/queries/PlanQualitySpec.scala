@@ -468,12 +468,30 @@ class PlanQualitySpec extends SparkSpec {
       "candidate generation must stay a shingle equijoin")
   }
 
-  test("index health (v17): banded candidates, histogram compacts map-side") {
-    val p = plan(VectorPipeline.indexHealth(spark, dir))
-    assert(!p.contains("CartesianProduct"),
-      "candidates must come from the band equijoin, never all-pairs")
+  test("index health (v17): occupancy fold — no pair expansion anywhere") {
+    // The r15 sf100 lesson: the exact-degree variant enumerated v03's
+    // quadratic candidate multiset (bounded below by v03's measured
+    // 1 508 s at 2 M vectors) and straggled on hot buckets. The
+    // declared v17 must compute the occupancy BOUND: a fixed-domain
+    // (band, bkey) count folded into one broadcast map row, then a
+    // row-local sum per vector — no self-join of the corpus at all.
+    spark.catalog.clearCache()
+    val qe = VectorPipeline.indexHealth(spark, dir).queryExecution
+    val p = qe.explainString(SimpleMode)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      "no equijoin: the old banded self-join shape is the quadratic " +
+        "candidate enumeration this pin exists to reject")
+    // the only join is the 1-row broadcast occupancy-map cross (the
+    // v10 codebook shape); string-counted because AQE wraps the
+    // executed tree (AdaptiveSparkPlanExec exposes no children)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 1,
+      "exactly the broadcast occupancy-map cross")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "the melt must be one posexplode pass, not a per-band union rescan")
     assert(p.contains("partial_count"),
-      "degree and histogram counts must partial-aggregate")
+      "occupancy and histogram counts must partial-aggregate")
   }
 
   test("phrase detect (td27): heap top-k, map-side pair compaction") {

@@ -42,11 +42,28 @@ def main():
     base = json.loads(Path(base_p).read_text())["queries"]
 
     runs = {}
-    pat = re.compile(r"\[bench\] \d+/\d+ (\S+) min=[\d.]+ s runs=\[([\d.,]+)\]")
+    unparsed = []
+    # tolerate scientific notation and FAILED markers inside the runs
+    # array -- FAILED entries are dropped from the array but the line
+    # still parses, so a partially-failed query is visible instead of
+    # silently absent
+    pat = re.compile(
+        r"\[bench\] \d+/\d+ (\S+) min=\S+ s runs=\[([^\]]*)\]")
+    num = re.compile(r"^[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?$")
     for line in Path(log_p).read_text().splitlines():
+        if "[bench]" not in line or "runs=" not in line:
+            continue
         m = pat.search(line)
-        if m:
-            runs[m.group(1)] = [float(x) for x in m.group(2).split(",")]
+        if not m:
+            unparsed.append(line.strip())
+            continue
+        vals = [v.strip() for v in m.group(2).split(",") if v.strip()]
+        runs[m.group(1)] = [float(v) for v in vals if num.match(v)]
+    if unparsed:
+        print(f"WARNING: {len(unparsed)} unparsed [bench] runs lines:",
+              file=sys.stderr)
+        for line in unparsed:
+            print(f"  {line}", file=sys.stderr)
     missing = [q for q, v in queries.items() if v is not None and q not in runs]
     if missing:
         sys.exit(f"no runs array in log for: {missing}")
@@ -54,8 +71,9 @@ def main():
     # The dedicated run IS the uncontended re-measurement: a 3-query
     # session has none of the main pass's in-JVM cache pressure, so its
     # minima serve as the audit's "solo" values. A query that FAILED in
-    # the main pass (v10, ENOSPC in the post-v03 disk trough) takes the
-    # dedicated run's min as its measurement outright.
+    # the main pass -- whatever the per-query cause (ENOSPC, a
+    # fail-fast on a stopping context, ...) -- takes the dedicated
+    # run's min as its measurement outright.
     mini_q = {}
     if mini_p:
         mini_q = json.loads(Path(mini_p).read_text())["queries"]
@@ -63,7 +81,6 @@ def main():
     for name, v in mini_q.items():
         if queries.get(name) is None and v is not None:
             queries[name] = v
-            runs.setdefault(name, [v])
             replaced.append(name)
             if name in errors:
                 errors = [e for e in errors if e != name]
@@ -77,25 +94,34 @@ def main():
                               "solo": mini_q.get(name)}
 
     total = sum(v for v in queries.values() if v is not None)
-    n_runs = max(len(v) for v in runs.values())
-    pass_totals = sorted(
-        sum(ts[i] for ts in runs.values() if len(ts) > i)
-        for i in range(n_runs))
+    # pass totals cover ONLY queries measured in the main pass (full
+    # run arrays from one JVM): splicing single dedicated-run values
+    # in would sum different query sets per pass index and mix
+    # measurements from different JVMs
+    if runs:
+        n_runs = max(len(v) for v in runs.values())
+        pass_totals = sorted(
+            sum(ts[i] for ts in runs.values() if len(ts) > i)
+            for i in range(n_runs))
+    else:
+        pass_totals = []
     sf = partial.get("sf", "")
     out = {
         "metric": "total", "value": round(total, 3), "unit": "sec",
         "queries": {k: (round(v, 3) if v is not None else None)
                     for k, v in sorted(queries.items())},
         "errors": errors, "sf": sf,
-        "pass_total_min": round(pass_totals[0], 3),
-        "pass_total_max": round(pass_totals[-1], 3),
+        "pass_total_min": round(pass_totals[0], 3) if pass_totals else None,
+        "pass_total_max": round(pass_totals[-1], 3) if pass_totals else None,
+        "pass_total_queries": sorted(runs),
         "outliers": outliers,
         "assembled": ("main pass stopped at the outlier-audit boundary; "
                       "minima from its per-query checkpoint, run arrays "
-                      "from its log; solo minima (and the main pass's "
-                      f"ENOSPC casualties: {replaced}) from a dedicated "
-                      "same-session run; v03 solo intentionally not "
-                      "re-run (see BASELINE.md)"),
+                      "from its log; solo minima (and main-pass "
+                      f"failures, per-query causes in BASELINE.md: "
+                      f"{replaced}) from a dedicated same-session run; "
+                      "pass totals cover main-pass queries only; v03 "
+                      "solo intentionally not re-run (see BASELINE.md)"),
     }
     Path(out_p).write_text(json.dumps(out) + "\n")
     detail = {"runs": {k: runs[k] for k in sorted(runs)},
