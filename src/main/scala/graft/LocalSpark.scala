@@ -24,8 +24,24 @@ object LocalSpark {
 
   /** Liveness settings that make a single-JVM session immune to
     * heartbeat-expiry self-termination. Interval must stay well below
-    * the timeout (Spark asserts it). */
+    * the timeout (Spark asserts it).
+    *
+    * Also aligns Spark's whole-stage-codegen fallback with the JVM's
+    * JIT refusal threshold: HotSpot never JIT-compiles a method above
+    * 8 000 bytecodes (-XX:HugeMethodLimit, `DontCompileHugeMethods`
+    * default on), so a generated consume() between Spark's 65 536
+    * default and 8 000 stays "codegen'd" but runs INTERPRETED — the
+    * worst of both. Measured on the 64-plane LSH signature projection
+    * (v03/v17's shared build): 2 M-vector cold build 455.8 s at the
+    * default vs ~2.6 s sf10-equivalent once the stage falls back to
+    * per-expression codegen (each small, JIT-able); warm timings
+    * unchanged everywhere (8 000 is Spark's own documented
+    * `CodeGenerator.DEFAULT_JVM_HUGE_METHOD_LIMIT` for exactly this
+    * pairing). Scale-independent: method bytecode size depends on the
+    * EXPRESSION TREE, not the data, so the fallback can only ever
+    * disable codegen on stages the JIT would refuse anyway. */
   def hardened(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.network.timeout", "3600s")
       .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
 }
