@@ -28,8 +28,10 @@ object Bench {
     // input — see InputTuning for the rationale and threshold.
     // Partition default (= cpus) first, InputTuning after: the
     // small-input regime overrides it with the measured static value
-    // (see InputTuning.staticShufflePartitions); the large regime
-    // keeps cpus as AQE's starting point.
+    // (see InputTuning.staticShufflePartitions); in the large regime
+    // AQE's start point comes from the input-sized
+    // initialPartitionNum (InputTuning.initialShufflePartitions), so
+    // this value is only the non-AQE fallback there.
     val base = InputTuning.configure(
       LocalSpark.hardened(SparkSession.builder())
         .config("spark.sql.shuffle.partitions", cpus),

@@ -22,12 +22,8 @@ import org.apache.spark.sql.SparkSession
   */
 object LocalSpark {
 
-  /** Liveness settings that make a single-JVM session immune to
-    * heartbeat-expiry self-termination. Interval must stay well below
-    * the timeout (Spark asserts it).
-    *
-    * Also aligns Spark's whole-stage-codegen fallback with the JVM's
-    * JIT refusal threshold: HotSpot never JIT-compiles a method above
+  /** Aligns Spark's whole-stage-codegen fallback with the JVM's JIT
+    * refusal threshold: HotSpot never JIT-compiles a method above
     * 8 000 bytecodes (-XX:HugeMethodLimit, `DontCompileHugeMethods`
     * default on), so a generated consume() between Spark's 65 536
     * default and 8 000 stays "codegen'd" but runs INTERPRETED — the
@@ -35,13 +31,23 @@ object LocalSpark {
     * (v03/v17's shared build): 2 M-vector cold build 455.8 s at the
     * default vs ~2.6 s sf10-equivalent once the stage falls back to
     * per-expression codegen (each small, JIT-able); warm timings
-    * unchanged everywhere (8 000 is Spark's own documented
-    * `CodeGenerator.DEFAULT_JVM_HUGE_METHOD_LIMIT` for exactly this
-    * pairing). Scale-independent: method bytecode size depends on the
-    * EXPRESSION TREE, not the data, so the fallback can only ever
-    * disable codegen on stages the JIT would refuse anyway. */
+    * unchanged across the full surface (8 000 is Spark's own
+    * documented `CodeGenerator.DEFAULT_JVM_HUGE_METHOD_LIMIT` for
+    * exactly this pairing; threshold adjudication in BASELINE.md).
+    * MASTER-independent, unlike the liveness settings below: method
+    * bytecode size depends on the EXPRESSION TREE, not the data or
+    * the deployment, so the fallback can only ever disable codegen on
+    * stages every executor's JIT would refuse anyway —
+    * [[graft.sql.GraftSession]] applies it to cluster masters too. */
+  def jitAligned(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.codegen.hugeMethodLimit", "8000")
+
+  /** Liveness settings that make a single-JVM session immune to
+    * heartbeat-expiry self-termination (interval must stay well below
+    * the timeout — Spark asserts it), plus the master-independent
+    * [[jitAligned]] codegen fallback. */
   def hardened(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.network.timeout", "3600s")
+    jitAligned(b)
+      .config("spark.network.timeout", "3600s")
       .config("spark.executor.heartbeatInterval", "60s")
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
 }

@@ -913,8 +913,12 @@ object VectorPipeline extends graft.Registry {
     * break on seed_id / vec_id, outputs are pure counts. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     // the zero-norm filter is semDedupOn's; applied here too so the
-    // cluster-count formula counts exactly the rows the audit sees
-    val e = cachedByPlan(withNorm(s, dir).where(col("nrm") > 0))
+    // cluster-count formula counts exactly the rows the audit sees.
+    // Filter ON TOP of the shared norm'd-corpus cache entry (the one
+    // v04 already materializes) — caching the filtered twin would
+    // store a second corpus-sized copy for a predicate that keeps
+    // essentially every row
+    val e = cachedByPlan(withNorm(s, dir)).where(col("nrm") > 0)
     semDedupOn(e, math.max(SemMinClusters, e.count() / SemCellTarget))
   }
 

@@ -107,13 +107,17 @@ final case class QueryResult(
   * 1-hour network timeout) applies ONLY to `local[...]` masters — it
   * exists to stop a GC stall from expiring the in-process executor;
   * on a real cluster the same setting would mask genuine executor
-  * loss for an hour, so cluster masters keep Spark's defaults. */
+  * loss for an hour, so cluster masters keep Spark's liveness
+  * defaults. The JIT-aligned codegen fallback
+  * ([[graft.LocalSpark.jitAligned]]) is master-INDEPENDENT — the
+  * interpreted-huge-method pathology it fixes lives in every
+  * executor's JVM — so it applies on both branches. */
 object GraftSession {
   def build(master: String = "local[*]", shufflePartitions: Int = 32,
       appName: String = "graft"): SparkSession = {
     val base = SparkSession.builder()
     val b = if (master.startsWith("local")) graft.LocalSpark.hardened(base)
-            else base
+            else graft.LocalSpark.jitAligned(base)
     b.master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -43,12 +43,14 @@ def main():
 
     runs = {}
     unparsed = []
-    # tolerate scientific notation and FAILED markers inside the runs
-    # array -- FAILED entries are dropped from the array but the line
-    # still parses, so a partially-failed query is visible instead of
-    # silently absent
+    # Bench prints either `min=<t> s runs=[...]` or, for a query that
+    # threw, `FAILED runs=[...]` with the runs that DID complete
+    # (Bench.scala's minOpt.fold) -- match both so partial
+    # measurements of a failed query reach the detail file instead of
+    # landing in the unparsed-warning bucket; tolerate scientific
+    # notation inside the array
     pat = re.compile(
-        r"\[bench\] \d+/\d+ (\S+) min=\S+ s runs=\[([^\]]*)\]")
+        r"\[bench\] \d+/\d+ (\S+) (?:min=\S+ s|FAILED) runs=\[([^\]]*)\]")
     num = re.compile(r"^[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?$")
     for line in Path(log_p).read_text().splitlines():
         if "[bench]" not in line or "runs=" not in line:

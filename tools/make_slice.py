@@ -17,6 +17,7 @@ Usage: make_slice.py <sfDir> <outDir> [mod]
 
 Dev/measurement tool only — the Scala library has no Python dependency.
 """
+import json
 import sys
 from pathlib import Path
 
@@ -30,6 +31,15 @@ def main():
     sf_dir, out_dir = Path(sys.argv[1]).resolve(), Path(sys.argv[2])
     mod = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     out_dir.mkdir(parents=True, exist_ok=True)
+    # a slice is only reusable if it was built from the same source
+    # with the same modulus -- otherwise a rerun with a different mod
+    # would silently verify against the stale corpus
+    meta_p = out_dir / "slice_meta.json"
+    meta = {"src": str(sf_dir), "mod": mod}
+    if meta_p.exists() and json.loads(meta_p.read_text()) != meta:
+        sys.exit(f"{out_dir} holds a different slice "
+                 f"({meta_p.read_text().strip()}); delete it or pick "
+                 f"another outDir")
     for t in TABLES:
         src = sf_dir / f"{t}.parquet"
         if not src.exists():
@@ -47,6 +57,7 @@ def main():
             print(f"documents slice: {n} rows (mod {mod})")
         else:
             dst.symlink_to(src)
+    meta_p.write_text(json.dumps(meta) + "\n")
     print(f"slice dir ready: {out_dir}")
 
 
