@@ -104,7 +104,7 @@ case class FloatVecDot(left: Expression, right: Expression)
 /** Session registration for graft's native SQL functions. */
 object Functions {
   /** Idempotently register graft's native expressions (`vec_dot`,
-    * `h32`, `h32b`) in the session's function registry so
+    * `nd_band_keys`, `h32`, `h32b`) in the session's function registry so
     * `expr("vec_dot(a, b)")` / `expr("h32(s)")` resolve. Skips names
     * already present: `createOrReplaceTempFunction` on an existing name
     * logs a `SimpleFunctionRegistry` "replaced a previously registered
@@ -135,6 +135,9 @@ object Functions {
             "docroot" -> "https://spark.apache.org/docs/latest"))
     ifAbsent("vec_dot", exprs => {
       arity("vec_dot", 2, exprs); FloatVecDot(exprs.head, exprs(1))
+    })
+    ifAbsent("nd_band_keys", exprs => {
+      arity("nd_band_keys", 1, exprs); LshBandKeys(exprs.head)
     })
     ifAbsent("h32", exprs => { arity("h32", 1, exprs); Md5Word32(exprs.head, 0) })
     ifAbsent("h32b", exprs => { arity("h32b", 1, exprs); Md5Word32(exprs.head, 1) })

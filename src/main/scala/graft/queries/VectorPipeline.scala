@@ -68,21 +68,18 @@ object VectorPipeline extends graft.Registry {
   private def plane(p: Int): IndexedSeq[Int] =
     (0 until Dim).map(i => ((p * 7 + i * 13) % 11) - 5)
 
-  /** Murmur3-finalizer integer mix: the nonlinearity that an affine
-    * mod-11 formula lacks (any `(a·p + b·i) mod 11` repeats with
-    * period ≤ 11 in p). Frozen — it parameterizes v03 and its oracle. */
-  private def mix(x0: Int): Int = {
-    var x = x0
-    x ^= x >>> 16; x *= 0x85ebca6b
-    x ^= x >>> 13; x *= 0xc2b2ae35
-    x ^= x >>> 16
-    x
-  }
+  /** Murmur3-finalizer integer mix (canonical home:
+    * [[graft.functions.PlaneFamily]], shared with the codegen'd
+    * [[graft.functions.LshBandKeys]] kernel). Frozen — it
+    * parameterizes v03 and its oracle. */
+  private def mix(x0: Int): Int = graft.functions.PlaneFamily.mix(x0)
 
   /** Near-dup hyperplanes: [[NdPlanes]] genuinely distinct
-    * pseudo-random integer vectors, w(p,i) ∈ [-5,5]. */
+    * pseudo-random integer vectors, w(p,i) ∈ [-5,5] — drawn from the
+    * shared [[graft.functions.PlaneFamily]] so the SQL-literal oracle
+    * builders below and the Spark-side kernel provably agree. */
   private def ndPlane(p: Int): IndexedSeq[Int] =
-    (0 until Dim).map(i => math.floorMod(mix(p * Dim + i), 11) - 5)
+    graft.functions.PlaneFamily.plane(p, Dim)
 
   /** Ordered-fold dot product via the codegen'd native expression
     * ([[graft.functions.FloatVecDot]]) — same IEEE fold as the DuckDB
@@ -240,9 +237,12 @@ object VectorPipeline extends graft.Registry {
       .orderBy("query_id", "rnk")
   }
 
-  /** Sign-band key of near-dup band `j` (Spark side): [[NdRows]]
-    * hyperplane sign bits packed into an int. */
-  private def ndBandKey(j: Int): Column =
+  /** Sign-band key of near-dup band `j` as an expression TREE —
+    * retired from the production path (see [[ndSignatures]]: the
+    * 64-fold tree codegens past the JIT's huge-method limit) but kept
+    * as the independent formulation the kernel's bit-parity test
+    * compares against. */
+  private[queries] def ndBandKey(j: Int): Column =
     (0 until NdRows)
       .map(k => when(projColOf(ndPlane(j * NdRows + k)) > 0, 1 << k).otherwise(0))
       .reduce(_ + _)
@@ -285,9 +285,28 @@ object VectorPipeline extends graft.Registry {
   }
 
   private[queries] def ndSignatures(e: DataFrame): DataFrame = {
-    val sigCols = (0 until NdBands).map(j => ndBandKey(j).as(s"bk$j"))
-    sigCache(e.select(
-      col("vec_id") +: col("embedding") +: col("nrm") +: sigCols: _*))
+    // ALL band keys from ONE codegen'd kernel call per row
+    // (graft.functions.LshBandKeys; bit-parity with the retired
+    // ndBandKey tree pinned in PipelineSpec): the 64-fold expression
+    // tree compiled to a ~17 800-bytecode consume() that HotSpot
+    // refuses to JIT (r16 finding — 455.8 s interpreted cold build at
+    // 2 M vectors). The kernel is one small JIT-able triple loop, and
+    // the plane matrix is one shared float[][] reference instead of
+    // 64 array literals in the plan. Cache the PACKED array, then
+    // expand bk columns on top of the cache — collapsing the two
+    // projections would re-run the kernel once per extracted column.
+    graft.functions.Functions.register(e.sparkSession)
+    // expand to bk columns BEFORE the cache so the cached layout stays
+    // 8 plain int columns (the warm-path consumers' join/melt shapes
+    // read those directly; caching the packed array instead measured
+    // ~8% slower warm from the per-read getItem expansion). The two
+    // stacked projections do NOT collapse into 8 kernel calls:
+    // CollapseProject only inlines cheap or singly-referenced
+    // producers, and `bks` is neither — pinned by the plan test.
+    val packed = e.select(col("vec_id"), col("embedding"),
+      col("nrm"), expr("nd_band_keys(embedding)").as("bks"))
+    sigCache(packed.select(col("vec_id") +: col("embedding") +: col("nrm") +:
+      (0 until NdBands).map(j => col("bks").getItem(j).as(s"bk$j")): _*))
   }
 
   /** DISTINCT banded candidate pairs with both sides' payloads, each

@@ -815,6 +815,41 @@ class PipelineSpec extends SparkSpec {
     assert(got === base, "the zero vector must not reach any cell")
   }
 
+  test("nd_band_keys kernel is bit-identical to the retired expression tree") {
+    // the kernel (one JIT-able triple loop) replaced 64 inlined
+    // CASE WHEN vec_dot(...) expressions whose fused codegen exceeded
+    // the JIT huge-method limit; its arithmetic contract is exact
+    // equality with that tree (same ordered fold, float->double
+    // widening, strict > 0, bit packing) on every corpus
+    graft.functions.Functions.register(spark)
+    for (src <- Seq(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding"),
+        planted)) {
+      val legacy = (0 until 8).map(j =>
+        VectorPipeline.ndBandKey(j).as(s"l$j"))
+      import org.apache.spark.sql.functions.{col, expr}
+      val rows = src
+        .select((col("vec_id") +:
+          expr("nd_band_keys(embedding)").as("bks") +: legacy): _*)
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val kernel = r.getSeq[Int](1)
+        val tree = (0 until 8).map(j => r.getInt(2 + j))
+        assert(kernel === tree, s"vec_id ${r.getLong(0)}")
+      }
+    }
+    // degenerate input: a wrong-dimension vector must THROW, not skew
+    import spark.implicits._
+    val bad = Seq((1L, Seq.fill(63)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      bad.selectExpr("nd_band_keys(embedding)").collect()
+    }
+    assert(ex.getMessage.contains("63") ||
+      Option(ex.getCause).exists(_.getMessage.contains("63")))
+  }
+
   test("v03 declared query refuses above the corpus-size cap, pointing at v10") {
     // the fixed-bucket banding is quadratic in corpus size; the
     // declared query must fail loudly (td19 certify-or-refuse

@@ -468,6 +468,25 @@ class PlanQualitySpec extends SparkSpec {
       "candidate generation must stay a shingle equijoin")
   }
 
+  test("nd signature build: ONE kernel call per row, not one per extracted column") {
+    // ndSignatures stacks expand-to-bk-columns on top of the packed
+    // nd_band_keys projection; if CollapseProject ever started
+    // inlining the (non-cheap, 8-times-referenced) kernel into the
+    // extraction, every row would pay 8 full 64-plane evaluations
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.Functions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding", "CAST(1.0 AS DOUBLE) AS nrm")
+    val shaped = e
+      .select(col("vec_id"), col("nrm"),
+        expr("nd_band_keys(embedding)").as("bks"))
+      .select(col("vec_id") +: col("nrm") +:
+        (0 until 8).map(j => col("bks").getItem(j).as(s"bk$j")): _*)
+    val p = shaped.queryExecution.optimizedPlan.toString
+    assert("nd_band_keys".r.findAllIn(p).size === 1,
+      "CollapseProject must not duplicate the kernel per bk column")
+  }
+
   test("index health (v17): occupancy fold — no pair expansion anywhere") {
     // The r15 sf100 lesson: the exact-degree variant enumerated v03's
     // quadratic candidate multiset (bounded below by v03's measured
