@@ -292,9 +292,7 @@ object VectorPipeline extends graft.Registry {
     // refuses to JIT (r16 finding — 455.8 s interpreted cold build at
     // 2 M vectors). The kernel is one small JIT-able triple loop, and
     // the plane matrix is one shared float[][] reference instead of
-    // 64 array literals in the plan. Cache the PACKED array, then
-    // expand bk columns on top of the cache — collapsing the two
-    // projections would re-run the kernel once per extracted column.
+    // 64 array literals in the plan.
     graft.functions.Functions.register(e.sparkSession)
     // expand to bk columns BEFORE the cache so the cached layout stays
     // 8 plain int columns (the warm-path consumers' join/melt shapes
@@ -386,8 +384,13 @@ object VectorPipeline extends graft.Registry {
     * its cost is noise against the pair work it gates. */
   def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
-    val max = s.conf.getOption(NdMaxVectorsKey).map(_.toLong)
-      .getOrElse(NdMaxVectors)
+    val max = s.conf.getOption(NdMaxVectorsKey).map { v =>
+      try v.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$NdMaxVectorsKey must be a long vector-count cap, got '$v'")
+      }
+    }.getOrElse(NdMaxVectors)
     val n = e.count()
     require(n <= max,
       s"v03_embedding_neardup refused: $n vectors exceed $NdMaxVectorsKey" +

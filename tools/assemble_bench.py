@@ -76,6 +76,11 @@ def main():
     # the main pass -- whatever the per-query cause (ENOSPC, a
     # fail-fast on a stopping context, ...) -- takes the dedicated
     # run's min as its measurement outright.
+    # snapshot BEFORE the mini splice: pass totals must cover only
+    # queries whose final minima come from the main pass -- a FAILED
+    # query's partial run array stays in the detail file but must not
+    # leak into per-pass totals (its checkpoint value is None)
+    checkpointed = {k for k, v in queries.items() if v is not None}
     mini_q = {}
     if mini_p:
         mini_q = json.loads(Path(mini_p).read_text())["queries"]
@@ -100,10 +105,11 @@ def main():
     # run arrays from one JVM): splicing single dedicated-run values
     # in would sum different query sets per pass index and mix
     # measurements from different JVMs
-    if runs:
-        n_runs = max(len(v) for v in runs.values())
+    pass_runs = {k: v for k, v in runs.items() if k in checkpointed}
+    if pass_runs:
+        n_runs = max(len(v) for v in pass_runs.values())
         pass_totals = sorted(
-            sum(ts[i] for ts in runs.values() if len(ts) > i)
+            sum(ts[i] for ts in pass_runs.values() if len(ts) > i)
             for i in range(n_runs))
     else:
         pass_totals = []
@@ -115,7 +121,7 @@ def main():
         "errors": errors, "sf": sf,
         "pass_total_min": round(pass_totals[0], 3) if pass_totals else None,
         "pass_total_max": round(pass_totals[-1], 3) if pass_totals else None,
-        "pass_total_queries": sorted(runs),
+        "pass_total_queries": sorted(pass_runs),
         "outliers": outliers,
         "assembled": ("main pass stopped at the outlier-audit boundary; "
                       "minima from its per-query checkpoint, run arrays "

@@ -13,11 +13,22 @@ corpus runs. Modulo (not hash) because doc_ids are dense, so the
 slice is uniform, and the predicate is trivially identical in Spark
 and DuckDB.
 
-Usage: make_slice.py <sfDir> <outDir> [mod] [table]
+Usage: make_slice.py <sfDir> <outDir> [mod] [table] [baseDir]
 
 `table` (default `documents`, key `doc_id`; or `embeddings`, key
 `vec_id`) picks which table is sliced; every other table is
 symlinked unchanged.
+
+If `baseDir` is given (the ScaleGen SOURCE dir, e.g.
+/root/testdata/sf0.1), the slice keeps whole REPLICA GROUPS instead
+of individual ids: rows with `(key // stride) % mod = 0` where
+`stride = max(base key) + 1` — ScaleGen's replica shift. An id-modulo
+slice thins cross-document duplicate PAIRS ~mod² (both endpoints must
+survive), so dup-path columns verify as zeros; a replica slice keeps
+every within-replica pair intact (ScaleGen makes cross-replica
+shingle sets disjoint, so ALL dup pairs are within-replica), at the
+cost of a coarser volume knob (corpus shrinks ~mod×, self-join state
+~mod²× like the id slice).
 
 Dev/measurement tool only — the Scala library has no Python dependency.
 """
@@ -38,17 +49,52 @@ def main():
     sf_dir, out_dir = Path(sys.argv[1]).resolve(), Path(sys.argv[2])
     mod = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     sliced = sys.argv[4] if len(sys.argv) > 4 else "documents"
+    base_dir = Path(sys.argv[5]).resolve() if len(sys.argv) > 5 else None
     key = KEYS[sliced]
     out_dir.mkdir(parents=True, exist_ok=True)
+    if base_dir is not None:
+        glob_b = (f"{base_dir / (sliced + '.parquet')}/*.parquet"
+                  if (base_dir / f"{sliced}.parquet").is_dir()
+                  else str(base_dir / f"{sliced}.parquet"))
+        stride = duckdb.connect().execute(
+            f"SELECT max({key}) + 1 FROM '{glob_b}'").fetchone()[0]
+        pred = f"({key} // {stride}) % {mod} = 0"
+    else:
+        stride = None
+        pred = f"{key} % {mod} = 0"
     # a slice is only reusable if it was built from the same source
-    # with the same modulus -- otherwise a rerun with a different mod
-    # would silently verify against the stale corpus
+    # with the same predicate AND finished -- otherwise a rerun with a
+    # different mod, or one over a crashed prior run's partial output
+    # (or foreign files), would silently verify against a stale corpus
     meta_p = out_dir / "slice_meta.json"
-    meta = {"src": str(sf_dir), "mod": mod, "table": sliced}
-    if meta_p.exists() and json.loads(meta_p.read_text()) != meta:
-        sys.exit(f"{out_dir} holds a different slice "
-                 f"({meta_p.read_text().strip()}); delete it or pick "
-                 f"another outDir")
+    meta = {"src": str(sf_dir), "mod": mod, "table": sliced,
+            "stride": stride, "complete": True}
+    stale = None
+    if meta_p.exists():
+        prior = json.loads(meta_p.read_text())
+        if {**prior, "complete": True} != meta:
+            sys.exit(f"{out_dir} holds a different slice "
+                     f"({meta_p.read_text().strip()}); delete it or pick "
+                     f"another outDir")
+        stale = not prior.get("complete", False)
+    else:
+        existing = [t for t in TABLES
+                    if (out_dir / f"{t}.parquet").exists()
+                    or (out_dir / f"{t}.parquet").is_symlink()]
+        if existing:
+            sys.exit(f"{out_dir} holds files with no slice_meta.json "
+                     f"({existing}); refusing to adopt them — delete the "
+                     f"dir or pick another outDir")
+    if stale:
+        # crashed prior run: its per-table outputs are untrustworthy
+        for t in TABLES:
+            dst = out_dir / f"{t}.parquet"
+            if dst.is_symlink():
+                dst.unlink()
+            elif dst.exists():
+                dst.unlink()
+    # stamp the attempt BEFORE slicing so a crash leaves complete=false
+    meta_p.write_text(json.dumps({**meta, "complete": False}) + "\n")
     for t in TABLES:
         src = sf_dir / f"{t}.parquet"
         if not src.exists():
@@ -60,10 +106,10 @@ def main():
             glob = f"{src}/*.parquet" if src.is_dir() else str(src)
             con = duckdb.connect()
             con.execute(
-                f"COPY (SELECT * FROM '{glob}' WHERE {key} % {mod} = 0) "
+                f"COPY (SELECT * FROM '{glob}' WHERE {pred}) "
                 f"TO '{dst}' (FORMAT PARQUET)")
             n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
-            print(f"{sliced} slice: {n} rows (mod {mod})")
+            print(f"{sliced} slice: {n} rows (WHERE {pred})")
         else:
             dst.symlink_to(src)
     meta_p.write_text(json.dumps(meta) + "\n")
