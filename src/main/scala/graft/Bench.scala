@@ -44,6 +44,15 @@ object Bench {
       case (b, (k, v)) => b.config(k, v)
     }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_JITLOG=1: surface WholeStageCodegenExec's
+    // "Found too long generated codes" INFO lines so a full bench pass
+    // doubles as the codegen-fallback inventory (any stage whose
+    // generated method exceeds the jitAligned 8 000-byte limit logs
+    // its bytecode size here — the round-16 un-JIT-able-band audit).
+    if (sys.env.get("SPARK_GRAFT_BENCH_JITLOG").contains("1"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.WholeStageCodegenExec",
+        org.apache.logging.log4j.Level.INFO)
 
     // Warmup, outside the clock (standard JVM benchmarking): session
     // bootstrap, file-index build, then one run of EVERY query at the

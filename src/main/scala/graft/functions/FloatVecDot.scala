@@ -139,6 +139,9 @@ object Functions {
     ifAbsent("nd_band_keys", exprs => {
       arity("nd_band_keys", 1, exprs); LshBandKeys(exprs.head)
     })
+    ifAbsent("simhash_pack", exprs => {
+      arity("simhash_pack", 2, exprs); SimHashPack(exprs.head, exprs(1))
+    })
     ifAbsent("h32", exprs => { arity("h32", 1, exprs); Md5Word32(exprs.head, 0) })
     ifAbsent("h32b", exprs => { arity("h32b", 1, exprs); Md5Word32(exprs.head, 1) })
   }

@@ -665,15 +665,49 @@ object TextPipeline extends graft.Registry {
   /** 64-bit SimHash signature over a `(doc_id, h, h2)` shingle-hash
     * frame: sign of per-bit vote sums — bits 0-31 vote from `h`,
     * 32-63 from `h2` (two independent md5 words = one uniform 64-bit
-    * shingle hash). Bit 63's weight is Long.MinValue: the terms are
-    * distinct powers of two, so the sum is exactly the bitwise OR and
-    * never overflows (partial sums of bits 0-62 stay < 2^63; adding
-    * the negative bit-63 term cannot overflow either). The streaming
-    * near-dup detector ([[graft.streaming.DocStreams.nearDupSimHash]])
-    * computes the SAME per-bit votes row-locally via [[simhashLocal]];
-    * over the same distinct-shingle set the two forms produce
-    * bit-identical signatures (pinned by DocStreamsSpec). */
+    * shingle hash). The streaming near-dup detector
+    * ([[graft.streaming.DocStreams.nearDupSimHash]]) computes the
+    * SAME per-bit votes row-locally via [[simhashLocal]]; over the
+    * same distinct-shingle set the two forms produce bit-identical
+    * signatures (pinned by DocStreamsSpec). */
   private[graft] def simhashSig(shingleHashes: DataFrame): DataFrame = {
+    graft.functions.Functions.register(shingleHashes.sparkSession)
+    // 32 PACKED lane sums instead of 64 per-bit vote sums: lane i
+    // carries signature bit i's set-bit count in its low 32 bits (from
+    // h) and bit i+32's in its high 32 (from h2); per-bit votes recover
+    // as 2·c_b − n with n the group row count. Halving the aggregate
+    // width plus fusing the 64-term sign/pack projection into the
+    // simhash_pack kernel keeps the stage's whole-stage-codegen
+    // consume() under HotSpot's 8 000-bytecode JIT limit — it was the
+    // round-16 fallback inventory's last entry (9 140 bytecodes,
+    // interpreted or per-expression-dispatched either side of the
+    // hugeMethodLimit knob). Lane-carry safety and the exact
+    // equivalence argument live on [[graft.functions.SimHashPack]];
+    // bit-parity with the retired 64-sum tree ([[simhashSigVotes]])
+    // and with the row-local streaming form are pinned in
+    // PipelineSpec. h/h2 are null together (both md5 words of the
+    // same shingle), so one count serves both words.
+    val lanes = (0 until 32).map { i =>
+      sum(expr(s"(shiftright(h, $i) & 1) + shiftleft(shiftright(h2, $i) & 1, 32)"))
+        .as(s"lane$i")
+    }
+    val laneArr = (0 until 32)
+      .map(i => s"coalesce(lane$i, CAST(0 AS BIGINT))").mkString(", ")
+    shingleHashes
+      .groupBy("doc_id")
+      .agg(lanes.head, (lanes.tail :+ count(col("h")).as("nr")): _*)
+      .select(
+        col("doc_id"),
+        expr(s"simhash_pack(array($laneArr), nr)").as("simhash"))
+  }
+
+  /** The RETIRED 64-sum expression-tree form of [[simhashSig]], kept
+    * test-only as the bit-parity witness for the packed-lane +
+    * [[graft.functions.SimHashPack]] kernel form (PipelineSpec pins
+    * signature equality on a seeded corpus and planted edge docs).
+    * This tree's aggregate consume() compiled to 9 140 bytecodes —
+    * past HotSpot's JIT refusal — which is why it was retired. */
+  private[graft] def simhashSigVotes(shingleHashes: DataFrame): DataFrame = {
     val votes = (0 until SimBits).map { b =>
       val (src, bit) = if (b < 32) ("h", b) else ("h2", b - 32)
       sum(expr(s"(shiftright($src, $bit) & 1) * 2 - 1")).as(s"s$b")

@@ -49,6 +49,37 @@ class PipelineSpec extends SparkSpec {
     assert(strong.subsetOf(sh), s"missed strong pairs: ${strong -- sh}")
   }
 
+  test("packed-lane simhash_pack signature is bit-identical to the retired 64-sum tree") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // real corpus: every sf0.001 document through both forms
+    val hashed = graft.pipeline.TextPrep.shingleIndex(spark, dir)
+      .withColumn("h2", graft.pipeline.TextPrep.h32b(col("shingle")))
+    val kernel = TextPipeline.simhashSig(hashed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val retired = TextPipeline.simhashSigVotes(hashed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel.nonEmpty)
+    assert(kernel === retired)
+    // planted edge docs: tie votes (even shingle count, split bits),
+    // single-shingle docs, and a large repeated-structure doc — the
+    // sign boundary 2·c > n must agree exactly, including bit 63
+    val edge = Seq(
+      (1L, "a b c"),
+      (2L, (0 until 400).map(i => s"t${i % 7}").mkString(" ")),
+      (3L, "a b c d e f g h i j k l m n o p"),
+      (4L, (0 until 64).map(i => s"u$i u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val eh = graft.pipeline.TextPrep.shingleHashes(edge)
+      .withColumn("h2", graft.pipeline.TextPrep.h32b(col("shingle")))
+    val ek = TextPipeline.simhashSig(eh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val er = TextPipeline.simhashSigVotes(eh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ek === er)
+    assert(ek.keySet === Set(1L, 2L, 3L, 4L))
+  }
+
   test("simhash banding schemes are result-equivalent (exact filter dominates)") {
     import org.apache.spark.sql.functions._
     val sig = TextPipeline.simhashSig(
