@@ -1457,6 +1457,114 @@ object TextPipeline extends graft.Registry {
   def sourceDrift(s: SparkSession, dir: String): DataFrame =
     sourceDriftOf(docs(s, dir))
 
+  /** td32 log geometry: probabilities quantize to 2^[[LmProbScale]],
+    * the piecewise-linear log2 carries [[LmLogF]] fractional bits.
+    * Frozen — they parameterize the declared query and its oracle. */
+  private[graft] val LmProbScale = 20
+  private[graft] val LmLogF = 12
+
+  /** Exact integer piecewise-linear log2 of a quantized probability
+    * `p` SQL expression, 2^[[LmLogF]]-scaled: `k·2^F + (p − 2^k)·2^F
+    * div 2^k` with `k = ⌊log2 p⌋` taken from the BINARY STRING length
+    * (`length(bin(p)) − 1`) — pure integer/string ops, so both
+    * engines agree bit-for-bit where a libm `log` (not required to be
+    * correctly rounded by IEEE) could drift in the last ulp. The
+    * chord interpolation underestimates log2 by ≤ 0.086 bits and is
+    * strictly monotone — a ranking/quantile score, not a calibrated
+    * entropy. Requires p ≥ 1. */
+  private[graft] def lmLog2Sql(p: String): String =
+    s"(length(bin($p)) - 1) * ${1L << LmLogF} + " +
+      s"(($p) - shiftleft(CAST(1 AS BIGINT), length(bin($p)) - 1)) * " +
+      s"${1L << LmLogF} div shiftleft(CAST(1 AS BIGINT), length(bin($p)) - 1)"
+
+  /** td32: bigram-LM perplexity quality scoring — the CCNet-style
+    * complement to td02's heuristic rules (Wenzek et al. 2020 score
+    * every document under a corpus-trained LM and keep/weight by
+    * perplexity percentile; Gopher/Dolma pipelines run BOTH rule and
+    * LM filters). The LM is the corpus's own bigram table:
+    * P(w2|w1) = c(w1,w2) / c(w1,·), quantized to 2^[[LmProbScale]]
+    * (floored at 1 so log is total); a document's score is its mean
+    * negative log2-probability per bigram token — "bits per bigram",
+    * 2^[[LmLogF]]-scaled — and the report is each source's
+    * n_docs/min/max/p25/p50/p75/p95 of that score, td21's
+    * integer-rank quantile method. Low bits-per-bigram = templated /
+    * boilerplate mass (every phrase is corpus-typical: the td25
+    * low-novelty population); high = rare or garbled content. Docs
+    * under 2 tokens have no bigram and are excluded (mirrored in the
+    * oracle).
+    *
+    * Determinism: probabilities are exact integer ppm-style
+    * quantities (`c12·2^20 div c1`), the log is [[lmLog2Sql]]'s
+    * integer chord form, and the per-doc mean is an integer `div` —
+    * no float leaves any operator, so the report hashes identically
+    * across engines.
+    *
+    * Scale shape: the exploded bigram stream compacts FIRST to
+    * distinct (doc, w1, w2) rows with occurrence counts (td17's
+    * compaction; one doc-keyed shuffle), the LM table derives from
+    * that compacted relation by re-aggregation (c12) and prefix
+    * re-aggregation (c1), and the score join back is deliberately
+    * UNHINTED like td17/td03's vocabulary joins — a web corpus's
+    * bigram vocabulary outgrows any broadcast threshold, and Spark's
+    * ReuseExchange serves the compaction shuffle to both the probe
+    * and LM sides. The quantile pass runs on the ≤ |sources| × score
+    * histogram (td21), never a per-source raw sort. */
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreOf(docs(s, dir))
+
+  /** [[lmScore]] over an arbitrary `(doc_id, source, text)` frame —
+    * the declared query binds the stored corpus; PipelineSpec binds a
+    * planted corpus against an in-memory integer reference. */
+  private[queries] def lmScoreOf(d: DataFrame): DataFrame = {
+    val pairs = d
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(x, y) -> struct(x AS w1, y AS w2))")).as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "source", "w1", "w2")
+      .agg(count(lit(1)).as("occ"))
+    val lm = pairs.groupBy("w1", "w2").agg(sum("occ").as("c12"))
+    val pref = lm.groupBy("w1").agg(sum("c12").as("c1"))
+    val perDoc = pairs
+      .join(lm, Seq("w1", "w2"))
+      .join(pref, Seq("w1"))
+      .select(col("doc_id"), col("source"), col("occ"),
+        // c12 ≤ c1 caps p_q at 2^20 (zero nll); the floor at 1 keeps
+        // the log total when c12·2^20 div c1 truncates to 0
+        greatest(expr(s"c12 * ${1L << LmProbScale} div c1"), lit(1L))
+          .as("p_q"))
+      .select(col("doc_id"), col("source"), col("occ"),
+        (lit(LmProbScale.toLong * (1L << LmLogF)) -
+          expr(lmLog2Sql("p_q"))).as("nll"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("occ") * col("nll")).as("nll_sum"),
+        sum("occ").as("n_bigrams"))
+      .select(col("source"), expr("nll_sum div n_bigrams").as("bpb"))
+    val wCum = Window.partitionBy("source").orderBy("bpb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("source")
+    def atLeast(pct: Int) =
+      min(when(col("cum") * 100 >= col("n") * pct, col("bpb")))
+    perDoc
+      .groupBy("source", "bpb")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .groupBy("source")
+      .agg(
+        sum("cnt").as("n_docs"),
+        min("bpb").as("min_bpb_q12"),
+        max("bpb").as("max_bpb_q12"),
+        atLeast(25).as("p25_bpb_q12"),
+        atLeast(50).as("p50_bpb_q12"),
+        atLeast(75).as("p75_bpb_q12"),
+        atLeast(95).as("p95_bpb_q12"))
+      .orderBy("source")
+  }
+
   /** [[sourceDrift]] over an arbitrary `(source, text)` frame — the
     * declared query binds the stored corpus; DriftProperties binds
     * random corpora against a direct full-vocabulary reference. */
@@ -1846,7 +1954,8 @@ object TextPipeline extends graft.Registry {
     "td28_containment_dedup" -> ((s, dir) => containmentDedup(s, dir)),
     "td29_shard_assign" -> shardAssign,
     "td30_vocab_growth" -> vocabGrowth,
-    "td31_pii_scan" -> piiScan
+    "td31_pii_scan" -> piiScan,
+    "td32_lm_score" -> lmScore
   )
 
   /** Containment bar: a pair is flagged when its larger-direction
@@ -2356,6 +2465,56 @@ object TextPipeline extends graft.Registry {
          |  FROM a GROUP BY source)
          |SELECT *, pii_docs * 1000000 // n_docs AS pii_doc_ppm
          |FROM g ORDER BY source""".stripMargin
+    },
+    "td32_lm_score" -> {
+      // the integer chord log2 mirrored textually (lmLog2Sql's Spark
+      // form ≡ this DuckDB form: length(bin(p)) is the same exact
+      // floor-log2 in both engines, shifts/div are integer ops)
+      val f = 1L << LmLogF
+      val nllMax = LmProbScale.toLong * (1L << LmLogF)
+      val lg = s"(length(bin(p_q)) - 1) * $f + " +
+        s"((p_q - (1::BIGINT << (length(bin(p_q)) - 1))) * $f) " +
+        s"// (1::BIGINT << (length(bin(p_q)) - 1))"
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS a
+         |           FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 2),
+         |ix AS (SELECT doc_id, source, a, unnest(range(1, len(a))) AS i
+         |       FROM t),
+         |p AS (SELECT doc_id, source, a[i] AS w1, a[i + 1] AS w2 FROM ix),
+         |pc AS (SELECT doc_id, source, w1, w2, COUNT(*) AS occ
+         |       FROM p GROUP BY doc_id, source, w1, w2),
+         |lm AS (SELECT w1, w2, CAST(SUM(occ) AS BIGINT) AS c12
+         |       FROM pc GROUP BY w1, w2),
+         |pref AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+         |         FROM lm GROUP BY w1),
+         |sc AS (SELECT pc.doc_id, pc.source, pc.occ,
+         |              greatest((lm.c12 * ${1L << LmProbScale}) // pref.c1,
+         |                       1) AS p_q
+         |       FROM pc JOIN lm USING (w1, w2) JOIN pref USING (w1)),
+         |nl AS (SELECT doc_id, source, occ, $nllMax - ($lg) AS nll
+         |       FROM sc),
+         |pd AS (SELECT source,
+         |              CAST(SUM(occ * nll) AS BIGINT)
+         |                // CAST(SUM(occ) AS BIGINT) AS bpb
+         |       FROM nl GROUP BY doc_id, source),
+         |h AS (SELECT source, bpb, COUNT(*) AS cnt
+         |      FROM pd GROUP BY source, bpb),
+         |c AS (SELECT source, bpb, cnt,
+         |             SUM(cnt) OVER (PARTITION BY source ORDER BY bpb
+         |                            ROWS UNBOUNDED PRECEDING) AS cum,
+         |             SUM(cnt) OVER (PARTITION BY source) AS n
+         |      FROM h)
+         |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         |       MIN(bpb) AS min_bpb_q12, MAX(bpb) AS max_bpb_q12,
+         |       MIN(CASE WHEN cum * 100 >= n * 25 THEN bpb END)
+         |         AS p25_bpb_q12,
+         |       MIN(CASE WHEN cum * 100 >= n * 50 THEN bpb END)
+         |         AS p50_bpb_q12,
+         |       MIN(CASE WHEN cum * 100 >= n * 75 THEN bpb END)
+         |         AS p75_bpb_q12,
+         |       MIN(CASE WHEN cum * 100 >= n * 95 THEN bpb END)
+         |         AS p95_bpb_q12
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
     },
     "td28_containment_dedup" ->
       s"""WITH $shinglesSqlCte,

@@ -49,6 +49,69 @@ class PipelineSpec extends SparkSpec {
     assert(strong.subsetOf(sh), s"missed strong pairs: ${strong -- sh}")
   }
 
+  test("lm perplexity score matches an in-memory integer reference (td32)") {
+    import spark.implicits._
+    // planted corpus: src_a is templated (one phrase repeated — high
+    // bigram probabilities, low bits-per-bigram), src_b is varied;
+    // plus a 1-token doc (excluded) and an exactly-2-token doc
+    val corpus = Seq(
+      (1L, "src_a", "the quick brown fox jumps over the lazy dog"),
+      (2L, "src_a", "the quick brown fox jumps over the lazy dog"),
+      (3L, "src_a", "the quick brown fox sleeps"),
+      (4L, "src_a", "one"),
+      (5L, "src_b", "pack my box with five dozen liquor jugs"),
+      (6L, "src_b", "how vexingly quick daft zebras jump"),
+      (7L, "src_b", "the five boxing wizards jump quickly"),
+      (8L, "src_b", "jugs jump"),
+      (9L, "src_b", "sphinx of black quartz judge my vow the end"))
+    val df = corpus.toDF("doc_id", "source", "text")
+
+    // reference: exact integer arithmetic, independently formulated
+    val toks = corpus.map { case (id, src, t) => (id, src, t.split(" ").toSeq) }
+    val bigrams = toks.collect { case (id, src, ws) if ws.length >= 2 =>
+      (id, src, ws.zip(ws.tail)) }
+    val c12 = bigrams.flatMap(_._3).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    def log2q(p: Long): Long = {
+      val k = 63 - java.lang.Long.numberOfLeadingZeros(p)
+      k.toLong * 4096L + (p - (1L << k)) * 4096L / (1L << k)
+    }
+    val bpbRef = bigrams.map { case (id, src, bs) =>
+      val terms = bs.map { b =>
+        val pq = math.max(1L, c12(b) * (1L << 20) / c1(b._1))
+        81920L - log2q(pq)
+      }
+      (id, src, terms.sum / terms.size)
+    }
+    def quant(vs: Seq[Long], pct: Int): Long = {
+      val sorted = vs.sorted
+      val n = sorted.size.toLong
+      sorted.zipWithIndex
+        .collectFirst { case (v, i) if (i + 1) * 100 >= n * pct => v }.get
+    }
+    val expect = bpbRef.groupBy(_._2).map { case (src, rows) =>
+      val vs = rows.map(_._3)
+      src -> Seq(vs.size.toLong, vs.min, vs.max,
+        quant(vs, 25), quant(vs, 50), quant(vs, 75), quant(vs, 95))
+    }
+
+    val got = TextPipeline.lmScoreOf(df).collect().map { r =>
+      r.getString(0) -> (1 to 7).map(r.getLong).toSeq
+    }.toMap
+    assert(got.keySet === Set("src_a", "src_b"))
+    assert(got("src_a") === expect("src_a"))
+    assert(got("src_b") === expect("src_b"))
+    // NOTE: a bigram that is its prefix's ONLY continuation has
+    // conditional probability 1 (zero bits) however rare the prefix —
+    // so an all-unique-phrases source can legitimately score LOWER
+    // than a templated one whose shared prefixes split probability
+    // mass ("the quick"/"the lazy"/"the end"). The invariant worth
+    // pinning is the boundary: scores are bounded by the geometry.
+    val all = got.values.flatMap(_.drop(1)) // min..p95 columns
+    assert(all.forall(v => v >= 0L && v <= TextPipeline.LmProbScale.toLong *
+      (1L << TextPipeline.LmLogF)))
+  }
+
   test("packed-lane simhash_pack signature is bit-identical to the retired 64-sum tree") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -553,6 +553,30 @@ class PlanQualitySpec extends SparkSpec {
       "every bucket-ordered window must be partitioned by chunk")
   }
 
+  test("lm score (td32): unhinted LM joins, compaction first, histogram windows") {
+    // the LM-table and prefix joins must stay unhinted (td03/td17
+    // rationale: a web corpus's bigram vocabulary outgrows any
+    // broadcast threshold; the planner must keep the size-statistics
+    // choice) and degrade to shuffle joins when broadcast is off
+    val analyzed = TextPipeline.lmScore(spark, dir).queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), "td32 must not force a broadcast")
+    val p0 = plan(TextPipeline.lmScore(spark, dir))
+    assert(p0.contains("partial_count"), "pair compaction needs map-side partials")
+    assert(p0.contains("partial_sum"), "LM-table aggregation needs map-side partials")
+    assert(!p0.contains("CartesianProduct") && !p0.contains("BroadcastNestedLoopJoin"))
+    // the quantile windows run on the (source, bpb) HISTOGRAM, so the
+    // Window inputs are per-source score-distinct rows, never raw docs
+    // (covered structurally by the whole-surface unpartitioned-window
+    // sweep: both windows carry the source partition spec)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(TextPipeline.lmScore(spark, dir))
+      assert(p.contains("SortMergeJoin"),
+        "LM joins must degrade to shuffle joins when too big to broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-surface sweep: every unpartitioned window is on the bounded allowlist") {
     // Guard-rail for the class of bug fixed in round 13 (td30's
     // corpus-wide cumulative window collapsing every row onto one
