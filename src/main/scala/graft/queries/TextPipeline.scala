@@ -1499,16 +1499,26 @@ object TextPipeline extends graft.Registry {
     * no float leaves any operator, so the report hashes identically
     * across engines.
     *
-    * Scale shape: the exploded bigram stream compacts FIRST to
-    * distinct (doc, w1, w2) rows with occurrence counts (td17's
-    * compaction; one doc-keyed shuffle), the LM table derives from
-    * that compacted relation by re-aggregation (c12) and prefix
-    * re-aggregation (c1), and the score join back is deliberately
-    * UNHINTED like td17/td03's vocabulary joins — a web corpus's
-    * bigram vocabulary outgrows any broadcast threshold, and Spark's
-    * ReuseExchange serves the compaction shuffle to both the probe
-    * and LM sides. The quantile pass runs on the ≤ |sources| × score
-    * histogram (td21), never a per-source raw sort. */
+    * Scale shape: bigram and prefix hash to 63-bit keys at the source
+    * (td25's two-md5-word construction — string words never reach a
+    * shuffle), the exploded stream compacts FIRST to distinct
+    * (doc, g, gw) rows with occurrence counts (td17's compaction; one
+    * doc-keyed shuffle), the bigram total c12 comes from a COUNT-style
+    * window over the compacted relation (td25's df shape — partition
+    * by the fine-grained bigram key, so no viral-PREFIX fat task), and
+    * the prefix total c1 comes from an independent token-level count
+    * aggregation joined back UNHINTED on gw (map-side partials absorb
+    * a viral prefix; the join is AQE-skew-splittable; a web corpus's
+    * prefix vocabulary outgrows any broadcast threshold). Measured
+    * alternatives at sf10 (warm min-of-3): string keys + derived
+    * lm/pref join tables 13.4 s (Catalyst cannot reuse the compaction
+    * exchange across the probe and a derived aggregate — td25's
+    * finding, re-confirmed); hashed keys + derived joins 10.4 s;
+    * double window (c12 by g, c1 by gw) 8.35 s but the gw window is a
+    * single-task wall per viral prefix at corpus scale; this hybrid
+    * 8.96 s and skew-safe everywhere. The quantile pass runs on the
+    * ≤ |sources| × score histogram (td21), never a per-source raw
+    * sort. */
   def lmScore(s: SparkSession, dir: String): DataFrame =
     lmScoreOf(docs(s, dir))
 
@@ -1516,6 +1526,11 @@ object TextPipeline extends graft.Registry {
     * the declared query binds the stored corpus; PipelineSpec binds a
     * planted corpus against an in-memory integer reference. */
   private[queries] def lmScoreOf(d: DataFrame): DataFrame = {
+    // bigram and prefix hash to 63-bit keys AT THE SOURCE (td25's
+    // two-md5-word construction, collisions at 2^-32 odds for 10^9
+    // distinct keys, mirrored into the oracle so a collision merges
+    // the same counts in both engines): every downstream shuffle and
+    // join carries two longs instead of two word strings
     val pairs = d
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 2)
@@ -1523,14 +1538,35 @@ object TextPipeline extends graft.Registry {
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
           "(x, y) -> struct(x AS w1, y AS w2))")).as("b"))
       .select(col("doc_id"), col("source"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy("doc_id", "source", "w1", "w2")
+        (h32(concat_ws(" ", col("b.w1"), col("b.w2"))) * lit(2147483648L) +
+          shiftright(h32b(concat_ws(" ", col("b.w1"), col("b.w2"))), 1))
+          .as("g"),
+        (h32(col("b.w1")) * lit(2147483648L) +
+          shiftright(h32b(col("b.w1")), 1)).as("gw"))
+      // gw is functionally dependent on g (same w1), so adding it to
+      // the keys changes no group
+      .groupBy("doc_id", "source", "g", "gw")
       .agg(count(lit(1)).as("occ"))
-    val lm = pairs.groupBy("w1", "w2").agg(sum("occ").as("c12"))
-    val pref = lm.groupBy("w1").agg(sum("c12").as("c1"))
+    // prefix totals from an independent TOKEN-level subtree: c1(w1) =
+    // occurrences of w1 in non-final position = Σ_g∈gw c12 — a narrow
+    // hash-keyed count aggregation (map-side partials absorb viral
+    // prefixes) instead of a gw-partitioned window (one fat task per
+    // viral prefix, and windows cannot skew-split) or a re-derived lm
+    // join (Catalyst cannot reuse the compaction exchange across the
+    // probe and a derived aggregate — td25's measured finding)
+    val pref = d
+      .select(split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr("slice(t, 1, size(t) - 1)")).as("w1"))
+      .select((h32(col("w1")) * lit(2147483648L) +
+        shiftright(h32b(col("w1")), 1)).as("gw"))
+      .groupBy("gw").agg(count(lit(1)).as("c1"))
+    // (g, gw) partition grain matches the oracle's GROUP BY g, gw —
+    // on a g-collision across different prefixes (2^-63 odds) the two
+    // engines then still merge identically
     val perDoc = pairs
-      .join(lm, Seq("w1", "w2"))
-      .join(pref, Seq("w1"))
+      .withColumn("c12", sum("occ").over(Window.partitionBy("g", "gw")))
+      .join(pref, Seq("gw"))
       .select(col("doc_id"), col("source"), col("occ"),
         // c12 ≤ c1 caps p_q at 2^20 (zero nll); the floor at 1 keeps
         // the log total when c12·2^20 div c1 truncates to 0
@@ -2480,17 +2516,22 @@ object TextPipeline extends graft.Registry {
          |           WHERE len(string_split(text, ' ')) >= 2),
          |ix AS (SELECT doc_id, source, a, unnest(range(1, len(a))) AS i
          |       FROM t),
-         |p AS (SELECT doc_id, source, a[i] AS w1, a[i + 1] AS w2 FROM ix),
-         |pc AS (SELECT doc_id, source, w1, w2, COUNT(*) AS occ
-         |       FROM p GROUP BY doc_id, source, w1, w2),
-         |lm AS (SELECT w1, w2, CAST(SUM(occ) AS BIGINT) AS c12
-         |       FROM pc GROUP BY w1, w2),
-         |pref AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
-         |         FROM lm GROUP BY w1),
+         |p AS (SELECT doc_id, source,
+         |             ${h32Sql("a[i] || ' ' || a[i + 1]")} * 2147483648 +
+         |               ${h32bSql("a[i] || ' ' || a[i + 1]")} // 2 AS g,
+         |             ${h32Sql("a[i]")} * 2147483648 +
+         |               ${h32bSql("a[i]")} // 2 AS gw
+         |      FROM ix),
+         |pc AS (SELECT doc_id, source, g, gw, COUNT(*) AS occ
+         |       FROM p GROUP BY doc_id, source, g, gw),
+         |lm AS (SELECT g, gw, CAST(SUM(occ) AS BIGINT) AS c12
+         |       FROM pc GROUP BY g, gw),
+         |pref AS (SELECT gw, CAST(SUM(c12) AS BIGINT) AS c1
+         |         FROM lm GROUP BY gw),
          |sc AS (SELECT pc.doc_id, pc.source, pc.occ,
          |              greatest((lm.c12 * ${1L << LmProbScale}) // pref.c1,
          |                       1) AS p_q
-         |       FROM pc JOIN lm USING (w1, w2) JOIN pref USING (w1)),
+         |       FROM pc JOIN lm USING (g, gw) JOIN pref USING (gw)),
          |nl AS (SELECT doc_id, source, occ, $nllMax - ($lg) AS nll
          |       FROM sc),
          |pd AS (SELECT source,
