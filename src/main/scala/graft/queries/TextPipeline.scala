@@ -788,14 +788,24 @@ object TextPipeline extends graft.Registry {
     cachedByPlan(simhashSig(
       shingleIndex(s, dir).withColumn("h2", h32b(col("shingle")))))
 
-  def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSigOf(s, dir)
-    // AQE-style runtime choice from the TRUE corpus cardinality (sig
-    // is cached — the count is a cache scan, not a recompute):
-    // Catalyst cannot cost this itself (Generate stats don't multiply
-    // by the array size), the three schemes' costs cross at measured
-    // corpus sizes, and all are complete for hamming ≤ MaxHamming so
-    // the result set is identical regardless of regime.
+  def dedupSimHash(s: SparkSession, dir: String): DataFrame =
+    simHashPairsOf(simhashSigOf(s, dir))
+
+  /** Near-dup pairs of ANY 64-bit signature frame `(doc_id BIGINT,
+    * simhash BIGINT)` at Hamming ≤ [[MaxHamming]] — the regime chooser
+    * shared by the text SimHash path ([[dedupSimHash]]) and the
+    * perceptual image-hash path
+    * ([[graft.pipeline.Multimodal.nearDupImages]]): the banding /
+    * sorted-run machinery is signature-agnostic.
+    *
+    * AQE-style runtime choice from the TRUE corpus cardinality (the
+    * text caller's sig is cached — the count is a cache scan, not a
+    * recompute): Catalyst cannot cost this itself (Generate stats
+    * don't multiply by the array size), the three schemes' costs
+    * cross at measured corpus sizes, and all are complete for
+    * hamming ≤ MaxHamming so the result set is identical regardless
+    * of regime. */
+  private[graft] def simHashPairsOf(sig: DataFrame): DataFrame = {
     val n = sig.count()
     if (n >= MankuMinDocs) dedupSimHashManku(sig)
     else dedupSimHashBanded(sig, n >= BlockPairMinDocs)

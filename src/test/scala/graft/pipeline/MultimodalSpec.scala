@@ -591,4 +591,76 @@ class MultimodalSpec extends SparkSpec {
     assert(info.get.samples.length <= bomb.length / 10,
       s"sample table bounded by file bytes: ${info.get.samples.length}")
   }
+
+  test("perceptual dHash near-dup: variants collide, distinct images do not; banding ≡ brute force") {
+    import spark.implicits._
+    // seeded macro-cell images: 9×8 cells of 50×50 px each, so the
+    // dHash downscale grid recovers the cell structure and different
+    // seeds land ~32 Hamming bits apart
+    def cellImage(seed: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val rnd = new scala.util.Random(seed)
+      val cells = Array.fill(8, 9)(rnd.nextInt(256))
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val v = cells(y * 8 / h)(x * 9 / w)
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      im
+    }
+    def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    def scaled(im: java.awt.image.BufferedImage, w: Int, h: Int) = {
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(im, 0, 0, w, h, null)
+      } finally g.dispose()
+      dst
+    }
+    val seeds = 1 to 6
+    val rows = seeds.flatMap { s =>
+      val base = cellImage(s, 450, 400)
+      Seq(
+        MediaFile(s * 10L, "image", enc(base, "png"), Map.empty),
+        // the two standard near-dup transforms: downscale, recompress
+        MediaFile(s * 10L + 1, "image",
+          enc(scaled(base, 225, 200), "png"), Map.empty),
+        MediaFile(s * 10L + 2, "image", enc(base, "jpg"), Map.empty))
+    } :+ MediaFile(999L, "audio",
+      Array.tabulate(400)(i => (i % 251).toByte), Map.empty)
+    val ds = spark.createDataset(rows)
+
+    // undecodable audio bytes drop out of the hash frame
+    val hs = perceptualHash(ds).collect().map(h => h.mediaId -> h.phash).toMap
+    assert(hs.keySet === rows.map(_.mediaId).toSet - 999L)
+
+    val pairs = nearDupImages(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banding-completeness pin vs brute force over the same hashes —
+    // the reused td08 machinery must find EXACTLY the ≤7-Hamming set
+    val brute = (for {
+      (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 7
+    } yield (a, b)).toSet
+    assert(pairs === brute)
+    // every planted variant pair collides with its base
+    seeds.foreach { s =>
+      assert(pairs.contains((s * 10L, s * 10L + 1)),
+        s"resized variant of seed $s must collide")
+      assert(pairs.contains((s * 10L, s * 10L + 2)),
+        s"recompressed variant of seed $s must collide")
+    }
+    // no cross-seed pair: distinct images stay apart
+    val crossSeed = pairs.filter { case (a, b) => a / 10 != b / 10 }
+    assert(crossSeed.isEmpty, s"distinct images collided: $crossSeed")
+  }
 }
