@@ -53,7 +53,7 @@ object VectorPipeline extends graft.Registry {
   // testdata; asserted by PipelineSpec's candidate-fraction
   // floor). Weak-similarity workloads belong on the IVF route
   // ([[annIvf]]), not on a near-dup pair scan.
-  private val NearDupCos = 0.8
+  private[queries] val NearDupCos = 0.8
   // 64 hyperplanes in 8 bands of 8. Independence is why [[ndPlane]]
   // hashes: the affine [[plane]] formula has period 11 in p, so 64 of
   // those would collapse to 11 distinct planes with heavily-correlated
@@ -84,7 +84,7 @@ object VectorPipeline extends graft.Registry {
   /** Ordered-fold dot product via the codegen'd native expression
     * ([[graft.functions.FloatVecDot]]) — same IEEE fold as the DuckDB
     * oracle's list_reduce, ~100× cheaper than the HOF formulation. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"vec_dot($a, $b)"
 
   /** Same fold in DuckDB (list_prepend(0.0) mirrors Spark's zero). */
@@ -119,7 +119,7 @@ object VectorPipeline extends graft.Registry {
       .mkString(" + ")
 
   /** embeddings + precomputed L2 norm (one codegen'd pass). */
-  private def withNorm(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def withNorm(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Functions.register(s)
     Tables.table(s, dir, "embeddings")
       .select(
@@ -271,7 +271,7 @@ object VectorPipeline extends graft.Registry {
   // assignments, dispersion quantization, index-health degrees) —
   // see [[graft.PlanKeyedCache]].
   private val planCache = new graft.PlanKeyedCache
-  private def cachedByPlan(df: DataFrame): DataFrame = planCache(df)
+  private[queries] def cachedByPlan(df: DataFrame): DataFrame = planCache(df)
 
   /** Drop this session's cached signature/intermediate frames (session
     * stop / corpus re-ingest) — the same discipline as
@@ -905,8 +905,8 @@ object VectorPipeline extends graft.Registry {
     * 20k, 390 at 200k). The oracle computes the same count in SQL
     * (`GREATEST(8, COUNT(*) // 512)`; both sides floor non-negative
     * integer division), so the plan stays bit-deterministic. */
-  private val SemCellTarget = 512L
-  private val SemMinClusters = 8L
+  private[queries] val SemCellTarget = 512L
+  private[queries] val SemMinClusters = 8L
 
   /** v10: SemDeDup-style semantic dedup audit (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with a deterministic
@@ -947,6 +947,46 @@ object VectorPipeline extends graft.Registry {
   /** [[semDedup]] over an arbitrary norm'd frame with an explicit
     * cluster count — the declared query binds the stored corpus and
     * the scaling formula; tests bind planted corpora. */
+  /** The v10 cell-assignment frame `(vec_id, embedding, nrm,
+    * seed_id)` over a norm'd, zero-norm-free corpus: a ROW-LOCAL
+    * argmax over the seed set carried as one broadcast array row —
+    * the v06/v14/v19 codebook shape. The r15 sf100 run proved the
+    * previous crossJoin + row_number form disk-infeasible once k
+    * grows with the corpus: WindowGroupLimit caps what SURVIVES the
+    * window's sort, not what ENTERS it, so n·k rows (7.8×10⁹ at 2 M
+    * vectors, k = 3 906) each carrying a 512-byte embedding hit the
+    * per-task local sort → >65 GB of spill → ENOSPC, twice, on two
+    * differently-loaded disks. Here no n·k row ever exists: each
+    * corpus row folds over the seed array in place (same n·k
+    * dot-product COUNT, zero materialization). `array_min` over
+    * (−scos, seed_id) structs = max cosine with the smallest-seed
+    * tie-break, identical to the window's (scos DESC, seed_id ASC);
+    * element order in the collected array is irrelevant to the fold,
+    * so collect_list's nondeterministic order is safe. Seed-set size
+    * bound: one row of k·(8+520) B — ~2 MB at sf100; past a
+    * broadcastable k the production recipe is hierarchical
+    * assignment (see [[semDedup]]'s Scaladoc), same row-local shape
+    * per level. Cached: the fold pass feeds both pair-join sides and
+    * the cell census (at scale this is the materialized IVF
+    * assignment table); exposed private[queries] so the sf10
+    * invariant gate (PipelineSpec) can recompute the removed/kept
+    * partition at the SET level against the declared report. */
+  private[queries] def semAssign(e: DataFrame, k: Long): DataFrame = {
+    val seeds = e.where(col("vec_id") < k)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
+        col("nrm").as("sn"))
+    val codebook = seeds
+      .agg(collect_list(struct(col("seed_id"), col("se"), col("sn")))
+        .as("cents"))
+    cachedByPlan(e.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        expr("array_min(transform(cents, c -> named_struct(" +
+          s"'ns', -(${dotSql("embedding", "c.se")}) / (nrm * c.sn), " +
+          "'seed_id', c.seed_id)))").as("best"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("best.seed_id").as("seed_id")))
+  }
+
   private[queries] def semDedupOn(e0: DataFrame, k: Long): DataFrame = {
     // Zero-norm rows are EXCLUDED, not just assumed absent: a 0-vector
     // makes every cosine 0/0 = NaN, and NaN ranks LAST in the argmax
@@ -957,41 +997,7 @@ object VectorPipeline extends graft.Registry {
     // no cosine similarity to anything — dropping it is the only
     // self-consistent semantics.
     val e = e0.where(col("nrm") > 0)
-    val seeds = e.where(col("vec_id") < k)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
-        col("nrm").as("sn"))
-    // Assignment is a ROW-LOCAL argmax over the seed set carried as
-    // one broadcast array row — the v06/v14/v19 codebook shape. The
-    // r15 sf100 run proved the previous crossJoin + row_number form
-    // disk-infeasible once k grows with the corpus: WindowGroupLimit
-    // caps what SURVIVES the window's sort, not what ENTERS it, so
-    // n·k rows (7.8×10⁹ at 2 M vectors, k = 3 906) each carrying a
-    // 512-byte embedding hit the per-task local sort → >65 GB of
-    // spill → ENOSPC, twice, on two differently-loaded disks. Here no
-    // n·k row ever exists: each corpus row folds over the seed array
-    // in place (same n·k dot-product COUNT, zero materialization).
-    // array_min over (−scos, seed_id) structs = max cosine with the
-    // smallest-seed tie-break, identical to the window's
-    // (scos DESC, seed_id ASC); element order in the collected array
-    // is irrelevant to the fold, so collect_list's nondeterministic
-    // order is safe. Seed-set size bound: one row of k·(8+520) B —
-    // ~2 MB at sf100; past a broadcastable k the production recipe is
-    // hierarchical assignment (see Scaladoc), same row-local shape
-    // per level. Zero-norm corner: excluded above — see the filter
-    // note at the top of this method.
-    val codebook = seeds
-      .agg(collect_list(struct(col("seed_id"), col("se"), col("sn")))
-        .as("cents"))
-    // cache: the assignment (the n·k fold pass) feeds BOTH pair-join
-    // sides and the cell census — uncached it would run three times
-    // (at scale this is the materialized IVF assignment table)
-    val assigned = cachedByPlan(e.crossJoin(broadcast(codebook))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        expr("array_min(transform(cents, c -> named_struct(" +
-          s"'ns', -(${dotSql("embedding", "c.se")}) / (nrm * c.sn), " +
-          "'seed_id', c.seed_id)))").as("best"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("best.seed_id").as("seed_id")))
+    val assigned = semAssign(e, k)
     val a = assigned.select(col("seed_id"), col("vec_id").as("a_id"),
       col("embedding").as("ae"), col("nrm").as("an"))
     val b = assigned.select(col("seed_id"), col("vec_id").as("b_id"),

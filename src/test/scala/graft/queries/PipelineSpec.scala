@@ -49,6 +49,73 @@ class PipelineSpec extends SparkSpec {
     assert(strong.subsetOf(sh), s"missed strong pairs: ${strong -- sh}")
   }
 
+  test("v10 semdedup set-level invariants (sf10 scale gate; canceled without localdata)") {
+    // The full-corpus DuckDB oracle for v10 at sf10 is infeasible
+    // (n·k window state exhausts its temp budget — SCALEGATE_r16) and
+    // the vec_id slice thins within-cell structure, so this gate
+    // certifies the declared report against an INDEPENDENT set-level
+    // recomputation of the removed/kept partition over the same
+    // assignment frame: per-cell distinct-removed SETS via a semi-join
+    // route (vs the report's countDistinct), the kept complement, and
+    // conservation laws. Runs only where the scale corpus exists
+    // (scale-gate script / builder session), never in plain CI.
+    val sf10 = "localdata/sf10"
+    assume(new java.io.File(s"$sf10/embeddings.parquet").exists(),
+      s"$sf10 absent — scale-gate-only case")
+    import org.apache.spark.sql.functions._
+    val e = VectorPipeline.cachedByPlan(
+      VectorPipeline.withNorm(spark, sf10)).where(col("nrm") > 0)
+    val n = e.count()
+    val k = math.max(VectorPipeline.SemMinClusters,
+      n / VectorPipeline.SemCellTarget)
+    val report = VectorPipeline.semDedupOn(e, k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+    // conservation: every non-zero-norm vector lands in exactly one
+    // cell, and the report covers exactly the non-empty cells
+    assert(report.values.map(_._1).sum === n)
+    assert(report.keySet.forall(_ < k))
+
+    val assigned = VectorPipeline.semAssign(e, k)
+    val aa = assigned.select(col("seed_id"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), col("nrm").as("an"))
+    val bb = assigned.select(col("seed_id"), col("vec_id").as("b_id"),
+      col("embedding").as("be"), col("nrm").as("bn"))
+    val removed = aa.join(bb, Seq("seed_id"))
+      .where(col("a_id") < col("b_id") &&
+        expr(VectorPipeline.dotSql("ae", "be")) / (col("an") * col("bn"))
+          >= VectorPipeline.NearDupCos)
+      .select(col("seed_id"), col("b_id")).distinct()
+    val remPerCell = removed.groupBy("seed_id")
+      .agg(count(lit(1)).as("n_rem")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two-sided: the report's per-cell n_removed equals the size of
+    // the independently materialized removed SET, cell by cell
+    report.foreach { case (cell, (_, _, nRemoved)) =>
+      assert(remPerCell.getOrElse(cell, 0L) === nRemoved,
+        s"cell $cell removed-count mismatch")
+    }
+    assert(remPerCell.keySet.subsetOf(report.keySet))
+
+    // removed ∩ kept = ∅ and the partition is exact: kept (vectors
+    // never appearing as a removed b_id) plus removed covers each cell
+    val keptPerCell = assigned.join(removed.withColumnRenamed("b_id", "vec_id"),
+        Seq("seed_id", "vec_id"), "left_anti")
+      .groupBy("seed_id").agg(count(lit(1)).as("n_kept")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    report.foreach { case (cell, (nVec, _, nRemoved)) =>
+      assert(keptPerCell.getOrElse(cell, 0L) === nVec - nRemoved,
+        s"cell $cell kept+removed must partition the cell")
+      assert(nVec - nRemoved >= 1,
+        s"cell $cell: the smallest id in any dup pair survives by construction")
+    }
+    // zero pairs ⇔ zero removed
+    report.foreach { case (cell, (_, nPairs, nRemoved)) =>
+      assert((nPairs == 0) === (nRemoved == 0), s"cell $cell pair/removed parity")
+    }
+  }
+
   test("lm perplexity score matches an in-memory integer reference (td32)") {
     import spark.implicits._
     // planted corpus: src_a is templated (one phrase repeated — high
