@@ -1536,6 +1536,42 @@ object TextPipeline extends graft.Registry {
     * the declared query binds the stored corpus; PipelineSpec binds a
     * planted corpus against an in-memory integer reference. */
   private[queries] def lmScoreOf(d: DataFrame): DataFrame = {
+    val perDoc = lmDocScores(d)
+      .select(col("source"), col("bpb"))
+    val wCum = Window.partitionBy("source").orderBy("bpb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("source")
+    def atLeast(pct: Int) =
+      min(when(col("cum") * 100 >= col("n") * pct, col("bpb")))
+    perDoc
+      .groupBy("source", "bpb")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .groupBy("source")
+      .agg(
+        sum("cnt").as("n_docs"),
+        min("bpb").as("min_bpb_q12"),
+        max("bpb").as("max_bpb_q12"),
+        atLeast(25).as("p25_bpb_q12"),
+        atLeast(50).as("p50_bpb_q12"),
+        atLeast(75).as("p75_bpb_q12"),
+        atLeast(95).as("p95_bpb_q12"))
+      .orderBy("source")
+  }
+
+  /** The maximum per-bigram score: the quantization floor p_q = 1
+    * gives log2 = 0 and nll = [[LmProbScale]]·2^[[LmLogF]] — also the
+    * out-of-vocabulary backoff the streaming gate charges a bigram
+    * the stored LM has never seen. */
+  private[graft] val LmNllMax: Long = LmProbScale.toLong * (1L << LmLogF)
+
+  /** Per-document LM scores `(doc_id, source, n_bigrams, bpb)` —
+    * [[lmScoreOf]] before the per-source histogramming; shared with
+    * the streaming gate's equivalence pin (DocStreamsSpec scores the
+    * same corpus as a stream against [[lmNllTable]] and must match
+    * bit-for-bit). */
+  private[graft] def lmDocScores(d: DataFrame): DataFrame = {
     // bigram and prefix hash to 63-bit keys AT THE SOURCE (td25's
     // two-md5-word construction, collisions at 2^-32 odds for 10^9
     // distinct keys, mirrored into the oracle so a collision merges
@@ -1574,7 +1610,7 @@ object TextPipeline extends graft.Registry {
     // (g, gw) partition grain matches the oracle's GROUP BY g, gw —
     // on a g-collision across different prefixes (2^-63 odds) the two
     // engines then still merge identically
-    val perDoc = pairs
+    pairs
       .withColumn("c12", sum("occ").over(Window.partitionBy("g", "gw")))
       .join(pref, Seq("gw"))
       .select(col("doc_id"), col("source"), col("occ"),
@@ -1588,27 +1624,46 @@ object TextPipeline extends graft.Registry {
       .groupBy("doc_id", "source")
       .agg(sum(col("occ") * col("nll")).as("nll_sum"),
         sum("occ").as("n_bigrams"))
-      .select(col("source"), expr("nll_sum div n_bigrams").as("bpb"))
-    val wCum = Window.partitionBy("source").orderBy("bpb")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("source")
-    def atLeast(pct: Int) =
-      min(when(col("cum") * 100 >= col("n") * pct, col("bpb")))
-    perDoc
-      .groupBy("source", "bpb")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(wCum))
-      .withColumn("n", sum("cnt").over(wAll))
-      .groupBy("source")
-      .agg(
-        sum("cnt").as("n_docs"),
-        min("bpb").as("min_bpb_q12"),
-        max("bpb").as("max_bpb_q12"),
-        atLeast(25).as("p25_bpb_q12"),
-        atLeast(50).as("p50_bpb_q12"),
-        atLeast(75).as("p75_bpb_q12"),
-        atLeast(95).as("p95_bpb_q12"))
-      .orderBy("source")
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        expr("nll_sum div n_bigrams").as("bpb"))
+  }
+
+  /** The stored LM scoring table `(g, nll)` — one row per distinct
+    * corpus bigram with its 2^[[LmLogF]]-scaled negative
+    * log2-probability, the material a production pipeline trains ONCE
+    * on the standing corpus and every ingest batch scores against
+    * (the streaming gate [[graft.streaming.DocStreams.lmScoreGate]]).
+    * Arithmetic is exactly [[lmDocScores]]'s: c12 via groupBy here ≡
+    * the window sum there (same keys, same integer ops), so a doc
+    * scored against this table matches its batch self-score
+    * bit-for-bit (pinned by DocStreamsSpec). */
+  private[graft] def lmNllTable(d: DataFrame): DataFrame = {
+    val pairs = d
+      .select(split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(x, y) -> struct(x AS w1, y AS w2))")).as("b"))
+      .select(
+        (h32(concat_ws(" ", col("b.w1"), col("b.w2"))) * lit(2147483648L) +
+          shiftright(h32b(concat_ws(" ", col("b.w1"), col("b.w2"))), 1))
+          .as("g"),
+        (h32(col("b.w1")) * lit(2147483648L) +
+          shiftright(h32b(col("b.w1")), 1)).as("gw"))
+      .groupBy("g", "gw").agg(count(lit(1)).as("c12"))
+    val pref = d
+      .select(split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr("slice(t, 1, size(t) - 1)")).as("w1"))
+      .select((h32(col("w1")) * lit(2147483648L) +
+        shiftright(h32b(col("w1")), 1)).as("gw"))
+      .groupBy("gw").agg(count(lit(1)).as("c1"))
+    pairs.join(pref, Seq("gw"))
+      .select(col("g"),
+        greatest(expr(s"c12 * ${1L << LmProbScale} div c1"), lit(1L))
+          .as("p_q"))
+      .select(col("g"),
+        (lit(LmNllMax) - expr(lmLog2Sql("p_q"))).as("nll"))
   }
 
   /** [[sourceDrift]] over an arbitrary `(source, text)` frame — the

@@ -170,6 +170,54 @@ object DocStreams {
       .select("doc_id", "n_shared_shingles")
   }
 
+  /** Streaming LM-perplexity quality gate — td32's continuous form:
+    * each arriving document is scored against a STORED bigram-LM
+    * table (`(g, nll)` — [[graft.queries.TextPipeline.lmNllTable]],
+    * trained once on the standing corpus, the CCNet deployment
+    * shape) and reported with its 2^12-scaled bits-per-bigram plus an
+    * `admitted` verdict at `maxBpb`. Out-of-vocabulary bigrams (the
+    * stored LM has never seen them — impossible in batch
+    * self-scoring, routine on live ingest) are charged the
+    * quantization-floor maximum
+    * ([[graft.queries.TextPipeline.LmNllMax]]), the deterministic
+    * "unknown = minimum probability" backoff.
+    *
+    * Shape: bigram hashing is ROW-LOCAL (the same 63-bit two-md5-word
+    * keys as batch, so the stored table joins without any
+    * re-tokenization contract), the stream-static LEFT join is
+    * stateless (Catalyst broadcasts a small LM, shuffles a web-scale
+    * one), and the only state is the per-(doc, window) sum bounded by
+    * the watermark horizon — the [[decontaminate]] layout. A
+    * document scored here against a table trained on its own corpus
+    * matches its batch [[graft.queries.TextPipeline.lmDocScores]] row
+    * bit-for-bit (DocStreamsSpec pins this on the full sf0.001
+    * corpus). Docs under 2 tokens carry no bigram and pass nothing
+    * into the gate (batch excludes them from scoring the same way). */
+  def lmScoreGate(docs: DataFrame, lmNll: DataFrame, maxBpb: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.pipeline.TextPrep.{h32, h32b}
+    val bg = docs.withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("ingest_ts"),
+        split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("ingest_ts"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(x, y) -> concat(x, ' ', y))")).as("bigram"))
+      .select(col("doc_id"), col("ingest_ts"),
+        (h32(col("bigram")) * lit(2147483648L) +
+          shiftright(h32b(col("bigram")), 1)).as("g"))
+    bg
+      .join(lmNll, Seq("g"), "left")
+      .select(col("doc_id"), col("ingest_ts"),
+        coalesce(col("nll"),
+          lit(graft.queries.TextPipeline.LmNllMax)).as("nll"))
+      .groupBy(col("doc_id"), window(col("ingest_ts"), "1 minute"))
+      .agg(sum("nll").as("nll_sum"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("nll_sum div n_bigrams").as("bpb"))
+      .withColumn("admitted", col("bpb") <= maxBpb)
+  }
+
   /** One trending-token report row: a shard's top tokens for a
     * closed event-time window. `exact` certifies the shard's counts
     * are true counts (its sketch never evicted). */

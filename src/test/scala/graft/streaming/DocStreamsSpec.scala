@@ -355,6 +355,56 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM gate agrees bit-for-bit with batch td32 doc scores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.sources.Tables.table(spark, dir, "documents")
+    // the stored LM: trained ONCE on the standing corpus (batch)
+    val lmNll = graft.queries.TextPipeline.lmNllTable(all).cache()
+    val expect = graft.queries.TextPipeline.lmDocScores(all)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("bpb"))).toMap
+    val corpus = all.select("doc_id", "lang", "source", "text").collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+      .map(r => Doc(r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[String]("text"),
+        ts(r.getAs[Long]("doc_id"))))
+    val maxBpb = 40960L // 10 bits/bigram in q12 — an arbitrary gate bar
+    val src = MemoryStream[Doc]
+    val q = lmScoreGate(snake(src.toDF()), lmNll, maxBpb)
+      .writeStream.format("memory").queryName("lm_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(corpus.toSeq)
+      q.processAllAvailable()
+      src.addData(doc(999999, "zzqx unseen wholly novel phrase", 100000))
+      q.processAllAvailable()
+      // close 999999's own window so its OOV row emits too
+      src.addData(doc(999998, "window closer", 200000))
+      q.processAllAvailable()
+      val rows = spark.table("lm_gate").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("bpb")),
+            r.getAs[Boolean]("admitted"))).toMap
+      val closers = Set(999999L, 999998L)
+      val got = rows.view.filterKeys(!closers(_)).toMap
+        .map { case (k, v) => k -> v._1 }
+      assert(got === expect)
+      assert(expect.nonEmpty)
+      // the admitted verdict is the bpb threshold, verbatim
+      rows.foreach { case (id, ((_, bpb), adm)) =>
+        assert(adm === (bpb <= maxBpb), s"doc $id verdict")
+      }
+      // the OOV backoff: a wholly-novel doc is charged the
+      // quantization-floor maximum on every bigram and refused
+      val ((_, novelBpb), novelAdm) = rows(999999L)
+      assert(novelBpb === graft.queries.TextPipeline.LmNllMax)
+      assert(!novelAdm)
+    } finally q.stop()
+  }
+
   test("streaming decontamination agrees with the batch td12 pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
