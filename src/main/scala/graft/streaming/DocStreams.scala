@@ -597,6 +597,44 @@ object DocStreams {
       .select(col("doc_id"), col("ingest_ts"),
         graft.queries.TextPipeline.simhashLocal("hs", "hs2").as("simhash"))
 
+    nearDupSimHashSig(sig, watermark, maxBucketDocs)
+  }
+
+  /** Streaming perceptual image near-dup — the live half of
+    * [[graft.pipeline.Multimodal.nearDupImages]]: each arriving
+    * `(media_id, content, ingest_ts)` blob is dHashed ONCE
+    * (row-local, the blob never enters state or a shuffle — only the
+    * 8-byte signature does) and checked against the already-ingested
+    * signatures in its band buckets, exactly the [[nearDupSimHash]]
+    * machinery on a different 64-bit signature. Undecodable payloads
+    * drop out (the [[graft.pipeline.Multimodal.dHash64]] contract).
+    * Pair semantics, banding scheme, Hamming bar and state bounds are
+    * the shared [[nearDupSimHashSig]]'s — MultimodalSpec pins
+    * streamed pairs against the batch operator on planted
+    * resize/recompress variants. */
+  def nearDupImages(media: DataFrame,
+      watermark: String = "1 hour",
+      maxBucketDocs: Int = 64): Dataset[SimDupPair] = {
+    import media.sparkSession.implicits._
+    val sig = media
+      .select(col("media_id"), col("ingest_ts"), col("content"))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, ts, bytes) =>
+        graft.pipeline.Multimodal.dHash64(bytes).map(h => (id, ts, h))
+      })
+      .toDF("doc_id", "ingest_ts", "simhash")
+    nearDupSimHashSig(sig, watermark, maxBucketDocs)
+  }
+
+  /** The banding + bucket-state half of [[nearDupSimHash]], over ANY
+    * 64-bit signature frame `(doc_id, ingest_ts, simhash)` — shared
+    * with the perceptual image gate ([[nearDupImages]]), the
+    * streaming twin of the batch regime chooser
+    * [[graft.queries.TextPipeline.simHashPairsOf]]. */
+  private[streaming] def nearDupSimHashSig(sig: DataFrame,
+      watermark: String, maxBucketDocs: Int): Dataset[SimDupPair] = {
+    import sig.sparkSession.implicits._
+    import graft.queries.TextPipeline.MaxHamming
     // One row per block-pair band (TextPipeline.simBandKeys — the SAME
     // scheme as the batch equijoin, so both halves bucket identically
     // and state spreads over ~590k keys instead of 2 048), produced by

@@ -662,5 +662,27 @@ class MultimodalSpec extends SparkSpec {
     // no cross-seed pair: distinct images stay apart
     val crossSeed = pairs.filter { case (a, b) => a / 10 != b / 10 }
     assert(crossSeed.isEmpty, s"distinct images collided: $crossSeed")
+
+    // streaming twin: the same blobs arriving as a stream must yield
+    // the SAME pair set (first-seen order, one pair per near-dup) —
+    // the batch set here has exactly one variant pair per (base,
+    // variant), so set equality is exact, not just recall
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val streamed = graft.streaming.DocStreams.nearDupImages(
+      src.toDF().toDF("media_id", "content", "ingest_ts"))
+      .writeStream.format("memory").queryName("img_dups")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(rows.sortBy(_.mediaId).map(m =>
+        (m.mediaId, m.content, new java.sql.Timestamp(m.mediaId * 1000))))
+      streamed.processAllAvailable()
+      val got = spark.table("img_dups").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === pairs,
+        "streamed image pairs must equal the batch operator's")
+    } finally streamed.stop()
   }
 }
