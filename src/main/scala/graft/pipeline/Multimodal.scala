@@ -200,7 +200,7 @@ object Multimodal {
     * fall back to [[StubCodec]] semantics like the image path. */
   object WavCodec extends Codec {
     /** (dataOffset, dataSize, blockAlign, sampleRate, channels). */
-    private def parse(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    private[pipeline] def parse(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
       def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
       def u32(i: Int): Long =
         (u16(i).toLong) | (u16(i + 2).toLong << 16)
@@ -900,6 +900,76 @@ object Multimodal {
   def nearDupImages(ds: Dataset[MediaFile]): org.apache.spark.sql.DataFrame =
     graft.queries.TextPipeline.simHashPairsOf(
       perceptualHash(ds).toDF("doc_id", "simhash"))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
+  /** aHash window count: energies over ([[AHashBits]]+1) equal time
+    * windows give [[AHashBits]] delta-sign bits — the audio analogue
+    * of the dHash grid. FROZEN like the dHash geometry. */
+  private val AHashBits = 64
+
+  /** 64-bit audio energy hash (aHash) of a PCM WAV payload: mean
+    * |sample| of the FIRST channel over 65 equal time windows, bit k
+    * = "window k quieter than window k+1". The signature the image
+    * dHash's gradient-sign idea induces on a waveform:
+    *  - GAIN-invariant (a uniform volume change scales every window
+    *    mean together, preserving each comparison up to rounding);
+    *  - RESAMPLE-robust (windows are time-proportional, so
+    *    frame decimation — [[WavCodec.resample]]'s transform — keeps
+    *    each window over the same audio region);
+    * while a byte hash (td05) sees any re-encode as a brand-new file.
+    * Exact integer arithmetic (Σ|s16| and integer mean), so the bit
+    * pattern is deterministic. None for: non-RIFF bytes, non-16-bit
+    * PCM, or fewer frames than windows (too short to fingerprint) —
+    * the [[dHash64]] drop-per-row contract. */
+  def aHash64(content: Array[Byte]): Option[Long] =
+    WavCodec.parse(content).flatMap {
+      case (off, dataSize, blockAlign, _, channels) =>
+        val bitsPerSample = 8 * blockAlign / math.max(1, channels)
+        val frames = dataSize / blockAlign
+        if (bitsPerSample != 16 || frames < AHashBits + 1) None
+        else {
+          val energy = new Array[Long](AHashBits + 1)
+          var w = 0
+          while (w < AHashBits + 1) {
+            val f0 = (w.toLong * frames / (AHashBits + 1)).toInt
+            val f1 = ((w + 1).toLong * frames / (AHashBits + 1)).toInt
+            var sum = 0L
+            var f = f0
+            while (f < f1) {
+              val i = off + f * blockAlign
+              val s = ((content(i) & 0xff) | (content(i + 1) << 8)).toShort
+              sum += math.abs(s.toLong)
+              f += 1
+            }
+            energy(w) = if (f1 > f0) sum / (f1 - f0) else 0L
+            w += 1
+          }
+          var bits = 0L
+          var k = 0
+          while (k < AHashBits) {
+            if (energy(k) < energy(k + 1)) bits |= 1L << k
+            k += 1
+          }
+          Some(bits)
+        }
+    }
+
+  /** Audio-hash batch operator — [[perceptualHash]]'s waveform
+    * sibling; undecodable or too-short payloads drop per-row. */
+  def audioHash(ds: Dataset[MediaFile]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(m =>
+      aHash64(m.content).map(MediaHash(m.mediaId, _))))
+  }
+
+  /** Audio near-dup pairs: [[aHash64]] signatures through the SAME
+    * signature-agnostic banding machinery as text SimHash and image
+    * dHash ([[graft.queries.TextPipeline.simHashPairsOf]]) — one pair
+    * machinery, three modalities. */
+  def nearDupAudio(ds: Dataset[MediaFile]): org.apache.spark.sql.DataFrame =
+    graft.queries.TextPipeline.simHashPairsOf(
+      audioHash(ds).toDF("doc_id", "simhash"))
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
 

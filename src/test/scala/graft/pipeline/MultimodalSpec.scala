@@ -685,4 +685,60 @@ class MultimodalSpec extends SparkSpec {
         "streamed image pairs must equal the batch operator's")
     } finally streamed.stop()
   }
+
+  test("audio aHash near-dup: gain/decimation variants collide, distinct audio does not") {
+    import spark.implicits._
+    // seeded macro-window audio: 65 windows × 80 frames, each window a
+    // constant-amplitude square-ish tone, amplitudes from Random(seed)
+    // — the aHash window grid recovers the envelope structure
+    def pcm(seed: Int, gainNum: Int, gainDen: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val amps = Array.fill(65)(500 + rnd.nextInt(12000))
+      val frames = 65 * 80
+      val buf = java.nio.ByteBuffer.allocate(44 + frames * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + frames * 2)
+        .put("WAVEfmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1).putInt(8000)
+        .putInt(8000 * 2).putShort(2).putShort(16)
+        .put("data".getBytes).putInt(frames * 2)
+      (0 until frames).foreach { f =>
+        val a = amps(f / 80) * gainNum / gainDen
+        buf.putShort((if (f % 2 == 0) a else -a).toShort)
+      }
+      buf.array()
+    }
+    val seeds = 1 to 5
+    val rows = seeds.flatMap { s =>
+      val base = pcm(s, 1, 1)
+      Seq(
+        MediaFile(s * 10L, "audio", base, Map.empty),
+        // the two standard transforms: volume change, downsampling
+        MediaFile(s * 10L + 1, "audio", pcm(s, 1, 2), Map.empty),
+        MediaFile(s * 10L + 2, "audio",
+          WavCodec.resample(base, 65 * 80, 8000, 1300, 2000), Map.empty))
+    } :+ MediaFile(888L, "image",
+      Array.tabulate(300)(i => (i % 251).toByte), Map.empty)
+    val ds = spark.createDataset(rows)
+
+    // non-audio / undecodable bytes drop out of the hash frame
+    val hs = audioHash(ds).collect().map(h => h.mediaId -> h.phash).toMap
+    assert(hs.keySet === rows.map(_.mediaId).toSet - 888L)
+
+    val pairs = nearDupAudio(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 7
+    } yield (a, b)).toSet
+    assert(pairs === brute, "banding must find exactly the <=7-Hamming set")
+    seeds.foreach { s =>
+      assert(pairs.contains((s * 10L, s * 10L + 1)),
+        s"half-gain variant of seed $s must collide")
+      assert(pairs.contains((s * 10L, s * 10L + 2)),
+        s"decimated variant of seed $s must collide")
+    }
+    val crossSeed = pairs.filter { case (a, b) => a / 10 != b / 10 }
+    assert(crossSeed.isEmpty, s"distinct audio collided: $crossSeed")
+  }
 }
