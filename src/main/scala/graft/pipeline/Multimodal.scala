@@ -955,6 +955,67 @@ object Multimodal {
         }
     }
 
+  /** vHash frame budget: evenly-spaced samples voted per bit. */
+  private val VHashFrames = 4
+
+  /** 64-bit video perceptual hash: [[dHash64]] of up to
+    * [[VHashFrames]] evenly-spaced REAL samples from the container's
+    * sample table (the [[sampleFrames]] addressing), combined by
+    * per-bit MAJORITY vote — the SimHash idea over frames, so one
+    * corrupt or atypical frame cannot flip the signature. Decodable
+    * today for MJPEG tracks (each sample is a complete JPEG the JDK
+    * reads); inter-coded bitstreams (H.264/HEVC) yield no decodable
+    * frame and return None — the honest boundary, same as
+    * [[sampleFrames]]'s width/height contract. A re-muxed or
+    * re-compressed copy keeps its visual frames, so its frame dHashes
+    * — and therefore the majority bits — survive, which is exactly
+    * what td05's byte hash cannot see. */
+  def vHash64(content: Array[Byte]): Option[Long] =
+    Mp4Codec.parse(content).flatMap { info =>
+      val len = content.length
+      val samples = info.samples.filter { case (off, sz) =>
+        off >= 0 && sz > 2 && off + sz <= len }
+      if (samples.isEmpty) None
+      else {
+        val n = math.min(VHashFrames, samples.length)
+        val hashes = (0 until n).flatMap { f =>
+          val (off, sz) = samples((samples.length.toLong * f / n).toInt)
+          dHash64(java.util.Arrays.copyOfRange(
+            content, off.toInt, off.toInt + sz))
+        }
+        if (hashes.isEmpty) None
+        else {
+          var bits = 0L
+          var b = 0
+          while (b < 64) {
+            var votes = 0
+            hashes.foreach(h => if (((h >> b) & 1L) == 1L) votes += 1)
+            if (votes * 2 > hashes.size) bits |= 1L << b
+            b += 1
+          }
+          Some(bits)
+        }
+      }
+    }
+
+  /** Video-hash batch operator — frame-majority [[vHash64]] per row;
+    * containers with no decodable frame drop per-row. */
+  def videoHash(ds: Dataset[MediaFile]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(m =>
+      vHash64(m.content).map(MediaHash(m.mediaId, _))))
+  }
+
+  /** Video near-dup pairs — the fourth modality on the SAME
+    * signature-agnostic banding machinery
+    * ([[graft.queries.TextPipeline.simHashPairsOf]]) as text SimHash,
+    * image dHash and audio aHash. */
+  def nearDupVideo(ds: Dataset[MediaFile]): org.apache.spark.sql.DataFrame =
+    graft.queries.TextPipeline.simHashPairsOf(
+      videoHash(ds).toDF("doc_id", "simhash"))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
   /** Audio-hash batch operator — [[perceptualHash]]'s waveform
     * sibling; undecodable or too-short payloads drop per-row. */
   def audioHash(ds: Dataset[MediaFile]): Dataset[MediaHash] = {

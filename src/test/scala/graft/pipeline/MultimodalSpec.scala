@@ -686,6 +686,99 @@ class MultimodalSpec extends SparkSpec {
     } finally streamed.stop()
   }
 
+  test("video vHash near-dup: re-scaled MJPEG variants collide, distinct videos do not") {
+    import spark.implicits._
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      buf.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      buf.array()
+    }
+    // seeded macro-cell frame (the dHash-recoverable structure from
+    // the image test), with a constant per-frame brightness offset —
+    // dHash is gradient-sign, so all frames of one video share a hash
+    def frame(seed: Int, w: Int, h: Int, bright: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val cells = Array.fill(8, 9)(20 + rnd.nextInt(200))
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val v = math.min(255, cells(y * 8 / h)(x * 9 / w) + bright)
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    def mjpeg(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val ftyp = box("ftyp",
+        "qt  qt  ".getBytes("US-ASCII") ++ Array.fill(4)(0.toByte))
+      val mdat = box("mdat", frames.reduce(_ ++ _))
+      val chunk1 = ftyp.length + 8
+      def hdlr = {
+        val p = java.nio.ByteBuffer.allocate(25)
+        p.putInt(0).putInt(0).put("vide".getBytes("US-ASCII"))
+        p.array()
+      }
+      val stsd = {
+        val p = java.nio.ByteBuffer.allocate(94)
+        p.putInt(0).putInt(1).putInt(86).put("jpeg".getBytes("US-ASCII"))
+        p.position(8 + 8 + 6); p.putShort(1)
+        p.array()
+      }
+      val stsz = {
+        val p = java.nio.ByteBuffer.allocate(12 + 4 * frames.length)
+        p.putInt(0).putInt(0).putInt(frames.length)
+        frames.foreach(f => p.putInt(f.length))
+        p.array()
+      }
+      val stsc = {
+        val p = java.nio.ByteBuffer.allocate(20)
+        p.putInt(0).putInt(1).putInt(1).putInt(frames.length).putInt(1)
+        p.array()
+      }
+      val stco = {
+        val p = java.nio.ByteBuffer.allocate(12)
+        p.putInt(0).putInt(1).putInt(chunk1)
+        p.array()
+      }
+      ftyp ++ mdat ++ box("moov", box("trak", box("mdia",
+        box("hdlr", hdlr) ++ box("minf", box("stbl",
+          box("stsd", stsd) ++ box("stsz", stsz) ++
+            box("stsc", stsc) ++ box("stco", stco))))))
+    }
+    val seeds = 1 to 4
+    val rows = seeds.flatMap { s =>
+      val big = (0 until 4).map(f => frame(s, 450, 400, f * 4))
+      val small = (0 until 4).map(f => frame(s, 225, 200, f * 4))
+      Seq(
+        MediaFile(s * 10L, "video", mjpeg(big), Map.empty),
+        // the standard transform: every frame re-scaled + re-encoded
+        MediaFile(s * 10L + 1, "video", mjpeg(small), Map.empty))
+    } :+ MediaFile(777L, "video",
+      Array.tabulate(400)(i => (i % 251).toByte), Map.empty)
+    val ds = spark.createDataset(rows)
+
+    val hs = videoHash(ds).collect().map(h => h.mediaId -> h.phash).toMap
+    assert(hs.keySet === rows.map(_.mediaId).toSet - 777L)
+
+    val pairs = nearDupVideo(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 7
+    } yield (a, b)).toSet
+    assert(pairs === brute, "banding must find exactly the <=7-Hamming set")
+    seeds.foreach { s =>
+      assert(pairs.contains((s * 10L, s * 10L + 1)),
+        s"re-scaled variant of seed $s must collide")
+    }
+    val crossSeed = pairs.filter { case (a, b) => a / 10 != b / 10 }
+    assert(crossSeed.isEmpty, s"distinct videos collided: $crossSeed")
+  }
+
   test("audio aHash near-dup: gain/decimation variants collide, distinct audio does not") {
     import spark.implicits._
     // seeded macro-window audio: 65 windows × 80 frames, each window a
