@@ -626,6 +626,44 @@ object DocStreams {
     nearDupSimHashSig(sig, watermark, maxBucketDocs)
   }
 
+  /** Streaming audio near-dup — [[nearDupImages]]'s waveform sibling:
+    * arriving PCM blobs are aHashed row-locally
+    * ([[graft.pipeline.Multimodal.aHash64]]) and banded against
+    * ingested state; only 8-byte signatures ever leave the row. */
+  def nearDupAudio(media: DataFrame,
+      watermark: String = "1 hour",
+      maxBucketDocs: Int = 64): Dataset[SimDupPair] = {
+    import media.sparkSession.implicits._
+    val sig = media
+      .select(col("media_id"), col("ingest_ts"), col("content"))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, ts, bytes) =>
+        graft.pipeline.Multimodal.aHash64(bytes).map(h => (id, ts, h))
+      })
+      .toDF("doc_id", "ingest_ts", "simhash")
+    nearDupSimHashSig(sig, watermark, maxBucketDocs)
+  }
+
+  /** Streaming video near-dup — frame-majority
+    * [[graft.pipeline.Multimodal.vHash64]] signatures through the
+    * same shared banding state; with [[nearDupSimHash]],
+    * [[nearDupImages]] and [[nearDupAudio]], all four modalities run
+    * on one streaming pair engine, mirroring the batch
+    * `simHashPairsOf` family. */
+  def nearDupVideo(media: DataFrame,
+      watermark: String = "1 hour",
+      maxBucketDocs: Int = 64): Dataset[SimDupPair] = {
+    import media.sparkSession.implicits._
+    val sig = media
+      .select(col("media_id"), col("ingest_ts"), col("content"))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, ts, bytes) =>
+        graft.pipeline.Multimodal.vHash64(bytes).map(h => (id, ts, h))
+      })
+      .toDF("doc_id", "ingest_ts", "simhash")
+    nearDupSimHashSig(sig, watermark, maxBucketDocs)
+  }
+
   /** The banding + bucket-state half of [[nearDupSimHash]], over ANY
     * 64-bit signature frame `(doc_id, ingest_ts, simhash)` — shared
     * with the perceptual image gate ([[nearDupImages]]), the

@@ -777,6 +777,24 @@ class MultimodalSpec extends SparkSpec {
     }
     val crossSeed = pairs.filter { case (a, b) => a / 10 != b / 10 }
     assert(crossSeed.isEmpty, s"distinct videos collided: $crossSeed")
+
+    // streaming twin over the same blobs
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val q = graft.streaming.DocStreams.nearDupVideo(
+      src.toDF().toDF("media_id", "content", "ingest_ts"))
+      .writeStream.format("memory").queryName("vid_dups")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(rows.sortBy(_.mediaId).map(m =>
+        (m.mediaId, m.content, new java.sql.Timestamp(m.mediaId * 1000))))
+      q.processAllAvailable()
+      val got = spark.table("vid_dups").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === pairs, "streamed video pairs must equal batch")
+    } finally q.stop()
   }
 
   test("audio aHash near-dup: gain/decimation variants collide, distinct audio does not") {
@@ -833,5 +851,23 @@ class MultimodalSpec extends SparkSpec {
     }
     val crossSeed = pairs.filter { case (a, b) => a / 10 != b / 10 }
     assert(crossSeed.isEmpty, s"distinct audio collided: $crossSeed")
+
+    // streaming twin over the same blobs
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val q = graft.streaming.DocStreams.nearDupAudio(
+      src.toDF().toDF("media_id", "content", "ingest_ts"))
+      .writeStream.format("memory").queryName("aud_dups")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(rows.sortBy(_.mediaId).map(m =>
+        (m.mediaId, m.content, new java.sql.Timestamp(m.mediaId * 1000))))
+      q.processAllAvailable()
+      val got = spark.table("aud_dups").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === pairs, "streamed audio pairs must equal batch")
+    } finally q.stop()
   }
 }
