@@ -881,11 +881,38 @@ object Multimodal {
     * undecodable payloads drop out rather than fail the task, the
     * [[decode]] contract. Output is 16 bytes/row however large the
     * input blobs: the frame every downstream shuffle actually moves. */
-  def perceptualHash(ds: Dataset[MediaFile]): Dataset[MediaHash] = {
+  def perceptualHash(ds: Dataset[MediaFile]): Dataset[MediaHash] =
+    hashBy(ds, dHash64)
+
+  /** Shared hash-operator body: one decode per row, per partition;
+    * undecodable payloads drop per-row (each hasher's contract). */
+  private def hashBy(ds: Dataset[MediaFile],
+      hasher: Array[Byte] => Option[Long]): Dataset[MediaHash] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.flatMap(m =>
-      dHash64(m.content).map(MediaHash(m.mediaId, _))))
+      hasher(m.content).map(MediaHash(m.mediaId, _))))
   }
+
+  // cache-ownership for the decode-heavy hash frames (the
+  // graft.PlanKeyedCache discipline): simHashPairsOf counts the frame
+  // and self-joins it — uncached, EVERY blob would be decoded and
+  // hashed once per scan of the banding plan (up to ~17x in the
+  // 8-band unionAll regime). One hash pass per (session, corpus) is
+  // the contract; [[invalidate]] drops the entries.
+  private val planCache = new graft.PlanKeyedCache
+
+  /** Drop this session's cached media hash frames (session stop /
+    * corpus re-ingest) — the TextPipeline.invalidate discipline. */
+  def invalidate(spark: SparkSession): Unit = planCache.invalidate(spark)
+
+  /** Shared near-dup body: cached 64-bit hash frame through the
+    * signature-agnostic td08 banding machinery. */
+  private def nearDupBy(ds: Dataset[MediaFile],
+      hasher: Array[Byte] => Option[Long]): org.apache.spark.sql.DataFrame =
+    graft.queries.TextPipeline.simHashPairsOf(
+      planCache(hashBy(ds, hasher).toDF("doc_id", "simhash")))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
 
   /** Image near-dup pairs: dHash signatures through the td08 SimHash
     * banding/Hamming machinery VERBATIM
@@ -898,10 +925,7 @@ object Multimodal {
     * within 7. Blobs never cross the shuffle: only (mediaId, phash)
     * rows enter the banding. */
   def nearDupImages(ds: Dataset[MediaFile]): org.apache.spark.sql.DataFrame =
-    graft.queries.TextPipeline.simHashPairsOf(
-      perceptualHash(ds).toDF("doc_id", "simhash"))
-      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
-        col("hamming"))
+    nearDupBy(ds, dHash64)
 
   /** aHash window count: energies over ([[AHashBits]]+1) equal time
     * windows give [[AHashBits]] delta-sign bits — the audio analogue
@@ -1000,39 +1024,27 @@ object Multimodal {
 
   /** Video-hash batch operator — frame-majority [[vHash64]] per row;
     * containers with no decodable frame drop per-row. */
-  def videoHash(ds: Dataset[MediaFile]): Dataset[MediaHash] = {
-    import ds.sparkSession.implicits._
-    ds.mapPartitions(_.flatMap(m =>
-      vHash64(m.content).map(MediaHash(m.mediaId, _))))
-  }
+  def videoHash(ds: Dataset[MediaFile]): Dataset[MediaHash] =
+    hashBy(ds, vHash64)
 
   /** Video near-dup pairs — the fourth modality on the SAME
     * signature-agnostic banding machinery
     * ([[graft.queries.TextPipeline.simHashPairsOf]]) as text SimHash,
     * image dHash and audio aHash. */
   def nearDupVideo(ds: Dataset[MediaFile]): org.apache.spark.sql.DataFrame =
-    graft.queries.TextPipeline.simHashPairsOf(
-      videoHash(ds).toDF("doc_id", "simhash"))
-      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
-        col("hamming"))
+    nearDupBy(ds, vHash64)
 
   /** Audio-hash batch operator — [[perceptualHash]]'s waveform
     * sibling; undecodable or too-short payloads drop per-row. */
-  def audioHash(ds: Dataset[MediaFile]): Dataset[MediaHash] = {
-    import ds.sparkSession.implicits._
-    ds.mapPartitions(_.flatMap(m =>
-      aHash64(m.content).map(MediaHash(m.mediaId, _))))
-  }
+  def audioHash(ds: Dataset[MediaFile]): Dataset[MediaHash] =
+    hashBy(ds, aHash64)
 
   /** Audio near-dup pairs: [[aHash64]] signatures through the SAME
     * signature-agnostic banding machinery as text SimHash and image
     * dHash ([[graft.queries.TextPipeline.simHashPairsOf]]) — one pair
     * machinery, three modalities. */
   def nearDupAudio(ds: Dataset[MediaFile]): org.apache.spark.sql.DataFrame =
-    graft.queries.TextPipeline.simHashPairsOf(
-      audioHash(ds).toDF("doc_id", "simhash"))
-      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
-        col("hamming"))
+    nearDupBy(ds, aHash64)
 
   /** A resized media payload: target dims + the (stub-)resampled bytes. */
   final case class Resized(

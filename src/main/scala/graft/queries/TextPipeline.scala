@@ -1584,11 +1584,8 @@ object TextPipeline extends graft.Registry {
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
           "(x, y) -> struct(x AS w1, y AS w2))")).as("b"))
       .select(col("doc_id"), col("source"),
-        (h32(concat_ws(" ", col("b.w1"), col("b.w2"))) * lit(2147483648L) +
-          shiftright(h32b(concat_ws(" ", col("b.w1"), col("b.w2"))), 1))
-          .as("g"),
-        (h32(col("b.w1")) * lit(2147483648L) +
-          shiftright(h32b(col("b.w1")), 1)).as("gw"))
+        hashKey63(concat_ws(" ", col("b.w1"), col("b.w2"))).as("g"),
+        hashKey63(col("b.w1")).as("gw"))
       // gw is functionally dependent on g (same w1), so adding it to
       // the keys changes no group
       .groupBy("doc_id", "source", "g", "gw")
@@ -1604,8 +1601,7 @@ object TextPipeline extends graft.Registry {
       .select(split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 2)
       .select(explode(expr("slice(t, 1, size(t) - 1)")).as("w1"))
-      .select((h32(col("w1")) * lit(2147483648L) +
-        shiftright(h32b(col("w1")), 1)).as("gw"))
+      .select(hashKey63(col("w1")).as("gw"))
       .groupBy("gw").agg(count(lit(1)).as("c1"))
     // (g, gw) partition grain matches the oracle's GROUP BY g, gw —
     // on a g-collision across different prefixes (2^-63 odds) the two
@@ -1645,18 +1641,14 @@ object TextPipeline extends graft.Registry {
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
           "(x, y) -> struct(x AS w1, y AS w2))")).as("b"))
       .select(
-        (h32(concat_ws(" ", col("b.w1"), col("b.w2"))) * lit(2147483648L) +
-          shiftright(h32b(concat_ws(" ", col("b.w1"), col("b.w2"))), 1))
-          .as("g"),
-        (h32(col("b.w1")) * lit(2147483648L) +
-          shiftright(h32b(col("b.w1")), 1)).as("gw"))
+        hashKey63(concat_ws(" ", col("b.w1"), col("b.w2"))).as("g"),
+        hashKey63(col("b.w1")).as("gw"))
       .groupBy("g", "gw").agg(count(lit(1)).as("c12"))
     val pref = d
       .select(split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 2)
       .select(explode(expr("slice(t, 1, size(t) - 1)")).as("w1"))
-      .select((h32(col("w1")) * lit(2147483648L) +
-        shiftright(h32b(col("w1")), 1)).as("gw"))
+      .select(hashKey63(col("w1")).as("gw"))
       .groupBy("gw").agg(count(lit(1)).as("c1"))
     pairs.join(pref, Seq("gw"))
       .select(col("g"),

@@ -195,17 +195,15 @@ object DocStreams {
     * into the gate (batch excludes them from scoring the same way). */
   def lmScoreGate(docs: DataFrame, lmNll: DataFrame, maxBpb: Long,
       watermark: String = "10 minutes"): DataFrame = {
-    import graft.pipeline.TextPrep.{h32, h32b}
     val bg = docs.withWatermark("ingest_ts", watermark)
       .select(col("doc_id"), col("ingest_ts"),
         split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 2)
       .select(col("doc_id"), col("ingest_ts"), explode(expr(
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
-          "(x, y) -> concat(x, ' ', y))")).as("bigram"))
+          "(x, y) -> concat_ws(' ', x, y))")).as("bigram"))
       .select(col("doc_id"), col("ingest_ts"),
-        (h32(col("bigram")) * lit(2147483648L) +
-          shiftright(h32b(col("bigram")), 1)).as("g"))
+        graft.pipeline.TextPrep.hashKey63(col("bigram")).as("g"))
     bg
       .join(lmNll, Seq("g"), "left")
       .select(col("doc_id"), col("ingest_ts"),
@@ -614,13 +612,23 @@ object DocStreams {
     * resize/recompress variants. */
   def nearDupImages(media: DataFrame,
       watermark: String = "1 hour",
-      maxBucketDocs: Int = 64): Dataset[SimDupPair] = {
+      maxBucketDocs: Int = 64): Dataset[SimDupPair] =
+    nearDupMedia(media, graft.pipeline.Multimodal.dHash64 _,
+      watermark, maxBucketDocs)
+
+  /** Shared streaming media-gate body: hash each arriving blob ONCE
+    * row-locally with `hasher` (only the 8-byte signature survives
+    * the row; undecodable payloads drop per-row) and band against
+    * ingested state via [[nearDupSimHashSig]]. */
+  private def nearDupMedia(media: DataFrame,
+      hasher: Array[Byte] => Option[Long],
+      watermark: String, maxBucketDocs: Int): Dataset[SimDupPair] = {
     import media.sparkSession.implicits._
     val sig = media
       .select(col("media_id"), col("ingest_ts"), col("content"))
       .as[(Long, Timestamp, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, ts, bytes) =>
-        graft.pipeline.Multimodal.dHash64(bytes).map(h => (id, ts, h))
+        hasher(bytes).map(h => (id, ts, h))
       })
       .toDF("doc_id", "ingest_ts", "simhash")
     nearDupSimHashSig(sig, watermark, maxBucketDocs)
@@ -632,17 +640,9 @@ object DocStreams {
     * ingested state; only 8-byte signatures ever leave the row. */
   def nearDupAudio(media: DataFrame,
       watermark: String = "1 hour",
-      maxBucketDocs: Int = 64): Dataset[SimDupPair] = {
-    import media.sparkSession.implicits._
-    val sig = media
-      .select(col("media_id"), col("ingest_ts"), col("content"))
-      .as[(Long, Timestamp, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, ts, bytes) =>
-        graft.pipeline.Multimodal.aHash64(bytes).map(h => (id, ts, h))
-      })
-      .toDF("doc_id", "ingest_ts", "simhash")
-    nearDupSimHashSig(sig, watermark, maxBucketDocs)
-  }
+      maxBucketDocs: Int = 64): Dataset[SimDupPair] =
+    nearDupMedia(media, graft.pipeline.Multimodal.aHash64 _,
+      watermark, maxBucketDocs)
 
   /** Streaming video near-dup — frame-majority
     * [[graft.pipeline.Multimodal.vHash64]] signatures through the
@@ -652,17 +652,9 @@ object DocStreams {
     * `simHashPairsOf` family. */
   def nearDupVideo(media: DataFrame,
       watermark: String = "1 hour",
-      maxBucketDocs: Int = 64): Dataset[SimDupPair] = {
-    import media.sparkSession.implicits._
-    val sig = media
-      .select(col("media_id"), col("ingest_ts"), col("content"))
-      .as[(Long, Timestamp, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, ts, bytes) =>
-        graft.pipeline.Multimodal.vHash64(bytes).map(h => (id, ts, h))
-      })
-      .toDF("doc_id", "ingest_ts", "simhash")
-    nearDupSimHashSig(sig, watermark, maxBucketDocs)
-  }
+      maxBucketDocs: Int = 64): Dataset[SimDupPair] =
+    nearDupMedia(media, graft.pipeline.Multimodal.vHash64 _,
+      watermark, maxBucketDocs)
 
   /** The banding + bucket-state half of [[nearDupSimHash]], over ANY
     * 64-bit signature frame `(doc_id, ingest_ts, simhash)` — shared

@@ -72,6 +72,12 @@ def main():
     stale = None
     if meta_p.exists():
         prior = json.loads(meta_p.read_text())
+        # pre-upgrade metas lack the stride/complete keys; a finished
+        # id-modulo slice from the old tool is byte-identical to what
+        # this tool would rebuild, so treat the missing keys as their
+        # old-tool values instead of forcing a spurious rebuild
+        prior.setdefault("stride", None)
+        prior.setdefault("complete", True)
         if {**prior, "complete": True} != meta:
             sys.exit(f"{out_dir} holds a different slice "
                      f"({meta_p.read_text().strip()}); delete it or pick "
