@@ -106,6 +106,23 @@ object Bench {
     // crash must not deflate (nor a slow one inflate) the headline.
     val Runs = 3
     var errors = Vector.empty[String]
+    // Per-query failure diagnostics (exception class + message + top
+    // frame), carried in the partial/detail/mirror artifacts: the r17
+    // sf100 run recorded td23 as an error whose stderr was lost to a
+    // pipe, leaving the failure un-diagnosable — a scale-bench error
+    // must carry its exception in the artifact itself, not only on a
+    // stream something else may swallow.
+    var errorDetail = Map.empty[String, String]
+    def jstr(s: String): String =
+      "\"" + s.take(500).flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def errDetailJson: String = errorDetail.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     // Optional comma-separated query filter for local iteration on a
     // single operator (the driver never sets it, so round artifacts
     // always cover the full surface).
@@ -154,7 +171,8 @@ object Bench {
         .mkString("{", ",", "}")
       val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
       val line = s"""{"partial":true,"done":${done.size},"of":${timed.size},""" +
-        s""""queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+        s""""queries":$qs,"errors":$errs,"error_detail":$errDetailJson,""" +
+        s""""sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(partialPath, line + "\n")
       catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -171,7 +189,11 @@ object Bench {
             case scala.util.control.NonFatal(e) =>
               failed = true
               errors :+= name
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              errorDetail += name -> (e.getClass.getName + ": " +
+                String.valueOf(e.getMessage) +
+                e.getStackTrace.headOption.fold("")(f => s" at $f"))
+              System.err.println(s"[bench] $name FAILED: $e")
+              e.printStackTrace()
               None
           }
         }
@@ -351,7 +373,7 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"total_median":$totalMedian,"first_run_total":$firstRunTotal,"errors":$errJson,"runs_per_query":$Runs,"outlier_audit":$outlierJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"total_median":$totalMedian,"first_run_total":$firstRunTotal,"errors":$errJson,"error_detail":$errDetailJson,"runs_per_query":$Runs,"outlier_audit":$outlierJson,"sf":"$sfDir"}"""
     // named after the mirror file, not a fixed sibling
     // BENCH_DETAIL.json: two BENCH_OUT runs into one directory
     // (e.g. the per-round sf10 + sf100 scale passes) would
@@ -422,7 +444,7 @@ object Bench {
     // Mirror file (SPARK_GRAFT_BENCH_OUT): no scrape window, so it
     // carries every field at full precision and the FULL errors array.
     val mirrorLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"errors_count":${errors.size},"runs_per_query":$Runs,"estimator":"min_of_runs","outlier_audit":$outlierJson,"detail":$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"errors_count":${errors.size},"error_detail":$errDetailJson,"runs_per_query":$Runs,"estimator":"min_of_runs","outlier_audit":$outlierJson,"detail":$detailJson,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       // guarded like the detail write above: an unwritable mirror path
       // must not stack-trace AFTER the contract line and push its head

@@ -15,8 +15,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * CacheManager substitutes by canonicalized plan). */
 private[graft] final class PlanKeyedCache {
 
+  // The second key component is the frame's canonicalized plan for
+  // the plain form, or a (canonicalized input plan, tag) pair for the
+  // keyed form — both have structural equality.
   private val entries = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, LogicalPlan), DataFrame]()
+    (SparkSession, AnyRef), DataFrame]()
 
   /** The cached twin of `df` (materialized lazily by the first
     * action, shared by every later call with the same plan). */
@@ -24,6 +27,26 @@ private[graft] final class PlanKeyedCache {
     entries.computeIfAbsent(
       (df.sparkSession, df.queryExecution.analyzed.canonicalized),
       _ => df.cache())
+
+  /** The cached twin of `build`, keyed on `(key's plan, tag)` rather
+    * than on `build`'s own plan — for frames whose plan embeds a
+    * per-call closure (e.g. a `mapPartitions` decode stage): closure
+    * equality is by reference, so two invocations produce UNEQUAL
+    * canonicalized plans and the plain form would never hit — each
+    * call re-materializing and pinning one more cached copy until
+    * [[invalidate]]. Key on the stable input-corpus plan plus a tag
+    * naming the derivation instead. */
+  def keyed(key: DataFrame, tag: String)(build: => DataFrame): DataFrame =
+    entries.computeIfAbsent(
+      (key.sparkSession, (key.queryExecution.analyzed.canonicalized, tag)),
+      _ => build.cache())
+
+  /** Live entry count for `s` — cache-hit observability for specs. */
+  def size(s: SparkSession): Int = {
+    var n = 0
+    entries.forEach((k, _) => if (k._1 eq s) n += 1)
+    n
+  }
 
   /** Unpersist and forget this session's entries (session stop /
     * corpus re-ingest). */

@@ -906,11 +906,20 @@ object Multimodal {
   def invalidate(spark: SparkSession): Unit = planCache.invalidate(spark)
 
   /** Shared near-dup body: cached 64-bit hash frame through the
-    * signature-agnostic td08 banding machinery. */
-  private def nearDupBy(ds: Dataset[MediaFile],
+    * signature-agnostic td08 banding machinery. The cache is keyed on
+    * (input corpus plan, hasher tag), NOT on the hash frame's own
+    * plan: `hashBy`'s mapPartitions closure is a fresh object per
+    * call, so hash-frame plans never compare equal across invocations
+    * and a plan-keyed entry would never hit — every call re-decoding
+    * all blobs and pinning one more cached copy (the r17 advice
+    * finding). With the corpus-plan key, two `nearDupImages` calls on
+    * the same corpus share one decode pass (MultimodalSpec pins the
+    * entry count). */
+  private def nearDupBy(ds: Dataset[MediaFile], tag: String,
       hasher: Array[Byte] => Option[Long]): org.apache.spark.sql.DataFrame =
     graft.queries.TextPipeline.simHashPairsOf(
-      planCache(hashBy(ds, hasher).toDF("doc_id", "simhash")))
+      planCache.keyed(ds.toDF(), tag)(
+        hashBy(ds, hasher).toDF("doc_id", "simhash")))
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
 
@@ -925,7 +934,7 @@ object Multimodal {
     * within 7. Blobs never cross the shuffle: only (mediaId, phash)
     * rows enter the banding. */
   def nearDupImages(ds: Dataset[MediaFile]): org.apache.spark.sql.DataFrame =
-    nearDupBy(ds, dHash64)
+    nearDupBy(ds, "image_dhash", dHash64)
 
   /** aHash window count: energies over ([[AHashBits]]+1) equal time
     * windows give [[AHashBits]] delta-sign bits — the audio analogue
@@ -1032,7 +1041,7 @@ object Multimodal {
     * ([[graft.queries.TextPipeline.simHashPairsOf]]) as text SimHash,
     * image dHash and audio aHash. */
   def nearDupVideo(ds: Dataset[MediaFile]): org.apache.spark.sql.DataFrame =
-    nearDupBy(ds, vHash64)
+    nearDupBy(ds, "video_vhash", vHash64)
 
   /** Audio-hash batch operator — [[perceptualHash]]'s waveform
     * sibling; undecodable or too-short payloads drop per-row. */
@@ -1044,7 +1053,7 @@ object Multimodal {
     * dHash ([[graft.queries.TextPipeline.simHashPairsOf]]) — one pair
     * machinery, three modalities. */
   def nearDupAudio(ds: Dataset[MediaFile]): org.apache.spark.sql.DataFrame =
-    nearDupBy(ds, aHash64)
+    nearDupBy(ds, "audio_ahash", aHash64)
 
   /** A resized media payload: target dims + the (stub-)resampled bytes. */
   final case class Resized(

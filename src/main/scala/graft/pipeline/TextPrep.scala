@@ -83,6 +83,11 @@ object TextPrep {
     * 64-bit SimHash takes bits 0-31 from [[h32]] and 32-63 from
     * here); md5 output words are independent, so the pair behaves as
     * one uniform 64-bit hash on both engines. */
+  def h32b(c: Column): Column = {
+    regSessions()
+    call_function("h32b", c)
+  }
+
   /** 63-bit two-md5-word key of a string column: `h32(c)·2³¹ +
     * (h32b(c) >> 1)` — td25's construction, shared (ONE definition)
     * by the LM scoring sites in TextPipeline and the streaming LM
@@ -91,11 +96,6 @@ object TextPrep {
     * (`h32Sql(e) * 2147483648 + h32bSql(e) // 2`). */
   def hashKey63(c: Column): Column =
     h32(c) * lit(2147483648L) + shiftright(h32b(c), 1)
-
-  def h32b(c: Column): Column = {
-    regSessions()
-    call_function("h32b", c)
-  }
 
   /** Same second hash word in DuckDB SQL over expression `e`. */
   def h32bSql(e: String): String =

@@ -1576,8 +1576,20 @@ object TextPipeline extends graft.Registry {
     // two-md5-word construction, collisions at 2^-32 odds for 10^9
     // distinct keys, mirrored into the oracle so a collision merges
     // the same counts in both engines): every downstream shuffle and
-    // join carries two longs instead of two word strings
-    val pairs = d
+    // join carries two longs instead of two word strings.
+    //
+    // The compacted (doc_id, source, g, gw, occ) relation is
+    // MATERIALIZED once (plan-keyed cache, disk-tolerant) and every
+    // total derives from it: Catalyst cannot reuse the compaction
+    // exchange across a probe and a derived aggregate (td25's
+    // finding, re-confirmed on td32), so without the cache each
+    // derived total re-ran the explode subtree, and the previous
+    // window form (c12 via sum over partitionBy(g, gw)) re-SORTED the
+    // full relation inside the sf100 spill regime — the r17 verdict's
+    // 13-15x/decade flag. Measured history at sf100 solo, same
+    // session/binary: window+token-count hybrid 190 s → this
+    // materialized aggregate+join form [see BASELINE.md r18 A/B].
+    val pairs = cachedByPlan(d
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 2)
       .select(col("doc_id"), col("source"), explode(expr(
@@ -1589,34 +1601,32 @@ object TextPipeline extends graft.Registry {
       // gw is functionally dependent on g (same w1), so adding it to
       // the keys changes no group
       .groupBy("doc_id", "source", "g", "gw")
-      .agg(count(lit(1)).as("occ"))
-    // prefix totals from an independent TOKEN-level subtree: c1(w1) =
-    // occurrences of w1 in non-final position = Σ_g∈gw c12 — a narrow
-    // hash-keyed count aggregation (map-side partials absorb viral
-    // prefixes) instead of a gw-partitioned window (one fat task per
-    // viral prefix, and windows cannot skew-split) or a re-derived lm
-    // join (Catalyst cannot reuse the compaction exchange across the
-    // probe and a derived aggregate — td25's measured finding)
-    val pref = d
-      .select(split(col("text"), " ").as("t"))
-      .where(size(col("t")) >= 2)
-      .select(explode(expr("slice(t, 1, size(t) - 1)")).as("w1"))
-      .select(hashKey63(col("w1")).as("gw"))
-      .groupBy("gw").agg(count(lit(1)).as("c1"))
-    // (g, gw) partition grain matches the oracle's GROUP BY g, gw —
+      .agg(count(lit(1)).as("occ")))
+    // (g, gw) aggregation grain matches the oracle's GROUP BY g, gw —
     // on a g-collision across different prefixes (2^-63 odds) the two
     // engines then still merge identically
-    pairs
-      .withColumn("c12", sum("occ").over(Window.partitionBy("g", "gw")))
-      .join(pref, Seq("gw"))
-      .select(col("doc_id"), col("source"), col("occ"),
+    val lm = pairs.groupBy("g", "gw").agg(sum("occ").as("c12"))
+    // prefix totals c1(w1) = occurrences of w1 in non-final position
+    // = Σ_g∈gw c12 = Σ occ per gw over the SAME materialized relation
+    // (no raw-text re-scan) — a hash-keyed aggregation whose map-side
+    // partials absorb viral prefixes, never a gw-partitioned window
+    // (one fat task per viral prefix, and windows cannot skew-split)
+    val pref = pairs.groupBy("gw").agg(sum("occ").as("c1"))
+    // SHUFFLE_HASH on the one-row-per-key sides: both joins are
+    // big-to-smaller on fine-grained hash keys, and the hash build
+    // skips the SMJ sort of the probe side — the sort this
+    // formulation exists to avoid
+    val nllTab = lm.join(pref.hint("SHUFFLE_HASH"), Seq("gw"))
+      .select(col("g"), col("gw"),
         // c12 ≤ c1 caps p_q at 2^20 (zero nll); the floor at 1 keeps
         // the log total when c12·2^20 div c1 truncates to 0
         greatest(expr(s"c12 * ${1L << LmProbScale} div c1"), lit(1L))
           .as("p_q"))
-      .select(col("doc_id"), col("source"), col("occ"),
+      .select(col("g"), col("gw"),
         (lit(LmProbScale.toLong * (1L << LmLogF)) -
           expr(lmLog2Sql("p_q"))).as("nll"))
+    pairs
+      .join(nllTab.hint("SHUFFLE_HASH"), Seq("g", "gw"))
       .groupBy("doc_id", "source")
       .agg(sum(col("occ") * col("nll")).as("nll_sum"),
         sum("occ").as("n_bigrams"))

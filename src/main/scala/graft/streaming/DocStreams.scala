@@ -195,6 +195,13 @@ object DocStreams {
     * into the gate (batch excludes them from scoring the same way). */
   def lmScoreGate(docs: DataFrame, lmNll: DataFrame, maxBpb: Long,
       watermark: String = "10 minutes"): DataFrame = {
+    // The stored table's grain is (g, gw): a 63-bit g-collision across
+    // two distinct prefixes yields two rows with the same g, and a
+    // bare left join would then DUPLICATE every matching stream bigram
+    // row, inflating n_bigrams. Collapse to one row per g with a
+    // deterministic pick (min) — on non-colliding data (all but 2^-63
+    // odds) this is the identity, so batch bit-parity is unaffected.
+    val lmByG = lmNll.groupBy("g").agg(min("nll").as("nll"))
     val bg = docs.withWatermark("ingest_ts", watermark)
       .select(col("doc_id"), col("ingest_ts"),
         split(col("text"), " ").as("t"))
@@ -205,7 +212,7 @@ object DocStreams {
       .select(col("doc_id"), col("ingest_ts"),
         graft.pipeline.TextPrep.hashKey63(col("bigram")).as("g"))
     bg
-      .join(lmNll, Seq("g"), "left")
+      .join(lmByG, Seq("g"), "left")
       .select(col("doc_id"), col("ingest_ts"),
         coalesce(col("nll"),
           lit(graft.queries.TextPipeline.LmNllMax)).as("nll"))

@@ -82,6 +82,12 @@ def main():
             sys.exit(f"{out_dir} holds a different slice "
                      f"({meta_p.read_text().strip()}); delete it or pick "
                      f"another outDir")
+        if prior["complete"]:
+            # identical and finished: re-stamping complete=false first
+            # would open a window where a crash (or a concurrent reader)
+            # sees a valid slice marked incomplete and rebuilds it
+            print(f"slice dir already complete: {out_dir}")
+            return
         stale = not prior.get("complete", False)
     else:
         existing = [t for t in TABLES
