@@ -905,6 +905,13 @@ object Multimodal {
     * corpus re-ingest) — the TextPipeline.invalidate discipline. */
   def invalidate(spark: SparkSession): Unit = planCache.invalidate(spark)
 
+  /** Live cached-hash-frame count for this session — lets
+    * MultimodalSpec pin that repeat near-dup calls on the same corpus
+    * HIT the cache (one decode pass) instead of each pinning a new
+    * copy (the r17 advice finding). */
+  private[graft] def cachedHashFrames(spark: SparkSession): Int =
+    planCache.size(spark)
+
   /** Shared near-dup body: cached 64-bit hash frame through the
     * signature-agnostic td08 banding machinery. The cache is keyed on
     * (input corpus plan, hasher tag), NOT on the hash frame's own

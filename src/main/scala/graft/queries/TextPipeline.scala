@@ -1487,6 +1487,49 @@ object TextPipeline extends graft.Registry {
       s"(($p) - shiftleft(CAST(1 AS BIGINT), length(bin($p)) - 1)) * " +
       s"${1L << LmLogF} div shiftleft(CAST(1 AS BIGINT), length(bin($p)) - 1)"
 
+  /** Shared DuckDB CTE chain computing td32's per-doc LM scores
+    * `pd(doc_id, source, n_bigrams, bpb)` — the oracle mirror of
+    * [[lmDocScores]], spliced into both the td32 and td33 oracles so
+    * the two stay textually one formulation. The integer chord log2
+    * is mirrored textually (lmLog2Sql's Spark form ≡ this DuckDB
+    * form: length(bin(p)) is the same exact floor-log2 in both
+    * engines, shifts/div are integer ops). */
+  private def lmPerDocSqlCtes: String = {
+    val f = 1L << LmLogF
+    val nllMax = LmProbScale.toLong * (1L << LmLogF)
+    val lg = s"(length(bin(p_q)) - 1) * $f + " +
+      s"((p_q - (1::BIGINT << (length(bin(p_q)) - 1))) * $f) " +
+      s"// (1::BIGINT << (length(bin(p_q)) - 1))"
+    s"""t AS (SELECT doc_id, source, string_split(text, ' ') AS a
+       |      FROM documents
+       |      WHERE len(string_split(text, ' ')) >= 2),
+       |ix AS (SELECT doc_id, source, a, unnest(range(1, len(a))) AS i
+       |       FROM t),
+       |p AS (SELECT doc_id, source,
+       |             ${h32Sql("a[i] || ' ' || a[i + 1]")} * 2147483648 +
+       |               ${h32bSql("a[i] || ' ' || a[i + 1]")} // 2 AS g,
+       |             ${h32Sql("a[i]")} * 2147483648 +
+       |               ${h32bSql("a[i]")} // 2 AS gw
+       |      FROM ix),
+       |pc AS (SELECT doc_id, source, g, gw, COUNT(*) AS occ
+       |       FROM p GROUP BY doc_id, source, g, gw),
+       |lm AS (SELECT g, gw, CAST(SUM(occ) AS BIGINT) AS c12
+       |       FROM pc GROUP BY g, gw),
+       |pref AS (SELECT gw, CAST(SUM(c12) AS BIGINT) AS c1
+       |         FROM lm GROUP BY gw),
+       |sc AS (SELECT pc.doc_id, pc.source, pc.occ,
+       |              greatest((lm.c12 * ${1L << LmProbScale}) // pref.c1,
+       |                       1) AS p_q
+       |       FROM pc JOIN lm USING (g, gw) JOIN pref USING (gw)),
+       |nl AS (SELECT doc_id, source, occ, $nllMax - ($lg) AS nll
+       |       FROM sc),
+       |pd AS (SELECT doc_id, source,
+       |              CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+       |              CAST(SUM(occ * nll) AS BIGINT)
+       |                // CAST(SUM(occ) AS BIGINT) AS bpb
+       |       FROM nl GROUP BY doc_id, source)""".stripMargin
+  }
+
   /** td32: bigram-LM perplexity quality scoring — the CCNet-style
     * complement to td02's heuristic rules (Wenzek et al. 2020 score
     * every document under a corpus-trained LM and keep/weight by
@@ -1666,6 +1709,90 @@ object TextPipeline extends graft.Registry {
           .as("p_q"))
       .select(col("g"),
         (lit(LmNllMax) - expr(lmLog2Sql("p_q"))).as("nll"))
+  }
+
+  /** td33 bucket factors: the quality bias a head/middle/tail draw
+    * applies (head = lowest bits-per-bigram = most corpus-typical
+    * text). Integer so every weight stays exact. FROZEN: they
+    * parameterize the declared query and its oracle. */
+  private[graft] val QmFactors: Map[String, Long] =
+    Map("head" -> 6L, "middle" -> 3L, "tail" -> 1L)
+
+  /** td33: quality-bucketed mixture weights — CCNet's actual
+    * deployment step (Wenzek et al. 2020 §4: each language's corpus
+    * is split at per-language perplexity TERCILES into head/middle/
+    * tail and the training draw is biased toward the head). Joins
+    * td32's per-doc bits-per-bigram against per-source integer-rank
+    * tercile cuts (td21's quantile method: least score whose
+    * cumulative count reaches 33% / 66%), assigns each doc a bucket,
+    * and emits per-(source, bucket) sampling weights in td22's
+    * exact-ppm style: weight = [[QmFactors]](bucket) · bucket bigram
+    * count, share_ppm / expected_docs by integer `div` against the
+    * weight total.
+    *
+    * Determinism: bpb and the cuts are td32's exact q12 integers, the
+    * bucket rule is pure comparison (`bpb ≤ cut33` head, `≤ cut66`
+    * middle, else tail — ties inside a cut all land low, both
+    * engines), and every weight op is BIGINT — no float anywhere.
+    * A source whose docs all share one bpb yields a single `head` row
+    * (both engines drop empty buckets).
+    *
+    * Scale shape: per-doc scores REUSE td32's materialized compacted
+    * relation ([[lmDocScores]]'s plan-keyed cache — no re-scan of the
+    * bigram machinery), the tercile cuts run on the ≤ |sources| ×
+    * distinct-score histogram (td21), the cuts frame (one row per
+    * source — a bounded domain, never corpus-sized) broadcasts back
+    * for a row-local bucket assign, and the report aggregation
+    * shuffles ≤ 3·|sources| groups with map-side partials. Overflow
+    * headroom: share arithmetic needs w·10⁶ < 2⁶³ ⇒ corpus bigram
+    * count < 1.5·10¹² (≈ 6 TB of raw text) — beyond that, quantize
+    * n_bigrams to a coarser unit first (td22's w_q20·10⁶ has the same
+    * documented regime). */
+  def qualityMixture(s: SparkSession, dir: String): DataFrame =
+    qualityMixtureOf(docs(s, dir))
+
+  /** [[qualityMixture]] over an arbitrary `(doc_id, source, text)`
+    * frame — PipelineSpec binds a planted corpus against an
+    * in-memory integer reference. */
+  private[queries] def qualityMixtureOf(d: DataFrame): DataFrame = {
+    val perDoc = lmDocScores(d)
+    val wCum = Window.partitionBy("source").orderBy("bpb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("source")
+    val cuts = perDoc
+      .groupBy("source", "bpb")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .groupBy("source")
+      .agg(
+        min(when(col("cum") * 100 >= col("n") * 33, col("bpb")))
+          .as("cut33_q12"),
+        min(when(col("cum") * 100 >= col("n") * 66, col("bpb")))
+          .as("cut66_q12"))
+    val weighted = perDoc
+      .join(broadcast(cuts), Seq("source"))
+      .select(col("source"), col("n_bigrams"),
+        col("cut33_q12"), col("cut66_q12"),
+        when(col("bpb") <= col("cut33_q12"), "head")
+          .when(col("bpb") <= col("cut66_q12"), "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        max("cut33_q12").as("cut33_q12"),
+        max("cut66_q12").as("cut66_q12"))
+      .withColumn("w",
+        expr(s"CASE bucket WHEN 'head' THEN ${QmFactors("head")} " +
+          s"WHEN 'middle' THEN ${QmFactors("middle")} " +
+          s"ELSE ${QmFactors("tail")} END") * col("n_bigrams"))
+    val total = weighted.agg(sum("w").as("w_total"))
+    weighted.crossJoin(broadcast(total))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        col("n_bigrams"), col("cut33_q12"), col("cut66_q12"), col("w"),
+        expr("w * 1000000 div w_total").as("share_ppm"),
+        expr(s"w * $SampleBudget div w_total").as("expected_docs"))
+      .orderBy("source", "bucket")
   }
 
   /** [[sourceDrift]] over an arbitrary `(source, text)` frame — the
@@ -2058,7 +2185,8 @@ object TextPipeline extends graft.Registry {
     "td29_shard_assign" -> shardAssign,
     "td30_vocab_growth" -> vocabGrowth,
     "td31_pii_scan" -> piiScan,
-    "td32_lm_score" -> lmScore
+    "td32_lm_score" -> lmScore,
+    "td33_quality_mixture" -> qualityMixture
   )
 
   /** Containment bar: a pair is flagged when its larger-direction
@@ -2569,42 +2697,8 @@ object TextPipeline extends graft.Registry {
          |SELECT *, pii_docs * 1000000 // n_docs AS pii_doc_ppm
          |FROM g ORDER BY source""".stripMargin
     },
-    "td32_lm_score" -> {
-      // the integer chord log2 mirrored textually (lmLog2Sql's Spark
-      // form ≡ this DuckDB form: length(bin(p)) is the same exact
-      // floor-log2 in both engines, shifts/div are integer ops)
-      val f = 1L << LmLogF
-      val nllMax = LmProbScale.toLong * (1L << LmLogF)
-      val lg = s"(length(bin(p_q)) - 1) * $f + " +
-        s"((p_q - (1::BIGINT << (length(bin(p_q)) - 1))) * $f) " +
-        s"// (1::BIGINT << (length(bin(p_q)) - 1))"
-      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS a
-         |           FROM documents
-         |           WHERE len(string_split(text, ' ')) >= 2),
-         |ix AS (SELECT doc_id, source, a, unnest(range(1, len(a))) AS i
-         |       FROM t),
-         |p AS (SELECT doc_id, source,
-         |             ${h32Sql("a[i] || ' ' || a[i + 1]")} * 2147483648 +
-         |               ${h32bSql("a[i] || ' ' || a[i + 1]")} // 2 AS g,
-         |             ${h32Sql("a[i]")} * 2147483648 +
-         |               ${h32bSql("a[i]")} // 2 AS gw
-         |      FROM ix),
-         |pc AS (SELECT doc_id, source, g, gw, COUNT(*) AS occ
-         |       FROM p GROUP BY doc_id, source, g, gw),
-         |lm AS (SELECT g, gw, CAST(SUM(occ) AS BIGINT) AS c12
-         |       FROM pc GROUP BY g, gw),
-         |pref AS (SELECT gw, CAST(SUM(c12) AS BIGINT) AS c1
-         |         FROM lm GROUP BY gw),
-         |sc AS (SELECT pc.doc_id, pc.source, pc.occ,
-         |              greatest((lm.c12 * ${1L << LmProbScale}) // pref.c1,
-         |                       1) AS p_q
-         |       FROM pc JOIN lm USING (g, gw) JOIN pref USING (gw)),
-         |nl AS (SELECT doc_id, source, occ, $nllMax - ($lg) AS nll
-         |       FROM sc),
-         |pd AS (SELECT source,
-         |              CAST(SUM(occ * nll) AS BIGINT)
-         |                // CAST(SUM(occ) AS BIGINT) AS bpb
-         |       FROM nl GROUP BY doc_id, source),
+    "td32_lm_score" ->
+      s"""WITH $lmPerDocSqlCtes,
          |h AS (SELECT source, bpb, COUNT(*) AS cnt
          |      FROM pd GROUP BY source, bpb),
          |c AS (SELECT source, bpb, cnt,
@@ -2622,8 +2716,43 @@ object TextPipeline extends graft.Registry {
          |         AS p75_bpb_q12,
          |       MIN(CASE WHEN cum * 100 >= n * 95 THEN bpb END)
          |         AS p95_bpb_q12
-         |FROM c GROUP BY source ORDER BY source""".stripMargin
-    },
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "td33_quality_mixture" ->
+      s"""WITH $lmPerDocSqlCtes,
+         |h AS (SELECT source, bpb, COUNT(*) AS cnt
+         |      FROM pd GROUP BY source, bpb),
+         |c AS (SELECT source, bpb, cnt,
+         |             SUM(cnt) OVER (PARTITION BY source ORDER BY bpb
+         |                            ROWS UNBOUNDED PRECEDING) AS cum,
+         |             SUM(cnt) OVER (PARTITION BY source) AS n
+         |      FROM h),
+         |cuts AS (SELECT source,
+         |                MIN(CASE WHEN cum * 100 >= n * 33 THEN bpb END)
+         |                  AS cut33_q12,
+         |                MIN(CASE WHEN cum * 100 >= n * 66 THEN bpb END)
+         |                  AS cut66_q12
+         |         FROM c GROUP BY source),
+         |b AS (SELECT pd.source,
+         |             CASE WHEN bpb <= cut33_q12 THEN 'head'
+         |                  WHEN bpb <= cut66_q12 THEN 'middle'
+         |                  ELSE 'tail' END AS bucket,
+         |             n_bigrams, cut33_q12, cut66_q12
+         |      FROM pd JOIN cuts USING (source)),
+         |pb AS (SELECT source, bucket, COUNT(*) AS n_docs,
+         |              CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+         |              MAX(cut33_q12) AS cut33_q12,
+         |              MAX(cut66_q12) AS cut66_q12
+         |       FROM b GROUP BY source, bucket),
+         |wt AS (SELECT *,
+         |              (CASE bucket WHEN 'head' THEN ${QmFactors("head")}
+         |               WHEN 'middle' THEN ${QmFactors("middle")}
+         |               ELSE ${QmFactors("tail")} END) * n_bigrams AS w
+         |       FROM pb),
+         |tt AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM wt)
+         |SELECT source, bucket, n_docs, n_bigrams, cut33_q12, cut66_q12,
+         |       w, w * 1000000 // w_total AS share_ppm,
+         |       w * $SampleBudget // w_total AS expected_docs
+         |FROM wt CROSS JOIN tt ORDER BY source, bucket""".stripMargin,
     "td28_containment_dedup" ->
       s"""WITH $shinglesSqlCte,
          |$cappedShinglesSqlCte,

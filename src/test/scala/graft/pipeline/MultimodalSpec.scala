@@ -686,6 +686,38 @@ class MultimodalSpec extends SparkSpec {
     } finally streamed.stop()
   }
 
+  test("hash-frame cache: repeat near-dup calls on one corpus share one decode pass") {
+    import spark.implicits._
+    // The r17 advice finding: hashBy's mapPartitions closure is a
+    // fresh object per call, so a cache keyed on the HASH FRAME's
+    // plan never hits across calls — every invocation re-decoded all
+    // blobs and pinned one more cached copy. The cache is now keyed
+    // on (corpus plan, hasher tag); this pins the entry count.
+    Multimodal.invalidate(spark)
+    assert(Multimodal.cachedHashFrames(spark) === 0)
+    val im = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach(y => (0 until 32).foreach(x =>
+      im.setRGB(x, y, (x * 8) << 16 | (y * 8) << 8)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val ds = spark.createDataset(Seq(
+      MediaFile(1L, "image", bos.toByteArray, Map.empty),
+      MediaFile(2L, "image", bos.toByteArray, Map.empty)))
+    nearDupImages(ds).collect()
+    assert(Multimodal.cachedHashFrames(spark) === 1)
+    // a SECOND invocation builds a fresh mapPartitions closure — it
+    // must still hit the (corpus, tag) entry, not pin a new frame
+    nearDupImages(ds).collect()
+    assert(Multimodal.cachedHashFrames(spark) === 1,
+      "second nearDupImages call must reuse the cached hash frame")
+    // a different hasher over the SAME corpus is a different frame
+    nearDupAudio(ds).collect()
+    assert(Multimodal.cachedHashFrames(spark) === 2)
+    Multimodal.invalidate(spark)
+    assert(Multimodal.cachedHashFrames(spark) === 0)
+  }
+
   test("video vHash near-dup: re-scaled MJPEG variants collide, distinct videos do not") {
     import spark.implicits._
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {

@@ -179,6 +179,87 @@ class PipelineSpec extends SparkSpec {
       (1L << TextPipeline.LmLogF)))
   }
 
+  test("quality-bucketed mixture matches an in-memory integer reference (td33)") {
+    import spark.implicits._
+    // planted: per source, enough scored docs with distinct bpb that
+    // the tercile cuts split non-trivially; the 1-token doc is
+    // excluded exactly as in td32
+    val corpus = Seq(
+      (1L, "src_a", "the quick brown fox jumps over the lazy dog"),
+      (2L, "src_a", "the quick brown fox jumps over the lazy dog"),
+      (3L, "src_a", "the quick brown fox sleeps"),
+      (4L, "src_a", "one"),
+      (5L, "src_b", "pack my box with five dozen liquor jugs"),
+      (6L, "src_b", "how vexingly quick daft zebras jump"),
+      (7L, "src_b", "the five boxing wizards jump quickly"),
+      (8L, "src_b", "jugs jump"),
+      (9L, "src_b", "sphinx of black quartz judge my vow the end"))
+    val df = corpus.toDF("doc_id", "source", "text")
+
+    // reference: exact integer arithmetic, independently formulated
+    // (same LM reference as the td32 test, extended through buckets)
+    val toks = corpus.map { case (id, src, t) => (id, src, t.split(" ").toSeq) }
+    val bigrams = toks.collect { case (id, src, ws) if ws.length >= 2 =>
+      (id, src, ws.zip(ws.tail)) }
+    val c12 = bigrams.flatMap(_._3).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    def log2q(p: Long): Long = {
+      val k = 63 - java.lang.Long.numberOfLeadingZeros(p)
+      k.toLong * 4096L + (p - (1L << k)) * 4096L / (1L << k)
+    }
+    val perDoc = bigrams.map { case (id, src, bs) =>
+      val terms = bs.map { b =>
+        val pq = math.max(1L, c12(b) * (1L << 20) / c1(b._1))
+        81920L - log2q(pq)
+      }
+      (id, src, bs.size.toLong, terms.sum / terms.size)
+    }
+    def quant(vs: Seq[Long], pct: Int): Long = {
+      val sorted = vs.sorted
+      val n = sorted.size.toLong
+      sorted.zipWithIndex
+        .collectFirst { case (v, i) if (i + 1) * 100 >= n * pct => v }.get
+    }
+    val cuts = perDoc.groupBy(_._2).map { case (src, rows) =>
+      src -> (quant(rows.map(_._4), 33), quant(rows.map(_._4), 66))
+    }
+    val factors = Map("head" -> 6L, "middle" -> 3L, "tail" -> 1L)
+    val perBucket = perDoc
+      .map { case (id, src, nbg, bpb) =>
+        val (c33, c66) = cuts(src)
+        val b = if (bpb <= c33) "head" else if (bpb <= c66) "middle" else "tail"
+        (src, b, nbg)
+      }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((src, b), rows) =>
+        (src, b, rows.size.toLong, rows.map(_._3).sum) }
+      .toSeq
+    val wTotal = perBucket.map { case (_, b, _, nbg) => factors(b) * nbg }.sum
+    val expect = perBucket.map { case (src, b, nd, nbg) =>
+      val w = factors(b) * nbg
+      (src, b) -> Seq(nd, nbg, cuts(src)._1, cuts(src)._2, w,
+        w * 1000000L / wTotal, w * 100000L / wTotal)
+    }.toMap
+
+    val got = TextPipeline.qualityMixtureOf(df).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))
+    }.toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (k, v) =>
+      assert(got(k) === v, s"bucket row $k")
+    }
+    // bucketing is a partition: every scored doc lands in exactly one
+    // (source, bucket) row, and the 1-token doc is excluded
+    val nDocs = got.values.map(_.head).sum
+    assert(nDocs === perDoc.size.toLong)
+    // shares are a ppm partition of the whole draw (truncation may
+    // lose up to |rows|-1 ppm, never gain)
+    val shareSum = got.values.map(_(5)).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - got.size)
+  }
+
   test("packed-lane simhash_pack signature is bit-identical to the retired 64-sum tree") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

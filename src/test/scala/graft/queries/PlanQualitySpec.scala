@@ -580,6 +580,23 @@ class PlanQualitySpec extends SparkSpec {
     // sweep: both windows carry the source partition spec)
   }
 
+  test("quality mixture (td33): td32 machinery reused, bounded broadcasts, no pair sort") {
+    // td33 = td32's per-doc scores (same materialized pair relation,
+    // same SHUFFLE_HASH discipline) + a tercile-cut broadcast join
+    // (one row per source — a bounded domain) + a ≤3·|sources|-group
+    // report; nothing may re-sort or cartesian the corpus
+    val p = plan(TextPipeline.qualityMixture(spark, dir))
+    assert(p.contains("partial_count"), "pair compaction needs map-side partials")
+    assert(p.contains("partial_sum"), "report aggregation needs map-side partials")
+    assert(p.contains("ShuffledHashJoin"),
+      "the inherited LM joins must hash-build on the aggregate side")
+    assert(!p.contains("SortMergeJoin"),
+      "no join may sort the materialized pair relation")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source cuts frame must broadcast back for the bucket assign")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-surface sweep: every unpartitioned window is on the bounded allowlist") {
     // Guard-rail for the class of bug fixed in round 13 (td30's
     // corpus-wide cumulative window collapsing every row onto one
