@@ -1668,13 +1668,18 @@ object TextPipeline extends graft.Registry {
       .select(col("g"), col("gw"),
         (lit(LmProbScale.toLong * (1L << LmLogF)) -
           expr(lmLog2Sql("p_q"))).as("nll"))
-    pairs
+    // the per-doc score frame is cached too: ONE bounded row per doc
+    // (~30 B — 150 MB at 5M docs), and three consumers read it (the
+    // td32 histogram, td33's tercile cuts AND its bucket assign) —
+    // uncached, each consumer re-ran the two SHJ joins over the full
+    // pair relation (measured sf10: td33 15.9 s → see BASELINE.md)
+    cachedByPlan(pairs
       .join(nllTab.hint("SHUFFLE_HASH"), Seq("g", "gw"))
       .groupBy("doc_id", "source")
       .agg(sum(col("occ") * col("nll")).as("nll_sum"),
         sum("occ").as("n_bigrams"))
       .select(col("doc_id"), col("source"), col("n_bigrams"),
-        expr("nll_sum div n_bigrams").as("bpb"))
+        expr("nll_sum div n_bigrams").as("bpb")))
   }
 
   /** The stored LM scoring table `(g, nll)` — one row per distinct
