@@ -1062,6 +1062,101 @@ object Multimodal {
   def nearDupAudio(ds: Dataset[MediaFile]): org.apache.spark.sql.DataFrame =
     nearDupBy(ds, "audio_ahash", aHash64)
 
+  /** The kind-appropriate perceptual hasher, if the kind has one. */
+  private def hasherFor(kind: String): Option[Array[Byte] => Option[Long]] =
+    kind match {
+      case "image" => Some(dHash64 _)
+      case "audio" => Some(aHash64 _)
+      case "video" => Some(vHash64 _)
+      case _ => None
+    }
+
+  /** Per-kind decode coverage — the LOUD counter that keeps an
+    * undecodable corpus from silently skipping dedup: every hash
+    * operator here drops payloads its codec cannot parse (inter-coded
+    * H.264/HEVC video, non-PCM audio, exotic image formats — each an
+    * honest, documented boundary), which is right per-row but
+    * invisible per-corpus: a corpus that is 95% H.264 would hash 5%
+    * of its videos and the near-dup report would simply be small.
+    * One decode attempt per row with the kind-appropriate hasher
+    * (unknown kinds count as undecodable), reported as
+    * `(kind, n_rows, n_hashed, n_undecodable)` — a curation run
+    * asserts `n_undecodable` against its expectations before trusting
+    * the pair graphs. The streaming twin is the `decode_coverage`
+    * observed metric on every [[graft.streaming.DocStreams]] media
+    * gate. */
+  def decodeCoverage(ds: Dataset[MediaFile]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { m =>
+      (m.kind, hasherFor(m.kind).exists(h => h(m.content).isDefined))
+    }).toDF("kind", "hashed")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("hashed"), 1L).otherwise(0L)).as("n_hashed"),
+        sum(when(col("hashed"), 0L).otherwise(1L)).as("n_undecodable"))
+      .orderBy("kind")
+  }
+
+  /** One keep-list per multimodal corpus — the operator a real
+    * curation run actually ends with: the four near-dup pair graphs
+    * (text SimHash = td08, image dHash, audio aHash, video vHash)
+    * UNION into td09's connected-components machinery and every
+    * document resolves to ONE component; keep = the component's min
+    * doc_id. Per-modality keep-lists conflict — a doc whose text dups
+    * neighbor A while its image dups neighbor B would survive one
+    * list and die on the other; here {doc, A, B} transitively merge
+    * and exactly one of them survives (MultimodalSpec plants exactly
+    * this cluster).
+    *
+    * Input: `(doc_id BIGINT, text STRING, image BINARY, audio BINARY,
+    * video BINARY)`, nulls = modality absent. A doc with no near-dup
+    * pair in any modality keeps trivially (component = itself), so
+    * the output is a TOTAL decision over the corpus: `(doc_id,
+    * component, keep)`.
+    *
+    * Scale shape: each modality's pair generation is its existing
+    * operator VERBATIM — banded candidate generation, never
+    * all-pairs; blobs hash row-locally (only 16 B/row signature
+    * frames shuffle, cached per (corpus, modality)); the union is
+    * pair-graph-sized (near-dup pairs, not the corpus); components
+    * run td09's adaptive driver-union-find / distributed min-label
+    * regime; the final label attach is one corpus-sized left join
+    * against the paired-node labels (planner's choice — broadcast
+    * when the dup graph is small, shuffle at web scale). */
+  def unifiedKeepList(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val textSig = planCache.keyed(
+      docs.where(col("text").isNotNull)
+        .select(col("doc_id"), col("text")), "text_simhash")(
+      graft.queries.TextPipeline.simhashSig(
+        TextPrep.shingleHashes(
+          docs.where(col("text").isNotNull)
+            .select(col("doc_id"), col("text")))
+          .withColumn("h2", TextPrep.h32b(col("shingle")))))
+    val textPairs = graft.queries.TextPipeline.simHashPairsOf(textSig)
+      .select(col("doc_a"), col("doc_b"))
+    def media(modality: String): Dataset[MediaFile] =
+      docs.where(col(modality).isNotNull)
+        .select(col("doc_id").as("mediaId"), lit(modality).as("kind"),
+          col(modality).as("content"),
+          typedLit(Map.empty[String, String]).as("meta"))
+        .as[MediaFile]
+    val mediaPairs = Seq(
+      nearDupImages(media("image")),
+      nearDupAudio(media("audio")),
+      nearDupVideo(media("video")))
+      .map(_.select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+    val pairs = (textPairs +: mediaPairs).reduce(_ unionAll _)
+    val (labels, _) =
+      graft.queries.TextPipeline.connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("component"),
+        (coalesce(col("root"), col("doc_id")) === col("doc_id")).as("keep"))
+      .orderBy("component", "doc_id")
+  }
+
   /** A resized media payload: target dims + the (stub-)resampled bytes. */
   final case class Resized(
       mediaId: Long,

@@ -2075,7 +2075,7 @@ object TextPipeline extends graft.Registry {
     * labeling (property-tested against the same oracle) without the
     * per-round job floor. Returns (labels(node, root), rounds used —
     * 0 on the driver path). */
-  private[queries] def connectedComponents(
+  private[graft] def connectedComponents(
       pairs: DataFrame, maxRounds: Int = 50,
       driverMaxEdges: Long = DriverCcMaxEdges): (DataFrame, Int) = {
     val spark = pairs.sparkSession

@@ -626,7 +626,12 @@ object DocStreams {
   /** Shared streaming media-gate body: hash each arriving blob ONCE
     * row-locally with `hasher` (only the 8-byte signature survives
     * the row; undecodable payloads drop per-row) and band against
-    * ingested state via [[nearDupSimHashSig]]. */
+    * ingested state via [[nearDupSimHashSig]]. The drop is counted
+    * LOUDLY before it happens: every micro-batch publishes a
+    * `decode_coverage` observed metric (n_media arrived, n_hashed
+    * decodable) in its StreamingQueryProgress — the live twin of
+    * [[graft.pipeline.Multimodal.decodeCoverage]], so a stream that
+    * is 95% inter-coded H.264 cannot silently skip video dedup. */
   private def nearDupMedia(media: DataFrame,
       hasher: Array[Byte] => Option[Long],
       watermark: String, maxBucketDocs: Int): Dataset[SimDupPair] = {
@@ -634,10 +639,14 @@ object DocStreams {
     val sig = media
       .select(col("media_id"), col("ingest_ts"), col("content"))
       .as[(Long, Timestamp, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, ts, bytes) =>
-        hasher(bytes).map(h => (id, ts, h))
+      .mapPartitions(_.map { case (id, ts, bytes) =>
+        (id, ts, hasher(bytes))
       })
       .toDF("doc_id", "ingest_ts", "simhash")
+      .observe("decode_coverage",
+        count(lit(1)).as("n_media"),
+        count(col("simhash")).as("n_hashed"))
+      .where(col("simhash").isNotNull)
     nearDupSimHashSig(sig, watermark, maxBucketDocs)
   }
 

@@ -686,6 +686,247 @@ class MultimodalSpec extends SparkSpec {
     } finally streamed.stop()
   }
 
+  test("unified keep-list: cross-modality clusters resolve to ONE component, batch ≡ streaming") {
+    import spark.implicits._
+    // -- fixtures (the per-modality tests' builders, compacted) --
+    def png(seed: Int, w: Int, h: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val cells = Array.fill(8, 9)(rnd.nextInt(256))
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val v = cells(y * 8 / h)(x * 9 / w)
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    def wav(seed: Int, gainDen: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val amps = Array.fill(65)(500 + rnd.nextInt(12000))
+      val frames = 65 * 80
+      val buf = java.nio.ByteBuffer.allocate(44 + frames * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + frames * 2)
+        .put("WAVEfmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1).putInt(8000)
+        .putInt(8000 * 2).putShort(2).putShort(16)
+        .put("data".getBytes).putInt(frames * 2)
+      (0 until frames).foreach { f =>
+        val a = amps(f / 80) / gainDen
+        buf.putShort((if (f % 2 == 0) a else -a).toShort)
+      }
+      buf.array()
+    }
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      buf.putInt(8 + payload.length).put(typ.getBytes("US-ASCII"))
+        .put(payload)
+      buf.array()
+    }
+    def jpgFrame(seed: Int, w: Int, h: Int, bright: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val cells = Array.fill(8, 9)(20 + rnd.nextInt(200))
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val v = math.min(255, cells(y * 8 / h)(x * 9 / w) + bright)
+          im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    def mjpeg(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val ftyp = box("ftyp",
+        "qt  qt  ".getBytes("US-ASCII") ++ Array.fill(4)(0.toByte))
+      val mdat = box("mdat", frames.reduce(_ ++ _))
+      val chunk1 = ftyp.length + 8
+      val hdlr = {
+        val p = java.nio.ByteBuffer.allocate(25)
+        p.putInt(0).putInt(0).put("vide".getBytes("US-ASCII"))
+        p.array()
+      }
+      val stsd = {
+        val p = java.nio.ByteBuffer.allocate(94)
+        p.putInt(0).putInt(1).putInt(86).put("jpeg".getBytes("US-ASCII"))
+        p.position(8 + 8 + 6); p.putShort(1)
+        p.array()
+      }
+      val stsz = {
+        val p = java.nio.ByteBuffer.allocate(12 + 4 * frames.length)
+        p.putInt(0).putInt(0).putInt(frames.length)
+        frames.foreach(f => p.putInt(f.length))
+        p.array()
+      }
+      val stsc = {
+        val p = java.nio.ByteBuffer.allocate(20)
+        p.putInt(0).putInt(1).putInt(1).putInt(frames.length).putInt(1)
+        p.array()
+      }
+      val stco = {
+        val p = java.nio.ByteBuffer.allocate(12)
+        p.putInt(0).putInt(1).putInt(chunk1)
+        p.array()
+      }
+      ftyp ++ mdat ++ box("moov", box("trak", box("mdia",
+        box("hdlr", hdlr) ++ box("minf", box("stbl",
+          box("stsd", stsd) ++ box("stsz", stsz) ++
+            box("stsc", stsc) ++ box("stco", stco))))))
+    }
+    // -- planted corpus --
+    // doc 1's TEXT dups doc 2 while its IMAGE dups doc 3: a
+    // per-modality keep-list would make conflicting survivor choices;
+    // the unified components must merge {1, 2, 3} into one component.
+    val textX = "the quick brown fox jumps over the lazy dog tonight"
+    val textY = "pack my box with five dozen liquor jugs right now"
+    val textZ = "sphinx of black quartz judge my vow before dawn breaks"
+    val vidBig = mjpeg((0 until 4).map(f => jpgFrame(3, 450, 400, f * 4)))
+    val vidSmall = mjpeg((0 until 4).map(f => jpgFrame(3, 225, 200, f * 4)))
+    val nb: Array[Byte] = null
+    val ns: String = null
+    val junk = Array.tabulate(300)(i => (i % 251).toByte)
+    val rows = Seq(
+      (1L, textX, png(1, 450, 400), nb, nb),
+      (2L, textX, nb, nb, nb),
+      (3L, textY, png(1, 225, 200), nb, nb), // resized copy of doc 1's image
+      (4L, ns, nb, wav(7, 1), nb),
+      (5L, ns, nb, wav(7, 2), nb), //         half-gain copy of doc 4's audio
+      (6L, ns, nb, nb, vidBig),
+      (7L, ns, nb, nb, vidSmall), //          re-scaled copy of doc 6's video
+      (8L, textZ, nb, nb, nb), //             singleton text
+      (9L, ns, png(9, 450, 400), nb, nb), //  singleton image
+      (10L, ns, junk, nb, nb)) //             undecodable image: keeps trivially
+    val docs = rows.toDF("doc_id", "text", "image", "audio", "video")
+
+    Multimodal.invalidate(spark)
+    val got = unifiedKeepList(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false),
+      (6L, 6L, true), (7L, 6L, false),
+      (8L, 8L, true), (9L, 9L, true), (10L, 10L, true)),
+      "cross-modality cluster {1,2,3} must resolve to one component " +
+        "with exactly one survivor; unpaired docs keep trivially")
+
+    // -- streaming parity: the four gates over the same corpus must
+    // produce the SAME pair set, hence the same components/keep-list
+    // (components are a pure function of the pair set) --
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(id: Long) = new java.sql.Timestamp(id * 1000)
+    val textSrc = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val mediaSrcs = Seq("image", "audio", "video").map(_ =>
+      MemoryStream[(Long, Array[Byte], java.sql.Timestamp)])
+    val gates = Seq(
+      graft.streaming.DocStreams.nearDupSimHash(
+        textSrc.toDF().toDF("doc_id", "text", "ingest_ts")),
+      graft.streaming.DocStreams.nearDupImages(
+        mediaSrcs(0).toDF().toDF("media_id", "content", "ingest_ts")),
+      graft.streaming.DocStreams.nearDupAudio(
+        mediaSrcs(1).toDF().toDF("media_id", "content", "ingest_ts")),
+      graft.streaming.DocStreams.nearDupVideo(
+        mediaSrcs(2).toDF().toDF("media_id", "content", "ingest_ts")))
+    val queries = gates.zipWithIndex.map { case (g, i) =>
+      g.writeStream.format("memory").queryName(s"ukl_gate_$i")
+        .outputMode(OutputMode.Append).start()
+    }
+    try {
+      textSrc.addData(rows.collect {
+        case (id, t, _, _, _) if t != null => (id, t, ts(id)) })
+      mediaSrcs(0).addData(rows.collect {
+        case (id, _, b, _, _) if b != null => (id, b, ts(id)) })
+      mediaSrcs(1).addData(rows.collect {
+        case (id, _, _, b, _) if b != null => (id, b, ts(id)) })
+      mediaSrcs(2).addData(rows.collect {
+        case (id, _, _, _, b) if b != null => (id, b, ts(id)) })
+      queries.foreach(_.processAllAvailable())
+      val streamed = (0 until 4).flatMap(i =>
+        spark.table(s"ukl_gate_$i").collect().map { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          (math.min(a, b), math.max(a, b))
+        }).toSet
+      assert(streamed === Set((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L)),
+        "the streamed union pair graph must match the planted batch graph")
+    } finally queries.foreach(_.stop())
+  }
+
+  test("decode coverage: undecodable payloads are counted loudly, batch and streaming") {
+    import spark.implicits._
+    def png(): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach(y => (0 until 32).foreach(x =>
+        im.setRGB(x, y, (x * 8) << 16 | (y * 8) << 8)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    def wav(): Array[Byte] = {
+      val frames = 65 * 80
+      val buf = java.nio.ByteBuffer.allocate(44 + frames * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + frames * 2)
+        .put("WAVEfmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1).putInt(8000)
+        .putInt(8000 * 2).putShort(2).putShort(16)
+        .put("data".getBytes).putInt(frames * 2)
+      (0 until frames).foreach(f =>
+        buf.putShort((if (f % 2 == 0) 900 + f % 700 else -900).toShort))
+      buf.array()
+    }
+    val junk = Array.tabulate(300)(i => (i % 251).toByte)
+    // mixed corpus: per kind, some payloads decode and some do not —
+    // the "95% H.264 corpus" scenario the counter exists for
+    val rows = Seq(
+      MediaFile(1L, "image", png(), Map.empty),
+      MediaFile(2L, "image", junk, Map.empty),
+      MediaFile(3L, "image", junk, Map.empty),
+      MediaFile(4L, "audio", wav(), Map.empty),
+      MediaFile(5L, "audio", junk, Map.empty),
+      MediaFile(6L, "video", junk, Map.empty), // no decodable frame
+      MediaFile(7L, "scan3d", junk, Map.empty)) // unknown kind
+    val cov = decodeCoverage(spark.createDataset(rows)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(cov === Map(
+      "image" -> ((3L, 1L, 2L)),
+      "audio" -> ((2L, 1L, 1L)),
+      "video" -> ((1L, 0L, 1L)),
+      "scan3d" -> ((1L, 0L, 1L))),
+      "every kind must report rows/hashed/undecodable, unknown kinds loudly")
+
+    // streaming twin: the image gate's per-batch observed metric
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val q = graft.streaming.DocStreams.nearDupImages(
+      src.toDF().toDF("media_id", "content", "ingest_ts"))
+      .writeStream.format("memory").queryName("cov_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(Seq(
+        (1L, png(), new java.sql.Timestamp(1000)),
+        (2L, junk, new java.sql.Timestamp(2000)),
+        (3L, junk, new java.sql.Timestamp(3000))))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("decode_coverage")))
+      val nMedia = metrics.map(_.getLong(0)).sum
+      val nHashed = metrics.map(_.getLong(1)).sum
+      assert(nMedia === 3L, "every arriving blob must be counted")
+      assert(nHashed === 1L, "only the decodable blob may reach the banding state")
+    } finally q.stop()
+  }
+
   test("hash-frame cache: repeat near-dup calls on one corpus share one decode pass") {
     import spark.implicits._
     // The r17 advice finding: hashBy's mapPartitions closure is a
