@@ -113,13 +113,22 @@ object Bench {
     // must carry its exception in the artifact itself, not only on a
     // stream something else may swallow.
     var errorDetail = Map.empty[String, String]
-    def jstr(s: String): String =
-      "\"" + s.take(500).flatMap {
+    // ASCII-only output (everything outside [0x20, 0x7e] goes to
+    // \\uXXXX) so the artifact write can never fail on encoding, and
+    // the 500-char truncation backs off one char rather than split a
+    // surrogate pair — a malformed diagnostics string must not be the
+    // reason the diagnostics are lost.
+    def jstr(s: String): String = {
+      val cut =
+        if (s.length > 500 && Character.isHighSurrogate(s.charAt(499))) 499
+        else math.min(s.length, 500)
+      "\"" + s.substring(0, cut).flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c if c < ' ' || c >= 0x7f => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    }
     def errDetailJson: String = errorDetail.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")

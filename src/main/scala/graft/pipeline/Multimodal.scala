@@ -884,13 +884,26 @@ object Multimodal {
   def perceptualHash(ds: Dataset[MediaFile]): Dataset[MediaHash] =
     hashBy(ds, dHash64)
 
+  /** A hasher made TOTAL over messy corpus rows: a null payload
+    * (nullable binary column) or any per-row decode throw counts as
+    * undecodable (None) instead of failing the task — the
+    * drop-per-row contract must hold even for rows the codecs never
+    * anticipated (dHash64 catches its own decode errors; the
+    * WAV/MP4 parsers would NPE on null). Shared by the batch hash
+    * operators, [[decodeCoverage]] and the streaming media gates. */
+  private[graft] def safeHash(hasher: Array[Byte] => Option[Long],
+      content: Array[Byte]): Option[Long] =
+    if (content == null) None
+    else try hasher(content)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** Shared hash-operator body: one decode per row, per partition;
     * undecodable payloads drop per-row (each hasher's contract). */
   private def hashBy(ds: Dataset[MediaFile],
       hasher: Array[Byte] => Option[Long]): Dataset[MediaHash] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.flatMap(m =>
-      hasher(m.content).map(MediaHash(m.mediaId, _))))
+      safeHash(hasher, m.content).map(MediaHash(m.mediaId, _))))
   }
 
   // cache-ownership for the decode-heavy hash frames (the
@@ -1088,7 +1101,7 @@ object Multimodal {
   def decodeCoverage(ds: Dataset[MediaFile]): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { m =>
-      (m.kind, hasherFor(m.kind).exists(h => h(m.content).isDefined))
+      (m.kind, hasherFor(m.kind).exists(h => safeHash(h, m.content).isDefined))
     }).toDF("kind", "hashed")
       .groupBy("kind")
       .agg(count(lit(1)).as("n_rows"),
@@ -1125,13 +1138,14 @@ object Multimodal {
     * when the dup graph is small, shuffle at web scale). */
   def unifiedKeepList(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val textSig = planCache.keyed(
-      docs.where(col("text").isNotNull)
-        .select(col("doc_id"), col("text")), "text_simhash")(
+    // one projection serves both the cache key and the cached build —
+    // they must stay structurally identical for the keyed-cache
+    // contract to hold
+    val textDocs = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val textSig = planCache.keyed(textDocs, "text_simhash")(
       graft.queries.TextPipeline.simhashSig(
-        TextPrep.shingleHashes(
-          docs.where(col("text").isNotNull)
-            .select(col("doc_id"), col("text")))
+        TextPrep.shingleHashes(textDocs)
           .withColumn("h2", TextPrep.h32b(col("shingle")))))
     val textPairs = graft.queries.TextPipeline.simHashPairsOf(textSig)
       .select(col("doc_a"), col("doc_b"))

@@ -1687,10 +1687,13 @@ object TextPipeline extends graft.Registry {
     * log2-probability, the material a production pipeline trains ONCE
     * on the standing corpus and every ingest batch scores against
     * (the streaming gate [[graft.streaming.DocStreams.lmScoreGate]]).
-    * Arithmetic is exactly [[lmDocScores]]'s: c12 via groupBy here ≡
-    * the window sum there (same keys, same integer ops), so a doc
-    * scored against this table matches its batch self-score
-    * bit-for-bit (pinned by DocStreamsSpec). */
+    * Arithmetic is exactly [[lmDocScores]]'s: the same (g, gw)
+    * groupBy for c12, the same prefix totals and the same integer
+    * chord log (since r18 both sides are aggregate+join over the
+    * compacted relation — one formulation), so a doc scored against
+    * this table matches its batch self-score bit-for-bit (pinned by
+    * DocStreamsSpec). Output grain: ONE row per g (see the collapse
+    * below). */
   private[graft] def lmNllTable(d: DataFrame): DataFrame = {
     val pairs = d
       .select(split(col("text"), " ").as("t"))
@@ -1714,6 +1717,16 @@ object TextPipeline extends graft.Registry {
           .as("p_q"))
       .select(col("g"),
         (lit(LmNllMax) - expr(lmLog2Sql("p_q"))).as("nll"))
+      // one row per g, ENFORCED at the producer: the (g, gw) grain
+      // above can emit two rows with the same g on a 63-bit
+      // g-collision across distinct prefixes (2^-63 odds), and the
+      // streaming gate's stream-static join would then DUPLICATE
+      // every matching stream bigram. min(nll) is a deterministic
+      // pick and the identity on non-colliding data; deduping here
+      // (not in the gate) keeps the per-micro-batch static side
+      // join-ready instead of re-aggregating the whole LM table on
+      // every batch.
+      .groupBy("g").agg(min("nll").as("nll"))
   }
 
   /** td33 bucket factors: the quality bias a head/middle/tail draw

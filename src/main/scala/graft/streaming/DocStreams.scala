@@ -195,13 +195,12 @@ object DocStreams {
     * into the gate (batch excludes them from scoring the same way). */
   def lmScoreGate(docs: DataFrame, lmNll: DataFrame, maxBpb: Long,
       watermark: String = "10 minutes"): DataFrame = {
-    // The stored table's grain is (g, gw): a 63-bit g-collision across
-    // two distinct prefixes yields two rows with the same g, and a
-    // bare left join would then DUPLICATE every matching stream bigram
-    // row, inflating n_bigrams. Collapse to one row per g with a
-    // deterministic pick (min) — on non-colliding data (all but 2^-63
-    // odds) this is the identity, so batch bit-parity is unaffected.
-    val lmByG = lmNll.groupBy("g").agg(min("nll").as("nll"))
+    // lmNll's contract is one row per g, enforced at the producer
+    // ([[graft.queries.TextPipeline.lmNllTable]] collapses g-collision
+    // rows with a deterministic min there, where it costs one
+    // aggregation at table-build time) — so the stream-static join
+    // below is duplicate-safe without re-aggregating the whole LM
+    // table on every micro-batch.
     val bg = docs.withWatermark("ingest_ts", watermark)
       .select(col("doc_id"), col("ingest_ts"),
         split(col("text"), " ").as("t"))
@@ -212,7 +211,7 @@ object DocStreams {
       .select(col("doc_id"), col("ingest_ts"),
         graft.pipeline.TextPrep.hashKey63(col("bigram")).as("g"))
     bg
-      .join(lmByG, Seq("g"), "left")
+      .join(lmNll, Seq("g"), "left")
       .select(col("doc_id"), col("ingest_ts"),
         coalesce(col("nll"),
           lit(graft.queries.TextPipeline.LmNllMax)).as("nll"))
@@ -640,7 +639,7 @@ object DocStreams {
       .select(col("media_id"), col("ingest_ts"), col("content"))
       .as[(Long, Timestamp, Array[Byte])]
       .mapPartitions(_.map { case (id, ts, bytes) =>
-        (id, ts, hasher(bytes))
+        (id, ts, graft.pipeline.Multimodal.safeHash(hasher, bytes))
       })
       .toDF("doc_id", "ingest_ts", "simhash")
       .observe("decode_coverage",

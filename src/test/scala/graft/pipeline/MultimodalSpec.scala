@@ -892,13 +892,14 @@ class MultimodalSpec extends SparkSpec {
       MediaFile(4L, "audio", wav(), Map.empty),
       MediaFile(5L, "audio", junk, Map.empty),
       MediaFile(6L, "video", junk, Map.empty), // no decodable frame
-      MediaFile(7L, "scan3d", junk, Map.empty)) // unknown kind
+      MediaFile(7L, "scan3d", junk, Map.empty), // unknown kind
+      MediaFile(8L, "audio", null, Map.empty)) // null payload: undecodable, not an NPE
     val cov = decodeCoverage(spark.createDataset(rows)).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     assert(cov === Map(
       "image" -> ((3L, 1L, 2L)),
-      "audio" -> ((2L, 1L, 1L)),
+      "audio" -> ((3L, 1L, 2L)),
       "video" -> ((1L, 0L, 1L)),
       "scan3d" -> ((1L, 0L, 1L))),
       "every kind must report rows/hashed/undecodable, unknown kinds loudly")

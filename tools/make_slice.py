@@ -85,9 +85,18 @@ def main():
         if prior["complete"]:
             # identical and finished: re-stamping complete=false first
             # would open a window where a crash (or a concurrent reader)
-            # sees a valid slice marked incomplete and rebuilds it
-            print(f"slice dir already complete: {out_dir}")
-            return
+            # sees a valid slice marked incomplete and rebuilds it.
+            # Short-circuit only when no table is missing — a slice
+            # built before a table joined TABLES (or whose symlink was
+            # deleted) falls through to the backfill loop, which skips
+            # the existing outputs and creates only the gaps.
+            missing = [t for t in TABLES
+                       if (sf_dir / f"{t}.parquet").exists()
+                       and not ((out_dir / f"{t}.parquet").is_symlink()
+                                or (out_dir / f"{t}.parquet").exists())]
+            if not missing:
+                print(f"slice dir already complete: {out_dir}")
+                return
         stale = not prior.get("complete", False)
     else:
         existing = [t for t in TABLES
