@@ -13,7 +13,54 @@ import org.apache.spark.sql.SparkSession
   * covers real decode + compute + output width.
   */
 object Bench {
+
+  /** Start-of-run host-contention stamp, carried into every artifact
+    * as `concurrent_load`: 1-minute loadavg plus the other live JVMs'
+    * pids and command heads (a concurrently running `sbt test` once
+    * contaminated a timed sf100 pass and the artifact could not show
+    * it — the r18 verdict's bench-hygiene item). Sampled BEFORE the
+    * session boots so our own executors don't register; this JVM is
+    * excluded by pid. Read-only /proc scan; any failure degrades to
+    * `null` fields rather than aborting a bench run. */
+  private[graft] def concurrentLoadJson(): String = {
+    val self = ProcessHandle.current().pid()
+    val load =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)
+      catch { case scala.util.control.NonFatal(_) => "null" }
+    val jvms =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+          .iterator().asScala
+          .filter(_.getFileName.toString.forall(_.isDigit))
+          .filter(_.getFileName.toString.toLong != self)
+          .flatMap { p =>
+            try {
+              val cmd = java.nio.file.Files
+                .readString(p.resolve("cmdline")).split('\u0000')
+              if (cmd.headOption.exists(c =>
+                    c.endsWith("java") || c.contains("/java ")))
+                // name the JVM by its main class / jar (last
+                // non-option arg head), the human-readable part
+                Some(p.getFileName.toString + ":" +
+                  cmd.drop(1).filterNot(_.startsWith("-"))
+                    .headOption.getOrElse("java").takeRight(80))
+              else None
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }.toVector.sorted
+      } catch { case scala.util.control.NonFatal(_) => Vector("null") }
+    val jvmsJson = jvms.map(s => "\"" +
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => "";  case c => c.toString } + "\"")
+      .mkString("[", ",", "]")
+    s"""{"loadavg1":$load,"other_jvms":${jvms.size},"other_jvm_cmds":$jvmsJson}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    // sampled first: the stamp must reflect the host BEFORE this run's
+    // own session adds load
+    val concurrentLoad = concurrentLoadJson()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Local-iteration config overrides (`k=v;k=v`, driver never sets
@@ -181,6 +228,7 @@ object Bench {
       val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
       val line = s"""{"partial":true,"done":${done.size},"of":${timed.size},""" +
         s""""queries":$qs,"errors":$errs,"error_detail":$errDetailJson,""" +
+        s""""concurrent_load":$concurrentLoad,""" +
         s""""sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(partialPath, line + "\n")
       catch { case scala.util.control.NonFatal(_) => () }
@@ -382,7 +430,7 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"total_median":$totalMedian,"first_run_total":$firstRunTotal,"errors":$errJson,"error_detail":$errDetailJson,"runs_per_query":$Runs,"outlier_audit":$outlierJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"total_median":$totalMedian,"first_run_total":$firstRunTotal,"errors":$errJson,"error_detail":$errDetailJson,"runs_per_query":$Runs,"outlier_audit":$outlierJson,"concurrent_load":$concurrentLoad,"sf":"$sfDir"}"""
     // named after the mirror file, not a fixed sibling
     // BENCH_DETAIL.json: two BENCH_OUT runs into one directory
     // (e.g. the per-round sf10 + sf100 scale passes) would
@@ -453,7 +501,7 @@ object Bench {
     // Mirror file (SPARK_GRAFT_BENCH_OUT): no scrape window, so it
     // carries every field at full precision and the FULL errors array.
     val mirrorLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"errors_count":${errors.size},"error_detail":$errDetailJson,"runs_per_query":$Runs,"estimator":"min_of_runs","outlier_audit":$outlierJson,"detail":$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"total_median":${ms(totalMedian)},"first_run_total":${ms(firstRunTotal)},"pass_total_min":${ms(passTotals.head)},"pass_total_max":${ms(passTotals.last)},"errors":$errJson,"errors_count":${errors.size},"error_detail":$errDetailJson,"runs_per_query":$Runs,"estimator":"min_of_runs","outlier_audit":$outlierJson,"concurrent_load":$concurrentLoad,"detail":$detailJson,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       // guarded like the detail write above: an unwritable mirror path
       // must not stack-trace AFTER the contract line and push its head

@@ -35,11 +35,43 @@ private[graft] final class PlanKeyedCache {
     * canonicalized plans and the plain form would never hit — each
     * call re-materializing and pinning one more cached copy until
     * [[invalidate]]. Key on the stable input-corpus plan plus a tag
-    * naming the derivation instead. */
-  def keyed(key: DataFrame, tag: String)(build: => DataFrame): DataFrame =
-    entries.computeIfAbsent(
+    * naming the derivation instead.
+    *
+    * CONTRACT: the tag must name the derivation bijectively — one tag,
+    * one build recipe per input plan. Because the hit path returns the
+    * first frame cached under `(key plan, tag)` without re-running
+    * `build`, a call site reusing an existing tag for a DIFFERENT
+    * derivation would silently read the wrong cached frame. Partially
+    * enforced here: `build`'s plan is constructed on every call (cheap
+    * — no action runs) and its schema compared to the cached entry's;
+    * a schema mismatch throws instead of serving the wrong frame.
+    * Same-schema different-derivation reuse remains the caller's
+    * contract to keep (r18 advice). */
+  def keyed(key: DataFrame, tag: String)(build: => DataFrame): DataFrame = {
+    val built = build
+    val cached = entries.computeIfAbsent(
       (key.sparkSession, (key.queryExecution.analyzed.canonicalized, tag)),
-      _ => build.cache())
+      _ => built.cache())
+    if (cached.schema != built.schema)
+      throw new IllegalStateException(
+        s"PlanKeyedCache tag '$tag' reused for a different derivation: " +
+          s"cached schema ${cached.schema.simpleString} vs requested " +
+          built.schema.simpleString)
+    cached
+  }
+
+  /** Unpersist and forget the single entry holding `df`'s plan — for
+    * an intermediate whose last consumer has materialized (e.g. the
+    * td32 pair relation once the per-doc score frame is built): left
+    * pinned, tens of GB of dead columnar cache would contribute to
+    * the sf100 disk ceiling (r18 verdict). A later call may re-insert
+    * the plan lazily; unmaterialized entries hold no storage. No-op
+    * when the plan was never cached. */
+  def release(df: DataFrame): Unit = {
+    val e = entries.remove(
+      (df.sparkSession, df.queryExecution.analyzed.canonicalized))
+    if (e != null) e.unpersist()
+  }
 
   /** Live entry count for `s` — cache-hit observability for specs. */
   def size(s: SparkSession): Int = {

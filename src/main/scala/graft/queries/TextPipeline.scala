@@ -1658,8 +1658,22 @@ object TextPipeline extends graft.Registry {
     // SHUFFLE_HASH on the one-row-per-key sides: both joins are
     // big-to-smaller on fine-grained hash keys, and the hash build
     // skips the SMJ sort of the probe side — the sort this
-    // formulation exists to avoid
-    val nllTab = lm.join(pref.hint("SHUFFLE_HASH"), Seq("gw"))
+    // formulation exists to avoid. Memory bound to respect: a
+    // ShuffledHashJoin build map CANNOT spill, and both build sides
+    // are vocabulary-scale (one row per distinct bigram / prefix), so
+    // the per-partition bound is |vocab|·~24 B / shuffle-partitions —
+    // safe through the measured sf100 regime BECAUSE InputTuning
+    // keeps AQE partition sizing on for large inputs (partition count
+    // grows with the input, holding per-partition build size
+    // roughly constant). For corpora whose vocabulary outruns that
+    // (or AQE off), set session conf `graft.lm.joinHint=merge` to
+    // fall back to sort-merge, which spills (r18 advice).
+    val joinHint = d.sparkSession.conf
+      .getOption("graft.lm.joinHint").getOrElse("shuffle_hash") match {
+        case "merge" => "MERGE"
+        case _ => "SHUFFLE_HASH"
+      }
+    val nllTab = lm.join(pref.hint(joinHint), Seq("gw"))
       .select(col("g"), col("gw"),
         // c12 ≤ c1 caps p_q at 2^20 (zero nll); the floor at 1 keeps
         // the log total when c12·2^20 div c1 truncates to 0
@@ -1673,13 +1687,30 @@ object TextPipeline extends graft.Registry {
     // td32 histogram, td33's tercile cuts AND its bucket assign) —
     // uncached, each consumer re-ran the two SHJ joins over the full
     // pair relation (measured sf10: td33 15.9 s → see BASELINE.md)
-    cachedByPlan(pairs
-      .join(nllTab.hint("SHUFFLE_HASH"), Seq("g", "gw"))
+    val perDoc = cachedByPlan(pairs
+      .join(nllTab.hint(joinHint), Seq("g", "gw"))
       .groupBy("doc_id", "source")
       .agg(sum(col("occ") * col("nll")).as("nll_sum"),
         sum("occ").as("n_bigrams"))
       .select(col("doc_id"), col("source"), col("n_bigrams"),
         expr("nll_sum div n_bigrams").as("bpb")))
+    // Count-triggered pair-relation release (r18 verdict, What's wrong
+    // #2): once the per-doc frame is materialized, NOTHING reads the
+    // pair relation again — every consumer (td32 histogram, td33 cuts
+    // + bucket assign, the streaming parity pin) reads the per-doc
+    // frame — yet the pairs cache stayed pinned until invalidate()
+    // (tens of GB of dead columnar cache at sf100, a direct
+    // contributor to the shared-JVM ENOSPC ceiling). The count forces
+    // the per-doc build here (charged to whichever query constructs
+    // first — same place the first action charged it before); the
+    // release then frees the pair storage. Trade-off accepted: if the
+    // per-doc entry is later evicted under pressure, recovery
+    // recomputes from the raw corpus instead of the pair cache.
+    // Steady state (both frames already materialized) is a cheap
+    // count on the cached per-doc frame plus a no-op release.
+    perDoc.count()
+    planCache.release(pairs)
+    perDoc
   }
 
   /** The stored LM scoring table `(g, nll)` — one row per distinct

@@ -620,20 +620,21 @@ object DocStreams {
       watermark: String = "1 hour",
       maxBucketDocs: Int = 64): Dataset[SimDupPair] =
     nearDupMedia(media, graft.pipeline.Multimodal.dHash64 _,
-      watermark, maxBucketDocs)
+      watermark, maxBucketDocs, "image")
 
   /** Shared streaming media-gate body: hash each arriving blob ONCE
     * row-locally with `hasher` (only the 8-byte signature survives
     * the row; undecodable payloads drop per-row) and band against
     * ingested state via [[nearDupSimHashSig]]. The drop is counted
     * LOUDLY before it happens: every micro-batch publishes a
-    * `decode_coverage` observed metric (n_media arrived, n_hashed
+    * `decode_coverage_<kind>` observed metric (n_media arrived, n_hashed
     * decodable) in its StreamingQueryProgress — the live twin of
     * [[graft.pipeline.Multimodal.decodeCoverage]], so a stream that
     * is 95% inter-coded H.264 cannot silently skip video dedup. */
   private def nearDupMedia(media: DataFrame,
       hasher: Array[Byte] => Option[Long],
-      watermark: String, maxBucketDocs: Int): Dataset[SimDupPair] = {
+      watermark: String, maxBucketDocs: Int,
+      kind: String): Dataset[SimDupPair] = {
     import media.sparkSession.implicits._
     val sig = media
       .select(col("media_id"), col("ingest_ts"), col("content"))
@@ -642,7 +643,11 @@ object DocStreams {
         (id, ts, graft.pipeline.Multimodal.safeHash(hasher, bytes))
       })
       .toDF("doc_id", "ingest_ts", "simhash")
-      .observe("decode_coverage",
+      // observation name carries the modality: observed-metric names
+      // must be unique per streaming query, so two gates composed into
+      // one query (e.g. an image and an audio gate unioned) would fail
+      // analysis on a shared fixed name (r18 advice)
+      .observe(s"decode_coverage_$kind",
         count(lit(1)).as("n_media"),
         count(col("simhash")).as("n_hashed"))
       .where(col("simhash").isNotNull)
@@ -657,7 +662,7 @@ object DocStreams {
       watermark: String = "1 hour",
       maxBucketDocs: Int = 64): Dataset[SimDupPair] =
     nearDupMedia(media, graft.pipeline.Multimodal.aHash64 _,
-      watermark, maxBucketDocs)
+      watermark, maxBucketDocs, "audio")
 
   /** Streaming video near-dup — frame-majority
     * [[graft.pipeline.Multimodal.vHash64]] signatures through the
@@ -669,7 +674,7 @@ object DocStreams {
       watermark: String = "1 hour",
       maxBucketDocs: Int = 64): Dataset[SimDupPair] =
     nearDupMedia(media, graft.pipeline.Multimodal.vHash64 _,
-      watermark, maxBucketDocs)
+      watermark, maxBucketDocs, "video")
 
   /** The banding + bucket-state half of [[nearDupSimHash]], over ANY
     * 64-bit signature frame `(doc_id, ingest_ts, simhash)` — shared

@@ -920,7 +920,7 @@ class MultimodalSpec extends SparkSpec {
         (3L, junk, new java.sql.Timestamp(3000))))
       q.processAllAvailable()
       val metrics = q.recentProgress.toSeq
-        .flatMap(p => Option(p.observedMetrics.get("decode_coverage")))
+        .flatMap(p => Option(p.observedMetrics.get("decode_coverage_image")))
       val nMedia = metrics.map(_.getLong(0)).sum
       val nHashed = metrics.map(_.getLong(1)).sum
       assert(nMedia === 3L, "every arriving blob must be counted")

@@ -89,11 +89,15 @@ def main():
             # Short-circuit only when no table is missing — a slice
             # built before a table joined TABLES (or whose symlink was
             # deleted) falls through to the backfill loop, which skips
-            # the existing outputs and creates only the gaps.
+            # the existing outputs and creates only the gaps. A table
+            # counts as present only if Path.exists() is true — it
+            # follows symlinks, so a DANGLING symlink (target parquet
+            # deleted or moved) is missing, not present (r18 advice:
+            # is_symlink() alone accepted dangling links and reused a
+            # slice whose source had vanished).
             missing = [t for t in TABLES
                        if (sf_dir / f"{t}.parquet").exists()
-                       and not ((out_dir / f"{t}.parquet").is_symlink()
-                                or (out_dir / f"{t}.parquet").exists())]
+                       and not (out_dir / f"{t}.parquet").exists()]
             if not missing:
                 print(f"slice dir already complete: {out_dir}")
                 return
@@ -121,7 +125,11 @@ def main():
         if not src.exists():
             continue
         dst = out_dir / f"{t}.parquet"
-        if dst.is_symlink() or dst.exists():
+        if dst.is_symlink() and not dst.exists():
+            # dangling link (see the missing-table check above): remove
+            # so the rebuild below can land at this path
+            dst.unlink()
+        if dst.exists():
             continue
         if t == sliced:
             glob = f"{src}/*.parquet" if src.is_dir() else str(src)
