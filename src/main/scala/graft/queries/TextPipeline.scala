@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.pipeline.TextPrep
@@ -1767,6 +1767,20 @@ object TextPipeline extends graft.Registry {
   private[graft] val QmFactors: Map[String, Long] =
     Map("head" -> 6L, "middle" -> 3L, "tail" -> 1L)
 
+  /** The td33 bucket rule as ONE expression over `(bpb, cut33_q12,
+    * cut66_q12)` columns, shared verbatim by the batch assign
+    * ([[qualityMixtureOf]]) and the streaming admission gate
+    * ([[graft.streaming.DocStreams.qualityBucketGate]]) so the two
+    * can never drift: `bpb ≤ cut33` head, `≤ cut66` middle, else tail
+    * (ties inside a cut all land low — pure integer comparison, both
+    * engines). NULL cuts (a source the stored frame has never seen)
+    * fall through both `when`s to `tail` — the conservative
+    * lowest-weight admission for unknown provenance. */
+  private[graft] def qmBucket: Column =
+    when(col("bpb") <= col("cut33_q12"), "head")
+      .when(col("bpb") <= col("cut66_q12"), "middle")
+      .otherwise("tail")
+
   /** td33: quality-bucketed mixture weights — CCNet's actual
     * deployment step (Wenzek et al. 2020 §4: each language's corpus
     * is split at per-language perplexity TERCILES into head/middle/
@@ -1803,12 +1817,20 @@ object TextPipeline extends graft.Registry {
   /** [[qualityMixture]] over an arbitrary `(doc_id, source, text)`
     * frame — PipelineSpec binds a planted corpus against an
     * in-memory integer reference. */
-  private[queries] def qualityMixtureOf(d: DataFrame): DataFrame = {
-    val perDoc = lmDocScores(d)
+  /** Per-source tercile cuts `(source, cut33_q12, cut66_q12)` over a
+    * per-doc score frame ([[lmDocScores]]'s shape) — td21's
+    * integer-rank quantile method on the ≤ |sources| × distinct-score
+    * histogram. Factored out of [[qualityMixtureOf]] because this is
+    * also the STORED frame a production ingest admits against: the
+    * streaming twin ([[graft.streaming.DocStreams.qualityBucketGate]])
+    * joins arriving docs to exactly this frame, so batch and online
+    * bucket assignment share one cut definition (one row per source —
+    * a bounded domain, broadcastable). */
+  private[graft] def lmTercileCuts(perDoc: DataFrame): DataFrame = {
     val wCum = Window.partitionBy("source").orderBy("bpb")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("source")
-    val cuts = perDoc
+    perDoc
       .groupBy("source", "bpb")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(wCum))
@@ -1819,13 +1841,15 @@ object TextPipeline extends graft.Registry {
           .as("cut33_q12"),
         min(when(col("cum") * 100 >= col("n") * 66, col("bpb")))
           .as("cut66_q12"))
+  }
+
+  private[queries] def qualityMixtureOf(d: DataFrame): DataFrame = {
+    val perDoc = lmDocScores(d)
+    val cuts = lmTercileCuts(perDoc)
     val weighted = perDoc
       .join(broadcast(cuts), Seq("source"))
       .select(col("source"), col("n_bigrams"),
-        col("cut33_q12"), col("cut66_q12"),
-        when(col("bpb") <= col("cut33_q12"), "head")
-          .when(col("bpb") <= col("cut66_q12"), "middle")
-          .otherwise("tail").as("bucket"))
+        col("cut33_q12"), col("cut66_q12"), qmBucket.as("bucket"))
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_bigrams").as("n_bigrams"),

@@ -222,6 +222,63 @@ object DocStreams {
       .withColumn("admitted", col("bpb") <= maxBpb)
   }
 
+  /** Streaming quality-bucket admission — the online half of batch
+    * td33 ([[graft.queries.TextPipeline.qualityMixtureOf]]): a
+    * production ingest scores each arriving doc against the STANDING
+    * corpus's stored LM table and assigns it a head/middle/tail
+    * bucket against the standing per-source tercile cuts, so a doc's
+    * sampling weight is known the moment it lands, without re-running
+    * the batch mixture.
+    *
+    * Both static sides are bounded frames a pipeline materializes
+    * once per corpus refresh: `lmNll` is
+    * [[graft.queries.TextPipeline.lmNllTable]]'s `(g, nll)` (one row
+    * per distinct corpus bigram, duplicate-collapse enforced at the
+    * producer), `cuts` is
+    * [[graft.queries.TextPipeline.lmTercileCuts]]'s
+    * `(source, cut33_q12, cut66_q12)` (one row per source — a bounded
+    * domain, joined broadcast so the assign is row-local). Scoring
+    * arithmetic is [[lmScoreGate]]'s — bigram hash keys, stored-nll
+    * lookup with the [[graft.queries.TextPipeline.LmNllMax]]
+    * out-of-vocabulary backoff, integer `div` bits-per-bigram — and
+    * the bucket rule is the batch
+    * [[graft.queries.TextPipeline.qmBucket]] expression VERBATIM, so
+    * a streamed doc's bucket equals its batch assignment bit-for-bit
+    * (pinned by DocStreamsSpec on a planted corpus). A source the
+    * cuts frame has never seen buckets `tail` (qmBucket's NULL-cut
+    * fallthrough) — conservative lowest-weight admission for unknown
+    * provenance.
+    *
+    * State: the windowed per-doc aggregation's only — same retention
+    * class as [[lmScoreGate]] (watermark-evicted, no custom state). */
+  def qualityBucketGate(docs: DataFrame, lmNll: DataFrame,
+      cuts: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val bg = docs.withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("source"), col("ingest_ts"),
+        split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), col("ingest_ts"),
+        explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+            "(x, y) -> concat_ws(' ', x, y))")).as("bigram"))
+      .select(col("doc_id"), col("source"), col("ingest_ts"),
+        graft.pipeline.TextPrep.hashKey63(col("bigram")).as("g"))
+    bg
+      .join(lmNll, Seq("g"), "left")
+      .select(col("doc_id"), col("source"), col("ingest_ts"),
+        coalesce(col("nll"),
+          lit(graft.queries.TextPipeline.LmNllMax)).as("nll"))
+      .groupBy(col("doc_id"), col("source"),
+        window(col("ingest_ts"), "1 minute"))
+      .agg(sum("nll").as("nll_sum"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        expr("nll_sum div n_bigrams").as("bpb"))
+      .join(broadcast(cuts), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        col("bpb"),
+        graft.queries.TextPipeline.qmBucket.as("bucket"))
+  }
+
   /** One trending-token report row: a shard's top tokens for a
     * closed event-time window. `exact` certifies the shard's counts
     * are true counts (its sketch never evicted). */

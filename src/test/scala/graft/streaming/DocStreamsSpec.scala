@@ -405,6 +405,57 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality-bucket gate agrees with batch td33 assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.sources.Tables.table(spark, dir, "documents")
+    // the standing corpus's stored frames, trained ONCE (batch): the
+    // LM table and the per-source tercile cuts
+    val lmNll = graft.queries.TextPipeline.lmNllTable(all).cache()
+    val perDoc = graft.queries.TextPipeline.lmDocScores(all)
+    val cuts = graft.queries.TextPipeline.lmTercileCuts(perDoc).cache()
+    // batch truth: each doc's bucket under qualityMixtureOf's exact
+    // assign rule (per-doc frame joined to cuts, qmBucket)
+    val expect = perDoc
+      .join(cuts, Seq("source"))
+      .select(col("doc_id"),
+        graft.queries.TextPipeline.qmBucket.as("bucket"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+      .toMap
+    assert(expect.nonEmpty)
+    assert(expect.values.toSet.subsetOf(Set("head", "middle", "tail")))
+    val corpus = all.select("doc_id", "lang", "source", "text").collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+      .map(r => Doc(r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[String]("text"),
+        ts(r.getAs[Long]("doc_id"))))
+    val src = MemoryStream[Doc]
+    val q = qualityBucketGate(snake(src.toDF()), lmNll, cuts)
+      .writeStream.format("memory").queryName("qm_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(corpus.toSeq)
+      q.processAllAvailable()
+      // a source the stored cuts have never seen: NULL cuts must
+      // fall through to tail (conservative lowest-weight admission)
+      src.addData(Doc(999999L, "en", "srcNEW",
+        "wholly novel provenance text body", ts(100000)))
+      q.processAllAvailable()
+      src.addData(doc(999998, "window closer", 200000))
+      q.processAllAvailable()
+      val rows = spark.table("qm_gate").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+        .toMap
+      val closers = Set(999999L, 999998L)
+      assert(rows.view.filterKeys(!closers(_)).toMap === expect,
+        "online bucket must equal the batch td33 assignment per doc")
+      assert(rows(999999L) === "tail",
+        "unknown source must land tail, not crash or drop")
+    } finally q.stop()
+  }
+
   test("streaming decontamination agrees with the batch td12 pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
