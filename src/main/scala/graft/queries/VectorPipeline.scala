@@ -210,17 +210,33 @@ object VectorPipeline extends graft.Registry {
     val seeds = e.where(col("vec_id") < NumSeeds)
       .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
         col("nrm").as("sn"))
-    val toSeed = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"),
-        (expr(dotSql("embedding", "se")) / (col("nrm") * col("sn"))).as("scos"))
+    // Corpus-side assignment is a ROW-LOCAL argmax (v14's layout): the
+    // k seeds collapse to one broadcast collect_list row and
+    // array_min over (−cos, seed_id) picks the same winner as the
+    // previous row_number()=1 window (negation is monotone under the
+    // engine's double total order, incl. ±0.0 and NaN, and the
+    // seed_id tiebreak is identical) — deleting the N×k crossJoin
+    // expansion, its vec_id exchange and the window sort from the
+    // corpus path (guide §2.4; plan diff in plans/r19/v04_*.txt).
+    // The probe side below keeps the row/window form: it is filtered
+    // to the bounded query set before the window, so only ≤ queries×k
+    // rows ever reach it.
+    val cents1 = seeds
+      .select(struct(col("se"), col("sn"), col("seed_id")).as("c"))
+      .agg(collect_list("c").as("cents"))
+    val assigned = e.crossJoin(broadcast(cents1))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        expr("array_min(transform(cents, c -> named_struct(" +
+          s"'nc', -(${dotSql("embedding", "c.se")} / (nrm * c.sn)), " +
+          "'seed_id', c.seed_id)))").as("dc"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("dc.seed_id").as("seed_id"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(desc("scos"), col("seed_id"))
-    val assigned = toSeed
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"))
-    val probes = toSeed
-      .where(col("vec_id") < NumQueries)
+    val probes = e.where(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"),
+        (expr(dotSql("embedding", "se")) / (col("nrm") * col("sn"))).as("scos"))
       .withColumn("prn", row_number().over(wAssign))
       .where(col("prn") <= NProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -598,17 +614,20 @@ object VectorPipeline extends graft.Registry {
     * prunes to ≤ quota rows per cluster BEFORE the final shuffle. */
   def diverseSample(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
-    val seeds = e.where(col("vec_id") < NumSeeds)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
-        col("nrm").as("sn"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(desc("scos"), col("seed_id"))
-    val assigned = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("seed_id"),
-        (expr(dotSql("embedding", "se")) / (col("nrm") * col("sn"))).as("scos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("seed_id").as("cluster"))
+    // Row-local argmax assignment (same rewrite + equivalence argument
+    // as [[annIvf]]): one broadcast collect_list row of the k seeds,
+    // array_min over (−cos, seed_id) — no N×k crossJoin expansion, no
+    // vec_id exchange, no window sort on the corpus path.
+    val cents1 = e.where(col("vec_id") < NumSeeds)
+      .select(struct(col("embedding").as("se"), col("nrm").as("sn"),
+        col("vec_id").as("seed_id")).as("c"))
+      .agg(collect_list("c").as("cents"))
+    val assigned = e.crossJoin(broadcast(cents1))
+      .select(col("vec_id"),
+        expr("array_min(transform(cents, c -> named_struct(" +
+          s"'nc', -(${dotSql("embedding", "c.se")} / (nrm * c.sn)), " +
+          "'seed_id', c.seed_id)))").as("dc"))
+      .select(col("vec_id"), col("dc.seed_id").as("cluster"))
     val d = Tables.table(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     val wPick = Window.partitionBy("cluster").orderBy("pick", "doc_id")
@@ -749,10 +768,11 @@ object VectorPipeline extends graft.Registry {
     * surfaces per (subspace, codeword).
     *
     * Scale: ONE corpus scan; the subspace explode is row-local
-    * (M rows per vector), the codebook — M × K subvectors — always
-    * broadcasts, the argmin is v06's map-side-combinable
-    * `min(struct(dist, code))`, and the report aggregate is M × K
-    * cells. All distance/error arithmetic is [[KmQ]]-quantized
+    * (M rows per vector), the codebook — M × K subvectors, grouped to
+    * one bounded row per subspace — always broadcasts, the argmin is
+    * v06's ROW-LOCAL `array_min(transform(…))` over the K candidates
+    * (no join expansion, no per-(vector, subspace) exchange), and the
+    * report aggregate is M × K cells with map-side partials. All distance/error arithmetic is [[KmQ]]-quantized
     * integer (overflow audit: per-subspace qdist < 2⁴⁵; summed over
     * ≤ 10⁶ vectors/cell stays < 2⁶³; beyond that swap the error sum
     * to DECIMAL(38,0)), so the report is bit-identical across
@@ -765,13 +785,28 @@ object VectorPipeline extends graft.Registry {
             expr(s"slice(qv, ${j * PqDsub + 1}, $PqDsub)").as("sv"))): _*))
           .as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    // Codebook grouped to ONE row per subspace (K bounded entries):
+    // the broadcast build side is 8 rows instead of M×K, and — the
+    // r19 win — the argmin happens ROW-LOCALLY via array_min over the
+    // K candidates instead of a join-expansion (N×M×K rows) followed
+    // by groupBy(vec_id, sub).agg(min(struct)). min over a STRUCT is
+    // not hash-aggregable, so that form ran as SortAggregate: two full
+    // sorts of the expanded relation plus an N×M-row exchange, all
+    // deleted here (guide §2.4 / §4 — measured solo at sf0.1
+    // 1.08 → 0.98 s and the sibling v19 1.51 → 1.11 s; plan diff in
+    // plans/r19/v09_pq_assign_*.txt).
+    // array_min over named_struct('qd', …, 'codeword', …) is the SAME
+    // lexicographic (qd, codeword) minimum with the same tiebreak, so
+    // the result is bit-identical (oracle unchanged).
     val cb = subs.where(col("vec_id") < PqK)
       .select(col("sub"), col("vec_id").as("codeword"), col("sv").as("cv"))
-    subs.join(broadcast(cb), Seq("sub"))
-      .select(col("vec_id"), col("sub"),
-        struct(expr(qdistSql("sv", "cv")).as("qd"), col("codeword")).as("dc"))
-      .groupBy("vec_id", "sub")
-      .agg(min("dc").as("dc"))
+    val cbArr = cb.groupBy("sub")
+      .agg(collect_list(struct(col("cv"), col("codeword"))).as("cbs"))
+    subs.join(broadcast(cbArr), Seq("sub"))
+      .select(col("sub"),
+        expr("array_min(transform(cbs, c -> named_struct(" +
+          s"'qd', ${qdistSql("sv", "c.cv")}, 'codeword', c.codeword)))")
+          .as("dc"))
       .select(col("sub"), col("dc.codeword").as("codeword"),
         col("dc.qd").as("qd"))
       .groupBy("sub", "codeword")
@@ -818,9 +853,10 @@ object VectorPipeline extends graft.Registry {
     * residual is ONE row-local codegen'd projection over one corpus
     * scan (no N×k expansion, no join); the subspace explode is
     * row-local (M rows per vector); the M×K residual codebook always
-    * broadcasts (its build re-reads only the codebook-id rows —
-    * pushdown makes that second scan 16 rows); the argmin is the
-    * map-side-combinable `min(struct)`; the report is M×K cells.
+    * broadcasts as one grouped row per subspace (its build re-reads
+    * only the codebook-id rows — pushdown makes that second scan 16
+    * rows); the PQ argmin is the row-local `array_min(transform(…))`
+    * over the K candidates; the report is M×K cells.
     * Overflow audit: residual components < 2²² ⇒ per-subspace qdist
     * < 2⁴⁷, summed per cell safely below 2⁶³ to ~6×10⁴ rows/cell —
     * beyond that swap the error sum to DECIMAL(38,0). */
@@ -843,15 +879,22 @@ object VectorPipeline extends graft.Registry {
             expr(s"slice(rv, ${j * PqDsub + 1}, $PqDsub)").as("sv"))): _*))
           .as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    // Same row-local PQ argmin as [[pqAssign]] (see the comment
+    // there): one grouped codebook row per subspace broadcasts, and
+    // array_min replaces the join-expansion + SortAggregate form —
+    // identical (qd, codeword) lexicographic minimum, bit-identical
+    // result, two sorts + one N×M exchange deleted from the plan.
     val cb = subs
       .where(col("vec_id") >= NumSeeds && col("vec_id") < NumSeeds + PqK)
       .select(col("sub"), (col("vec_id") - NumSeeds).as("codeword"),
         col("sv").as("cv"))
-    subs.join(broadcast(cb), Seq("sub"))
-      .select(col("vec_id"), col("sub"),
-        struct(expr(qdistSql("sv", "cv")).as("qd"), col("codeword")).as("dc"))
-      .groupBy("vec_id", "sub")
-      .agg(min("dc").as("dc"))
+    val cbArr = cb.groupBy("sub")
+      .agg(collect_list(struct(col("cv"), col("codeword"))).as("cbs"))
+    subs.join(broadcast(cbArr), Seq("sub"))
+      .select(col("sub"),
+        expr("array_min(transform(cbs, c -> named_struct(" +
+          s"'qd', ${qdistSql("sv", "c.cv")}, 'codeword', c.codeword)))")
+          .as("dc"))
       .select(col("sub"), col("dc.codeword").as("codeword"),
         col("dc.qd").as("qd"))
       .groupBy("sub", "codeword")
