@@ -1196,15 +1196,22 @@ object TextPipeline extends graft.Registry {
     * per token occurrence, and the final doc-keyed aggregation needs
     * no COUNT(DISTINCT) (each pair row IS distinct), so Catalyst
     * plans it without the multi-distinct Expand. The corpus-size
-    * scalar rides a 1-row broadcast. */
+    * scalar rides a 1-row broadcast. Since r19, tokens hash to 63-bit
+    * keys AT THE SOURCE (td25's two-md5-word construction, mirrored
+    * into the oracle so a 2⁻³²-odds collision merges the same df on
+    * both engines): every shuffle, the df aggregation and the join
+    * carry an 8-byte long instead of a token string (guide §2.3 —
+    * narrower shuffle bytes; no output column carries the token, so
+    * the key never needs to be a string). */
   def rarityScore(s: SparkSession, dir: String): DataFrame = {
     val pairs = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy("doc_id", "token")
+      .select(col("doc_id"), hashKey63(col("token")).as("g"))
+      .groupBy("doc_id", "g")
       .agg(count(lit(1)).as("occ"))
-    val dfTab = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+    val dfTab = pairs.groupBy("g").agg(count(lit(1)).as("df"))
     val total = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-    pairs.join(dfTab, Seq("token"))
+    pairs.join(dfTab, Seq("g"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(
@@ -2506,21 +2513,25 @@ object TextPipeline extends graft.Registry {
          |ORDER BY split, lang""".stripMargin,
     "td17_rarity_score" ->
       s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |  FROM documents),
+         |  SELECT doc_id,
+         |         ${h32Sql("token")} * 2147483648
+         |           + ${h32bSql("token")} // 2 AS g
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)),
+         |pc AS (
+         |  SELECT doc_id, g, COUNT(*) AS occ FROM toks GROUP BY doc_id, g),
          |df AS (
-         |  SELECT token, COUNT(*) AS df FROM (
-         |    SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+         |  SELECT g, COUNT(*) AS df FROM pc GROUP BY g),
          |total AS (SELECT COUNT(*) AS n_docs FROM documents)
-         |SELECT t.doc_id,
-         |       COUNT(*) AS n_tokens,
-         |       COUNT(DISTINCT t.token) AS n_distinct,
-         |       CAST(SUM(df.df) AS BIGINT) AS sum_token_df,
+         |SELECT pc.doc_id,
+         |       CAST(SUM(pc.occ) AS BIGINT) AS n_tokens,
+         |       COUNT(*) AS n_distinct,
+         |       CAST(SUM(df.df * pc.occ) AS BIGINT) AS sum_token_df,
          |       CAST(SUM(CASE WHEN df.df * 100 < total.n_docs
-         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
-         |FROM toks t JOIN df ON df.token = t.token CROSS JOIN total
-         |GROUP BY t.doc_id
-         |ORDER BY t.doc_id LIMIT 200""".stripMargin,
+         |                     THEN pc.occ ELSE 0 END) AS BIGINT) AS n_rare
+         |FROM pc JOIN df ON df.g = pc.g CROSS JOIN total
+         |GROUP BY pc.doc_id
+         |ORDER BY pc.doc_id LIMIT 200""".stripMargin,
     "td18_pack_chunks" ->
       s"""WITH d AS (
          |  SELECT lang, doc_id,
