@@ -144,5 +144,6 @@ object Functions {
     })
     ifAbsent("h32", exprs => { arity("h32", 1, exprs); Md5Word32(exprs.head, 0) })
     ifAbsent("h32b", exprs => { arity("h32b", 1, exprs); Md5Word32(exprs.head, 1) })
+    ifAbsent("h63", exprs => { arity("h63", 1, exprs); Md5Key63(exprs.head) })
   }
 }

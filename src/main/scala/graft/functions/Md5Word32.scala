@@ -80,7 +80,7 @@ object Md5Word32 {
   /** MessageDigest is stateful and not thread-safe; interpreted eval
     * (non-codegen paths) gets one per thread. `digest()` resets the
     * instance after each call. */
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
@@ -88,4 +88,64 @@ object Md5Word32 {
   private[functions] def assemble(d: Array[Byte], o: Int): Long =
     ((d(o) & 0xFFL) << 24) | ((d(o + 1) & 0xFFL) << 16) |
       ((d(o + 2) & 0xFFL) << 8) | (d(o + 3) & 0xFFL)
+}
+
+/** The 63-bit two-md5-word key `h32(x)·2³¹ + (h32b(x) >> 1)`
+  * ([[graft.pipeline.TextPrep.hashKey63]]'s construction) from ONE
+  * digest. The composed Column form evaluates [[Md5Word32]] twice —
+  * two full MD5 digests of the same string per value, because the two
+  * words are distinct expressions Catalyst's subexpression
+  * elimination cannot merge — and the key sites are the text
+  * pipeline's hottest loops (every bigram of every document in the LM
+  * scorer, every 8-gram span in td15, every token in td17). Fusing
+  * halves the digest work while assembling bit-identical values:
+  * word0 < 2³², so `word0 << 31` equals the `· 2147483648` multiply,
+  * and word1 ∈ [0, 2³²) makes arithmetic and logical right-shift
+  * agree. Equivalence to the composed form (and through it to the
+  * DuckDB oracles' textual mirror) is pinned in FunctionsSpec.
+  */
+case class Md5Key63(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"h63 requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "h63"
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = Md5Word32.digest.get().digest(
+      input.asInstanceOf[UTF8String].getBytes)
+    (Md5Word32.assemble(d, 0) << 31) + (Md5Word32.assemble(d, 4) >> 1)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
+      v =>
+        s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+           |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+         """.stripMargin)
+    nullSafeCodeGen(ctx, ev, c => {
+      val d = ctx.freshName("md5digest")
+      // see Md5Word32.doGenCode: generated lines must not begin with
+      // `|` (margin-stripping would delete the OR operators)
+      s"""
+         |byte[] $d = $md.digest($c.getBytes());
+         |${ev.value} = (((($d[0] & 0xFFL) << 24) |
+         |  (($d[1] & 0xFFL) << 16) |
+         |  (($d[2] & 0xFFL) << 8) |
+         |  ($d[3] & 0xFFL)) << 31) +
+         |  (((($d[4] & 0xFFL) << 24) |
+         |  (($d[5] & 0xFFL) << 16) |
+         |  (($d[6] & 0xFFL) << 8) |
+         |  ($d[7] & 0xFFL)) >> 1);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

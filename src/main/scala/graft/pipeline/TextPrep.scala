@@ -93,9 +93,14 @@ object TextPrep {
     * by the LM scoring sites in TextPipeline and the streaming LM
     * gate, whose stream/batch bit-parity depends on every copy being
     * identical. Mirrored textually into the DuckDB oracles
-    * (`h32Sql(e) * 2147483648 + h32bSql(e) // 2`). */
-  def hashKey63(c: Column): Column =
-    h32(c) * lit(2147483648L) + shiftright(h32b(c), 1)
+    * (`h32Sql(e) * 2147483648 + h32bSql(e) // 2`). Since r19 this is
+    * the FUSED native kernel ([[graft.functions.Md5Key63]]): one MD5
+    * digest per value instead of the composed form's two, values
+    * bit-identical (FunctionsSpec pins the equivalence). */
+  def hashKey63(c: Column): Column = {
+    regSessions()
+    call_function("h63", c)
+  }
 
   /** Same second hash word in DuckDB SQL over expression `e`. */
   def h32bSql(e: String): String =

@@ -357,9 +357,7 @@ object TextPipeline extends graft.Registry {
         col("t"))
       .select(col("source"),
         expr(s"concat_ws(' ', slice(t, i, $SpanGram))").as("gram"))
-      .select(col("source"),
-        (h32(col("gram")) * lit(2147483648L) +
-          shiftright(h32b(col("gram")), 1)).as("g"))
+      .select(col("source"), hashKey63(col("gram")).as("g"))
     val bySourceSpan = spans.groupBy("source", "g")
       .agg(count(lit(1)).as("c"))
     bySourceSpan
@@ -1264,9 +1262,7 @@ object TextPipeline extends graft.Registry {
       .select(col("doc_id"), explode(expr(
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
           "(x, y) -> concat(x, ' ', y))")).as("bigram"))
-      .select(col("doc_id"),
-        (h32(col("bigram")) * lit(2147483648L) +
-          shiftright(h32b(col("bigram")), 1)).as("g"))
+      .select(col("doc_id"), hashKey63(col("bigram")).as("g"))
       .groupBy("doc_id", "g")
       .agg(count(lit(1)).as("occ"))
     pairs

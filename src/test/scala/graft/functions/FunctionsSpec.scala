@@ -34,6 +34,27 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(1) > Int.MaxValue.toLong))
   }
 
+  test("h63 equals the composed h32*2^31 + (h32b >> 1) two-digest form") {
+    import spark.implicits._
+    Functions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val strs = Seq("", "a", "two words", "naïve café 既存", "y" * 5000) ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(40)).mkString)
+    val rows = strs.toDF("s").select(
+      col("s"),
+      expr("h63(s)").as("fused"),
+      (expr("h32(s)") * lit(2147483648L) +
+        shiftright(expr("h32b(s)"), 1)).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"h63 mismatch for '${r.getString(0).take(20)}'")
+    }
+    // 63-bit: never negative, and the high word must actually shift
+    assert(rows.forall(_.getLong(1) >= 0L))
+    assert(rows.exists(_.getLong(1) > (1L << 60)))
+  }
+
   test("h32 inside a higher-order lambda resolves and matches") {
     import spark.implicits._
     Functions.register(spark)
@@ -59,7 +80,7 @@ class FunctionsSpec extends SparkSpec {
     val s = BoundReference(0, StringType, nullable = true)
     val v = BoundReference(1, ArrayType(FloatType, containsNull = false), nullable = true)
     val proj = GenerateUnsafeProjection.generate(Seq(
-      Md5Word32(s, 0), Md5Word32(s, 1), FloatVecDot(v, v)))
+      Md5Word32(s, 0), Md5Word32(s, 1), Md5Key63(s), FloatVecDot(v, v)))
     val row = proj(InternalRow(
       UTF8String.fromString("hello world"),
       ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f))))
@@ -67,7 +88,10 @@ class FunctionsSpec extends SparkSpec {
       Md5Word32(Literal("hello world"), 0).eval(null).asInstanceOf[Long])
     assert(row.getLong(1) ===
       Md5Word32(Literal("hello world"), 1).eval(null).asInstanceOf[Long])
-    assert(row.getDouble(2) === 14.0)
+    assert(row.getLong(2) ===
+      Md5Key63(Literal("hello world")).eval(null).asInstanceOf[Long])
+    assert(row.getLong(2) === (row.getLong(0) << 31) + (row.getLong(1) >> 1))
+    assert(row.getDouble(3) === 14.0)
   }
 
   test("interpreted (non-codegen) eval agrees with codegen") {
