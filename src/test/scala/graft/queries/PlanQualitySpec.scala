@@ -164,6 +164,25 @@ class PlanQualitySpec extends SparkSpec {
       "nothing corpus-sized may shuffle-join")
     assert(p.contains("partial_count") || p.contains("partial_min"),
       "argmin/census aggregates must combine map-side")
+    // r19: the PQ argmin is row-local array_min over the grouped
+    // codebook row — the min(struct) form it replaced planned as
+    // SortAggregate (two full sorts of the NxMxK expansion plus a
+    // per-(vector, subspace) exchange)
+    assert(!p.contains("SortAggregate"),
+      "PQ argmin must stay row-local; a SortAggregate means the " +
+        "min(struct) join-expansion form crept back")
+  }
+
+  test("pq assign (v09): row-local codeword argmin, no SortAggregate") {
+    val p = plan(VectorPipeline.pqAssign(spark, dir))
+    assert(p.contains("array_min"),
+      "codeword assignment must be the row-local argmin over the " +
+        "grouped broadcast codebook")
+    assert(!p.contains("SortAggregate") && !p.contains("SortMergeJoin"),
+      "no sort-based aggregate/join anywhere: the census aggregate is " +
+        "hash + map-side partial")
+    assert(p.contains("partial_count"),
+      "census aggregates must combine map-side")
   }
 
   test("pii scan (td31): one scan, row-local regexes, one shuffle, no join") {
