@@ -28,6 +28,25 @@ object Bench {
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0)
       catch { case scala.util.control.NonFatal(_) => "null" }
+    // Hypervisor CPU-steal fraction over a 250 ms sample: this sandbox
+    // is a guest on a shared host, and steal bursts (measured this
+    // round: identical back-to-back runs of one query at 16 s and
+    // 185 s with zero in-VM IO/memory pressure) are invisible to the
+    // loadavg/other-JVM stamps — a scale artifact from a stolen-CPU
+    // window needs to carry the evidence, same rationale as the r18
+    // concurrent-JVM guard. Fields 1-8 of /proc/stat's cpu line are
+    // user..steal in USER_HZ ticks; fraction = Δsteal / Δtotal.
+    val steal =
+      try {
+        def sample(): Array[Long] = java.nio.file.Files
+          .readString(java.nio.file.Paths.get("/proc/stat"))
+          .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+        val a = sample(); Thread.sleep(250L); val b = sample()
+        val d = b.zip(a).map { case (x, y) => x - y }
+        val total = d.sum.toDouble
+        if (total <= 0 || d.length < 8) "null"
+        else f"${d(7) / total}%.4f"
+      } catch { case scala.util.control.NonFatal(_) => "null" }
     val jvms =
       try {
         import scala.jdk.CollectionConverters._
@@ -54,7 +73,7 @@ object Bench {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => "";  case c => c.toString } + "\"")
       .mkString("[", ",", "]")
-    s"""{"loadavg1":$load,"other_jvms":${jvms.size},"other_jvm_cmds":$jvmsJson}"""
+    s"""{"loadavg1":$load,"steal_frac":$steal,"other_jvms":${jvms.size},"other_jvm_cmds":$jvmsJson}"""
   }
 
   def main(args: Array[String]): Unit = {
