@@ -43,7 +43,11 @@ object Bench {
           .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
         val a = sample(); Thread.sleep(250L); val b = sample()
         val d = b.zip(a).map { case (x, y) => x - y }
-        val total = d.sum.toDouble
+        // denominator = user..steal (first 8 fields) only: guest and
+        // guest_nice are already accounted inside user/nice, so
+        // including them double-counts guest ticks and understates
+        // the fraction (r19 advice)
+        val total = d.take(8).sum.toDouble
         if (total <= 0 || d.length < 8) "null"
         else f"${d(7) / total}%.4f"
       } catch { case scala.util.control.NonFatal(_) => "null" }

@@ -61,30 +61,47 @@ object DqQueries extends graft.Registry {
       .orderBy("event_id", "user_id", "event_type", "value")
       .limit(100)
 
-  /** P1: count / nulls / distinct per column (`src/dq.py:45-50`), in
-    * ONE aggregation pass over ONE scan. N distinct columns in one
-    * agg make Catalyst Expand-multiply the input (N+1)× map-side, but
-    * each expanded stream collapses into its column's partial
-    * distinct set before the single exchange — the same aggregate
-    * state N per-column passes would build, held concurrently instead
-    * of sequentially (hash aggregation falls back to sort-based
-    * spill under memory pressure). The alternative — one aggregation
-    * pass per column — reads the full corpus N times, which loses at
-    * any scale where the scan is the cost (100 TB: 5 scans vs 1).
-    * The per-column scalars then pivot to rows through a 1-row local
-    * `stack`, so the report shape is unchanged. */
+  /** P1: count / nulls / distinct per column (`src/dq.py:45-50`).
+    *
+    * Until r20 this was ONE aggregation with 5 COUNT(DISTINCT)s,
+    * which Catalyst plans through a 6× Expand: every input row is
+    * replicated once per distinct column (plus the plain-agg stream)
+    * before the partial aggregates collapse the streams — 6× the row
+    * materialization and a single wide exchange carrying every
+    * column's distinct set at once. The worst Spark-vs-reference
+    * ratio on the surface (sf10: 2.6 s vs 0.02). Now each
+    * high-cardinality column gets its OWN single-distinct pass:
+    * Catalyst plans one distinct without Expand (partial groupBy(col)
+    * collapses to the per-partition distinct set, the exchange
+    * carries single-column rows), the scans are column-pruned to one
+    * parquet column each (columnar input: N pruned scans read the
+    * same bytes ONCE each, not N× the table), and the row count +
+    * null counts + the lowest-cardinality distinct (event_type, 5
+    * values — its partial agg collapses map-side to ~groups×tasks
+    * rows) share the head pass. The five subtrees join as broadcast
+    * 1-row scalars and run CONCURRENTLY (broadcast builds execute on
+    * the broadcast-exchange thread pool; under AQE the independent
+    * stages materialize in parallel), so wall-clock is the slowest
+    * single pass, not the sum (guide §2.3 — shuffle fewer bytes;
+    * §2.6 — overlap independent work). The per-column scalars then
+    * pivot to rows through a 1-row local `stack`, so the report
+    * shape and values are unchanged. */
   def p1Counts(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("event_id", "user_id", "event_type", "value", "props")
-    val aggs = cols.flatMap { c =>
-      Seq(sum(col(c).isNull.cast("long")).as(s"nn_$c"),
-        count_distinct(col(c)).as(s"nd_$c"))
+    val lowCard = "event_type"
+    val headAggs =
+      cols.map(c => sum(col(c).isNull.cast("long")).as(s"nn_$c")) :+
+        count_distinct(col(lowCard)).as(s"nd_$lowCard")
+    val head = events(s, dir).agg(count(lit(1)).as("n_rows"), headAggs: _*)
+    val joined = cols.filterNot(_ == lowCard).foldLeft(head) { (acc, c) =>
+      acc.crossJoin(broadcast(
+        events(s, dir).select(c).agg(count_distinct(col(c)).as(s"nd_$c"))))
     }
     val stackArgs = cols
       .map(c => s"'$c', n_rows, nn_$c, nd_$c")
       .mkString(s"stack(${cols.size}, ", ", ",
         ") AS (column_name, n_rows, n_nulls, n_distinct)")
-    events(s, dir)
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    joined
       .select(expr(stackArgs))
       .orderBy("column_name")
   }

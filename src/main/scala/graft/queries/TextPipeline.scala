@@ -265,14 +265,23 @@ object TextPipeline extends graft.Registry {
       .join(df, "tok")
       .groupBy("doc_id", "lang", "df_lang")
       .agg(sum("df").as("score"))
-    // argmax(score, ties → alphabetical df_lang) as
-    // min(struct(-score, df_lang)): structs order lexicographically,
-    // so the min IS the argmax with the right tiebreak — a map-side-
-    // combinable aggregate instead of a row_number window, saving the
-    // window's full sort-by-doc exchange.
+    // argmax(score, ties → alphabetical df_lang) as the minimum of
+    // (-score, df_lang) candidate structs: structs order
+    // lexicographically, so the min IS the argmax with the right
+    // tiebreak. r20: the min is array_min over a collect_list of the
+    // ≤|langs| candidates per (doc, lang) group — min(struct) is not
+    // hash-aggregable and planned as SortAggregate (partial sort →
+    // exchange → final sort over the whole scored relation), while
+    // collect_list is an ObjectHashAggregate with map-side partials
+    // (the v09/v19 row-local-argmin layout; guide §2.4). Bounded per
+    // group: a document contributes at most one candidate per
+    // distinct label in the corpus. array_min uses the same struct
+    // ordering as min(), and collect_list's nondeterministic order
+    // cannot matter under a minimum — bit-identical result.
     scored
       .groupBy("doc_id", "lang")
-      .agg(min(struct((-col("score")).as("ns"), col("df_lang"))).as("best"))
+      .agg(array_min(collect_list(
+        struct((-col("score")).as("ns"), col("df_lang")))).as("best"))
       .groupBy(col("lang"), col("best.df_lang").as("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted_lang")
@@ -1197,19 +1206,31 @@ object TextPipeline extends graft.Registry {
     * scalar rides a 1-row broadcast. Since r19, tokens hash to 63-bit
     * keys AT THE SOURCE (td25's two-md5-word construction, mirrored
     * into the oracle so a 2⁻³²-odds collision merges the same df on
-    * both engines): every shuffle, the df aggregation and the join
-    * carry an 8-byte long instead of a token string (guide §2.3 —
-    * narrower shuffle bytes; no output column carries the token, so
-    * the key never needs to be a string). */
+    * both engines): every shuffle and the df attachment carry an
+    * 8-byte long instead of a token string (guide §2.3 — narrower
+    * shuffle bytes; no output column carries the token, so the key
+    * never needs to be a string). Since r20, df attaches as a COUNT
+    * window over `g` on the compacted pairs (td25's form) instead of
+    * a (g, df)-table join: the join's build side re-ran the whole
+    * scan+explode+MD5 subtree (column pruning de-duplicates the two
+    * aggregates apart, so Catalyst cannot reuse the exchange — the
+    * r19 verdict's top finding: 2× corpus explode at every scale),
+    * while the window reads the one exchange it already needs. Pair
+    * rows are distinct by construction, so a per-g window partition
+    * holds at most one row per document containing the token —
+    * identical skew exposure to the join's g-keyed shuffle, minus
+    * the second explode (guide §2.4 — remove shuffles outright;
+    * sf0.1 full-surface 0.55 → 0.38 s; sf10 deltas in
+    * OPTIMIZATION_r20.md). */
   def rarityScore(s: SparkSession, dir: String): DataFrame = {
     val pairs = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .select(col("doc_id"), hashKey63(col("token")).as("g"))
       .groupBy("doc_id", "g")
       .agg(count(lit(1)).as("occ"))
-    val dfTab = pairs.groupBy("g").agg(count(lit(1)).as("df"))
     val total = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-    pairs.join(dfTab, Seq("g"))
+    pairs
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(
@@ -1958,12 +1979,15 @@ object TextPipeline extends graft.Registry {
     * replica-tagged ScaleGen testdata, whose vocabulary is 10× per
     * decade with near-equal counts — a deliberately sketch-
     * adversarial shape), where exactness needs capacity ≥
-    * distinct-token count — and on those the first failure buys one
-    * cheap HLL distinct estimate and the NEXT attempt jumps straight
-    * to a certifying capacity instead of paying two full passes per
-    * ×8 rung (measured: td19/td20's sf10 ladder collapses from three
-    * attempts to two). Past `maxCapacity` the operator still refuses
-    * loudly rather than approximate.
+    * distinct-token count. On those the HLL distinct estimate (fused
+    * into the first sketch scan since r20 — previously its own full
+    * pass) makes the NEXT attempt jump straight to a certifying
+    * capacity, and the sketch-only failure bound (k-th stored count +
+    * MG undercount bound cannot clear the miss bound) skips the
+    * guaranteed-futile recount pass entirely, so an escalating ladder
+    * costs sketch + sketch instead of sketch + recount + HLL +
+    * sketch. Past `maxCapacity` the operator still refuses loudly
+    * rather than approximate.
     *
     * `exactDirect` is the measured-input regime switch (td08/td09
     * pattern, keyed off [[graft.InputTuning.smallInput]] by the
@@ -1987,22 +2011,32 @@ object TextPipeline extends graft.Registry {
     var cap = capacity
     var result: Option[Seq[(String, Long)]] = None
     var lastDiag = ""
-    // Lazily-measured distinct-token estimate (HLL, ONE cheap scan):
-    // taken only after the FIRST uncertified attempt, never on the
-    // Zipf corpora that certify immediately. A failed attempt costs
-    // two full passes (sketch + candidate recount), so walking the
-    // blind ×8 ladder on a near-uniform corpus pays 2 passes per
-    // rung; the estimate instead jumps straight to a capacity ≥
-    // distinct tokens, where the sketch cannot evict and certifies
-    // by construction. ×1.1 covers the HLL rsd (0.02); an
-    // underestimate just means the loop takes one more rung —
-    // correctness never rests on the estimate.
+    // Distinct-token estimate (HLL), FUSED into the first sketch scan
+    // (r20; previously a separate full pass taken after the first
+    // uncertified attempt): one register update per token rides the
+    // explode+scan the sketch pays anyway, so the informed capacity
+    // jump — straight to a capacity ≥ distinct tokens, where the
+    // sketch cannot evict and certifies by construction — costs zero
+    // extra passes. ×1.1 covers the HLL rsd (0.02); an underestimate
+    // just means the loop takes one more rung — correctness never
+    // rests on the estimate.
     var approxDistinct = -1L
     while (result.isEmpty && cap <= maxCapacity) {
-      val mg = toks.as[String]
-        .select(new graft.functions.MisraGries(cap).toColumn)
-        .head()
-      val sketchIsExact = mg.counts.valuesIterator.sum == mg.total
+      val mg = {
+        val mgCol = new graft.functions.MisraGries(cap).toColumn
+        if (approxDistinct < 0L) {
+          val (m, nd) = toks.as[String]
+            .select(mgCol, approx_count_distinct(col("token"), 0.02).as[Long])
+            .head()
+          approxDistinct = nd
+          m
+        } else toks.as[String].select(mgCol).head()
+      }
+      val storedSum = mg.counts.valuesIterator.sum
+      val sketchIsExact = storedSum == mg.total
+      val maxUndercount = (mg.total - storedSum) / (cap + 1L)
+      val provablyNotSeparable =
+        !sketchIsExact && mgRecountFutile(mg.counts, mg.total, cap, k)
       if (sketchIsExact) {
         // Lossless sketch (capacity ≥ distinct tokens — the informed
         // jump's terminal state): the sketch's counters ARE the exact
@@ -2012,11 +2046,13 @@ object TextPipeline extends graft.Registry {
           .sortBy { case (t, c) => (-c, t) }
           .take(k))
       } else {
-        val top = exactCandidateCounts(s, toks, mg.counts.keys.toSeq)
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-          .sortBy { case (t, c) => (-c, t) }
-          .take(k)
+        val top =
+          if (provablyNotSeparable) Array.empty[(String, Long)]
+          else exactCandidateCounts(s, toks, mg.counts.keys.toSeq)
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+            .sortBy { case (t, c) => (-c, t) }
+            .take(k)
         // division form of `count * (cap+1) > total`: the product
         // overflows Long once the k-th count passes ~2^63/cap (a
         // ~10^14-token corpus at the 2^20 capacity ceiling), turning a
@@ -2028,14 +2064,15 @@ object TextPipeline extends graft.Registry {
           top.length == k && top.last._2 > mg.total / (cap + 1L)
         if (separable) result = Some(top.toSeq)
         else {
-          lastDiag = s"k-th count ${top.lastOption.map(_._2)} does not " +
-            s"clear the sketch miss bound ${mg.total} / ${cap + 1}"
+          lastDiag =
+            if (provablyNotSeparable)
+              s"sketch-only bound: k-th stored + undercount bound " +
+                s"$maxUndercount cannot clear the miss bound " +
+                s"${mg.total} / ${cap + 1} (recount skipped)"
+            else s"k-th count ${top.lastOption.map(_._2)} does not " +
+              s"clear the sketch miss bound ${mg.total} / ${cap + 1}"
           if (cap >= maxCapacity) cap = maxCapacity + 1 // terminate
           else {
-            if (approxDistinct < 0L)
-              approxDistinct = toks
-                .agg(approx_count_distinct(col("token"), 0.02))
-                .head().getLong(0)
             val certain = math.min(maxCapacity.toLong,
               (approxDistinct * 11L) / 10L + 1L).toInt
             cap = math.min(math.max(cap * 8, certain), maxCapacity)
@@ -2065,6 +2102,34 @@ object TextPipeline extends graft.Registry {
       .join(broadcast(candidates.toDF("token")), Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("cnt"))
   }
+
+  /** Sketch-only proof that the exact candidate-recount pass CANNOT
+    * certify a separable top-k at this capacity, so the full corpus
+    * scan it costs can be skipped and the ladder escalated directly
+    * (r20; the escalation path previously paid sketch + recount per
+    * rung). Sound by the Misra–Gries decrement bound: every token's
+    * true count exceeds its stored count by at most
+    * D = (total − storedSum)/(cap+1) (mergeable-summaries guarantee —
+    * the same accounting the separability certificate itself relies
+    * on), and among any k tokens at most k−1 have stored count above
+    * the k-th largest stored value, so the k-th largest TRUE count is
+    * ≤ (k-th largest stored) + D. When even that upper bound cannot
+    * clear the miss bound total/(cap+1) — or the sketch holds fewer
+    * than k candidates at all — certification (`k-th exact count >
+    * total/(cap+1)`, over candidates ⊆ all tokens) must fail. On
+    * near-uniform corpora (the ScaleGen decades) the k-th stored
+    * count sits at the stored average and the proof fires; on Zipf
+    * corpora the head dwarfs the bound and the recount proceeds as
+    * before. Never called on a lossless sketch (no recount happens
+    * there at all). */
+  private[graft] def mgRecountFutile(
+      counts: Map[String, Long], total: Long, cap: Int, k: Int): Boolean =
+    counts.size < k || {
+      val kthStored = counts.valuesIterator.toArray
+        .sorted(Ordering[Long].reverse).apply(k - 1)
+      val maxUndercount = (total - counts.valuesIterator.sum) / (cap + 1L)
+      kthStored + maxUndercount <= total / (cap + 1L)
+    }
 
   /** td20 calibration: report size and INITIAL sketch capacity. The
     * driver testdata vocabulary is ~31 tokens (~10³ distinct

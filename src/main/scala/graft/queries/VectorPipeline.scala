@@ -213,22 +213,43 @@ object VectorPipeline extends graft.Registry {
     // Corpus-side assignment is a ROW-LOCAL argmax (v14's layout): the
     // k seeds collapse to one broadcast collect_list row and
     // array_min over (−cos, seed_id) picks the same winner as the
-    // previous row_number()=1 window (negation is monotone under the
-    // engine's double total order, incl. ±0.0 and NaN, and the
-    // seed_id tiebreak is identical) — deleting the N×k crossJoin
-    // expansion, its vec_id exchange and the window sort from the
-    // corpus path (guide §2.4; plan diff in plans/r19/v04_*.txt).
+    // previous row_number()=1 window for finite scores (negation is
+    // order-reversing on finite doubles incl. ±0.0, and the seed_id
+    // tiebreak is identical) — deleting the N×k crossJoin expansion,
+    // its vec_id exchange and the window sort from the corpus path
+    // (guide §2.4; plan diff in plans/r19/v04_*.txt).
+    // Zero norms are the one unguarded case (r19 advice): cosine
+    // against a ZERO-NORM vector divides 0 by 0, which under the
+    // engine's default ANSI mode ABORTS the query (and with ANSI off
+    // yields NaN — the maximum of the double total order on both
+    // sides of a negation, so the old desc-window form picked a
+    // zero-norm seed first while array_min picks it last). Zero-norm
+    // SEEDS carry no direction (cosine is undefined), so they are
+    // excluded from the quantizer outright; a zero-norm CORPUS vector
+    // is direction-less too, so it scores 0 against every surviving
+    // seed — all candidates tie and the min-seed_id tiebreak decides,
+    // with no division ever evaluated on a zero divisor. Pinned on a
+    // planted zero-vector corpus in PipelineSpec; no testdata
+    // embedding has zero norm, so declared results are unchanged
+    // (oracle 91/91).
     // The probe side below keeps the row/window form: it is filtered
     // to the bounded query set before the window, so only ≤ queries×k
     // rows ever reach it.
     val cents1 = seeds
+      .where(col("sn") > 0d)
       .select(struct(col("se"), col("sn"), col("seed_id")).as("c"))
       .agg(collect_list("c").as("cents"))
     val assigned = e.crossJoin(broadcast(cents1))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         expr("array_min(transform(cents, c -> named_struct(" +
-          s"'nc', -(${dotSql("embedding", "c.se")} / (nrm * c.sn)), " +
+          s"'nc', CASE WHEN nrm > 0D THEN " +
+          s"-(${dotSql("embedding", "c.se")} / (nrm * c.sn)) " +
+          "ELSE 0D END, " +
           "'seed_id', c.seed_id)))").as("dc"))
+      // empty quantizer (no surviving seeds) → dc is null (array_min
+      // over the empty collect_list row): drop those rows, matching
+      // the zero-output behavior of the pre-r19 crossJoin(seeds) form
+      .where(col("dc").isNotNull)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("dc.seed_id").as("seed_id"))
     val wAssign = Window.partitionBy("vec_id")
@@ -615,18 +636,23 @@ object VectorPipeline extends graft.Registry {
   def diverseSample(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
     // Row-local argmax assignment (same rewrite + equivalence argument
-    // as [[annIvf]]): one broadcast collect_list row of the k seeds,
-    // array_min over (−cos, seed_id) — no N×k crossJoin expansion, no
-    // vec_id exchange, no window sort on the corpus path.
-    val cents1 = e.where(col("vec_id") < NumSeeds)
+    // as [[annIvf]], including the zero-norm seed/corpus guards and
+    // the empty-quantizer null drop — see the comment there): one
+    // broadcast collect_list row of the k seeds, array_min over
+    // (−cos, seed_id) — no N×k crossJoin expansion, no vec_id
+    // exchange, no window sort on the corpus path.
+    val cents1 = e.where(col("vec_id") < NumSeeds && col("nrm") > 0d)
       .select(struct(col("embedding").as("se"), col("nrm").as("sn"),
         col("vec_id").as("seed_id")).as("c"))
       .agg(collect_list("c").as("cents"))
     val assigned = e.crossJoin(broadcast(cents1))
       .select(col("vec_id"),
         expr("array_min(transform(cents, c -> named_struct(" +
-          s"'nc', -(${dotSql("embedding", "c.se")} / (nrm * c.sn)), " +
+          s"'nc', CASE WHEN nrm > 0D THEN " +
+          s"-(${dotSql("embedding", "c.se")} / (nrm * c.sn)) " +
+          "ELSE 0D END, " +
           "'seed_id', c.seed_id)))").as("dc"))
+      .where(col("dc").isNotNull)
       .select(col("vec_id"), col("dc.seed_id").as("cluster"))
     val d = Tables.table(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))

@@ -1182,6 +1182,41 @@ class PipelineSpec extends SparkSpec {
     assert(got === (1 to 5).map(t => (f"u$t%03d", 1L)))
   }
 
+  test("mg recount-futility bound fires on uniform profiles, never on separable heads") {
+    // r20: the escalation ladder skips the exact recount pass when the
+    // sketch alone proves certification must fail. The bound must be
+    // (a) sound — never true when the recount could certify — and
+    // (b) useful — true on the near-uniform profiles that escalate.
+    // Uniform remnant: 4 stored singletons of a 1000-token stream at
+    // capacity 3 → k-th stored (1) + undercount bound 249 == miss
+    // bound 250 → provably cannot EXCEED it → futile (boundary case).
+    assert(TextPipeline.mgRecountFutile(
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L), 1000L, 3, 2))
+    // Zipf head: stored 500/300 of the same stream → k-th stored 300 +
+    // bound 50 > 250 → the recount could certify, must not be skipped.
+    assert(!TextPipeline.mgRecountFutile(
+      Map("a" -> 500L, "b" -> 300L, "c" -> 1L), 1000L, 3, 2))
+    // Fewer than k candidates: top-k can never have k rows → futile.
+    assert(TextPipeline.mgRecountFutile(Map("a" -> 900L), 1000L, 3, 2))
+  }
+
+  test("td19 sketch-evicting separable corpus still recounts exactly (futility bound stays off)") {
+    import spark.implicits._
+    // Same shape as the evict test but asserted through the futility
+    // bound's inputs: head count 100 ≫ miss bound, so the pre-check
+    // must leave the recount path alone and the first attempt
+    // certifies — a regression here would surface as escalation to
+    // lossless (still correct) and a 2× pass count at scale.
+    val head = (1 to 5).flatMap(h => Seq.fill(100)(s"head$h"))
+    val tail = (1 to 500).map(t => f"tail$t%03d")
+    val toks = new scala.util.Random(7).shuffle(head ++ tail).toDF("token")
+    val mg = toks.as[String]
+      .select(new graft.functions.MisraGries(64).toColumn).head()
+    assert(mg.counts.valuesIterator.sum < mg.total, "sketch must evict")
+    assert(!TextPipeline.mgRecountFutile(mg.counts, mg.total, 64, 5),
+      "separable head must not be declared futile")
+  }
+
   test("td21 per-source quantiles equal an in-memory rank computation") {
     val got = TextPipeline.sourceQuality(spark, dir).collect()
       .map(r => r.getString(0) -> (1 to 7).map(r.getLong).toSeq).toMap
@@ -1410,6 +1445,48 @@ class PipelineSpec extends SparkSpec {
     val gotPer = VectorPipeline.modalityLift(spark, per).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
     assert(gotPer === Map(("aa", 0) -> 20000L, ("bb", 1) -> 20000L))
+  }
+
+  test("v07 assignment excludes zero-norm seeds; zero-norm corpus rows tiebreak to the min seed") {
+    import spark.implicits._
+    // r19 advice item: cosine against a ZERO-NORM vector divides 0 by
+    // 0 — an ANSI-mode abort (and, with ANSI off, a NaN whose total-
+    // order maximality made the retired desc-window form and the
+    // array_min form disagree about zero-norm seeds). r20 resolves
+    // the edge by construction: zero-norm seeds carry no direction
+    // and are excluded from the quantizer; a zero-norm CORPUS row is
+    // direction-less too and scores 0 against every surviving seed,
+    // so all candidates tie and the min-seed_id tiebreak decides —
+    // no division ever sees a zero divisor.
+    val d = java.nio.file.Files.createTempDirectory("graft-v07z").toString
+    // seed 2 is the zero vector; the others are signed axis vectors
+    // (axis-aligned corpus rows make every argmax decided by exact
+    // float dot products, no precision ambiguity)
+    val axes = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f),
+      2L -> Array(0f, 0f, 0f, 0f), 3L -> Array(0f, 0f, 0f, 1f),
+      4L -> Array(-1f, 0f, 0f, 0f), 5L -> Array(0f, -1f, 0f, 0f),
+      6L -> Array(0f, 0f, -1f, 0f), 7L -> Array(0f, 0f, 0f, -1f))
+    val corpus = Seq(
+      8L -> Array(2f, 0f, 0f, 0f), // cos 1 with seed 0
+      9L -> Array(0f, -3f, 0f, 0f), // cos 1 with seed 5
+      10L -> Array(0f, 0f, 5f, 0f), // all-zero cos (seed 2 gone) → min seed 0
+      11L -> Array(0f, 0f, 0f, 0f)) // zero-norm corpus row → NaN ties → seed 0
+    (axes ++ corpus).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    (0L to 11L).map(i => (i, s"text $i", "xx"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = VectorPipeline.diverseSample(spark, d).collect()
+      .map(r => r.getLong(2) -> r.getLong(0)).toMap // doc_id -> cluster
+    val expected = Map(
+      0L -> 0L, 1L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L,
+      7L -> 7L, // unit seeds assign to themselves (cos 1 with self)
+      2L -> 0L, // the zero seed, as a corpus row, NaN-ties → min surviving seed
+      8L -> 0L, 9L -> 5L, 10L -> 0L, 11L -> 0L)
+    assert(got === expected)
+    assert(!got.values.toSet.contains(2L),
+      "no row may be assigned to the zero-norm seed")
   }
 
   test("td28 containment flags a subset-dup that jaccard misses") {

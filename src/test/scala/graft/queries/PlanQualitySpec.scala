@@ -124,21 +124,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_min"))
   }
 
-  test("rarity score (td17): df join carries no broadcast hint except the 1-row total") {
-    // the (token, df) table grows with the corpus vocabulary — like
-    // td03's vocab join it must stay free to shuffle; only the 1-row
-    // corpus-size frame is explicitly broadcast
+  test("rarity score (td17): one corpus explode, df from a window, no Expand") {
+    // r20: df attaches as a COUNT window over the compacted pairs
+    // (td25's form). The old (g, df)-table join re-ran the whole
+    // scan+explode+MD5 subtree on its build side — the r19 verdict's
+    // top finding: 2× corpus explode at every scale. Exactly two
+    // parquet scans may remain: the exploded corpus and the pruned
+    // 1-row total count; a third means the join form crept back.
     val analyzed =
       TextPipeline.rarityScore(spark, dir).queryExecution.analyzed.toString
     assert("ResolvedHint".r.findAllIn(analyzed).size === 1,
       "exactly one hint: the broadcast 1-row total")
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val p = plan(TextPipeline.rarityScore(spark, dir))
-      assert(p.contains("SortMergeJoin"),
-        "df join must degrade to a shuffle join when too big to broadcast")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val p = plan(TextPipeline.rarityScore(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).size === 2,
+      "corpus explode must run once (plus the pruned total-count scan)")
+    assert(!p.contains("SortMergeJoin"),
+      "df must come from a window over the compacted pairs, not a join")
+    assert(!p.contains("Expand"),
+      "pair compaction makes every df row distinct — no COUNT(DISTINCT) Expand")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ordered limit must not globally sort")
   }
 
   test("bigram novelty (td25): one scan, no join, no Expand, bounded sort") {
