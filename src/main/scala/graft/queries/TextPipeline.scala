@@ -246,8 +246,18 @@ object TextPipeline extends graft.Registry {
     * 10⁸-10⁹ distinct tokens (typos, code, URLs), which would OOM the
     * executors if forced to broadcast — Catalyst's size statistics
     * pick broadcast when the vocabulary actually fits (as it does on
-    * testdata) and a `tok`-keyed shuffle join when it doesn't. The
-    * wide shuffles key on tok and doc_id.
+    * testdata) and a key-keyed shuffle join when it doesn't. The
+    * wide shuffles key on the token key and doc_id.
+    *
+    * Since r20 the token is hashed to the 63-bit two-md5-word key at
+    * the source (td17/td25/td32's construction, mirrored textually
+    * into the oracle AFTER the per-doc DISTINCT so a 2⁻³²-odds
+    * collision merges the same df groups on both engines): the cached
+    * relation, the df aggregation and the vocabulary join all carry
+    * an 8-byte long instead of a token string — no output column
+    * exposes the token (guide §2.3, the exact change that cut td17
+    * −44% at sf10 in r19). Results proven byte-identical to the
+    * pre-change dump at sf0.01.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
     // cached once (plan-keyed, invalidate-owned): the token explode is
@@ -257,12 +267,13 @@ object TextPipeline extends graft.Registry {
     val toks = cachedByPlan(docs(s, dir)
       .select(
         col("doc_id"), col("lang"),
-        explode(array_distinct(split(col("text"), " "))).as("tok")))
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), col("lang"), hashKey63(col("tok")).as("g")))
     val df = toks
-      .groupBy(col("tok"), col("lang").as("df_lang"))
+      .groupBy(col("g"), col("lang").as("df_lang"))
       .agg(count(lit(1)).as("df"))
     val scored = toks
-      .join(df, "tok")
+      .join(df, "g")
       .groupBy("doc_id", "lang", "df_lang")
       .agg(sum("df").as("score"))
     // argmax(score, ties → alphabetical df_lang) as the minimum of
@@ -1133,11 +1144,22 @@ object TextPipeline extends graft.Registry {
       .groupBy(expr(s"first_doc div $GrowthBucketDocs").as("bucket"))
       .agg(count(lit(1)).as("n_new_shingles"))
     // both report frames are bounded (corpus/250 rows); the hint
-    // stops Catalyst sort-merge-joining two stat-less aggregates
-    val report = byDoc.join(broadcast(newTypes), Seq("bucket"), "left")
-      .select(col("bucket"), col("n_docs"), col("n_tokens"),
-        coalesce(col("n_new_shingles"), lit(0L)).as("n_new_shingles"))
-      .withColumn("chunk", expr(s"bucket div $GrowthChunkBuckets"))
+    // stops Catalyst sort-merge-joining two stat-less aggregates.
+    // The report is consumed TWICE (within-chunk running totals +
+    // chunk offsets) and materialized ONCE through the owned cache
+    // (r20): the static sf0.1 plan covered the duplicate with
+    // ReuseExchange, but under AQE the two subtrees re-plan apart and
+    // the runtime-final sf10 plan showed ZERO ReusedExchange — the
+    // whole byDoc aggregation and the first-seen pass ran twice at
+    // scale (plans/r20/td30_vocab_growth_sf10_final.txt, captured
+    // with SPARK_GRAFT_PLAN_EXEC=1). Bounded rows (corpus/250) make
+    // the cache a few longs per 250 docs — ~1.3 GB at a 10^10-doc
+    // corpus, spill-safe either way.
+    val report = cachedByPlan(
+      byDoc.join(broadcast(newTypes), Seq("bucket"), "left")
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          coalesce(col("n_new_shingles"), lit(0L)).as("n_new_shingles"))
+        .withColumn("chunk", expr(s"bucket div $GrowthChunkBuckets")))
     // level 1: running totals inside each chunk (distributed window)
     val wIn = Window.partitionBy("chunk").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1979,15 +2001,15 @@ object TextPipeline extends graft.Registry {
     * replica-tagged ScaleGen testdata, whose vocabulary is 10× per
     * decade with near-equal counts — a deliberately sketch-
     * adversarial shape), where exactness needs capacity ≥
-    * distinct-token count. On those the HLL distinct estimate (fused
-    * into the first sketch scan since r20 — previously its own full
-    * pass) makes the NEXT attempt jump straight to a certifying
-    * capacity, and the sketch-only failure bound (k-th stored count +
-    * MG undercount bound cannot clear the miss bound) skips the
-    * guaranteed-futile recount pass entirely, so an escalating ladder
-    * costs sketch + sketch instead of sketch + recount + HLL +
-    * sketch. Past `maxCapacity` the operator still refuses loudly
-    * rather than approximate.
+    * distinct-token count. On those the first failure buys one cheap
+    * HLL distinct estimate so the NEXT attempt jumps straight to a
+    * certifying capacity, and (r20) the sketch-only failure bound
+    * (k-th stored count + MG undercount bound cannot clear the miss
+    * bound) skips the guaranteed-futile exact-recount pass entirely,
+    * so an escalating ladder costs sketch + HLL + sketch instead of
+    * sketch + recount + HLL + sketch — one fewer full corpus explode
+    * per failed rung. Past `maxCapacity` the operator still refuses
+    * loudly rather than approximate.
     *
     * `exactDirect` is the measured-input regime switch (td08/td09
     * pattern, keyed off [[graft.InputTuning.smallInput]] by the
@@ -2011,27 +2033,23 @@ object TextPipeline extends graft.Registry {
     var cap = capacity
     var result: Option[Seq[(String, Long)]] = None
     var lastDiag = ""
-    // Distinct-token estimate (HLL), FUSED into the first sketch scan
-    // (r20; previously a separate full pass taken after the first
-    // uncertified attempt): one register update per token rides the
-    // explode+scan the sketch pays anyway, so the informed capacity
-    // jump — straight to a capacity ≥ distinct tokens, where the
-    // sketch cannot evict and certifies by construction — costs zero
-    // extra passes. ×1.1 covers the HLL rsd (0.02); an underestimate
-    // just means the loop takes one more rung — correctness never
-    // rests on the estimate.
+    // Lazily-measured distinct-token estimate (HLL, ONE cheap
+    // codegen'd scan): taken only after the FIRST uncertified
+    // attempt, never on the Zipf corpora that certify immediately.
+    // The estimate makes the next attempt jump straight to a capacity
+    // ≥ distinct tokens, where the sketch cannot evict and certifies
+    // by construction. ×1.1 covers the HLL rsd (0.02); an
+    // underestimate just means the loop takes one more rung —
+    // correctness never rests on the estimate. (An r20 A/B fused the
+    // HLL into the sketch scan itself to save this pass — REJECTED:
+    // it taxes the expensive typed-aggregate pass on every corpus,
+    // while the standalone HLL scan is a cheap codegen'd aggregate
+    // paid only on escalation; sf10 td19 min 3.9 → 4.8 s fused.)
     var approxDistinct = -1L
     while (result.isEmpty && cap <= maxCapacity) {
-      val mg = {
-        val mgCol = new graft.functions.MisraGries(cap).toColumn
-        if (approxDistinct < 0L) {
-          val (m, nd) = toks.as[String]
-            .select(mgCol, approx_count_distinct(col("token"), 0.02).as[Long])
-            .head()
-          approxDistinct = nd
-          m
-        } else toks.as[String].select(mgCol).head()
-      }
+      val mg = toks.as[String]
+        .select(new graft.functions.MisraGries(cap).toColumn)
+        .head()
       val storedSum = mg.counts.valuesIterator.sum
       val sketchIsExact = storedSum == mg.total
       val maxUndercount = (mg.total - storedSum) / (cap + 1L)
@@ -2073,6 +2091,10 @@ object TextPipeline extends graft.Registry {
               s"clear the sketch miss bound ${mg.total} / ${cap + 1}"
           if (cap >= maxCapacity) cap = maxCapacity + 1 // terminate
           else {
+            if (approxDistinct < 0L)
+              approxDistinct = toks
+                .agg(approx_count_distinct(col("token"), 0.02))
+                .head().getLong(0)
             val certain = math.min(maxCapacity.toLong,
               (approxDistinct * 11L) / 10L + 1L).toInt
             cap = math.min(math.max(cap * 8, certain), maxCapacity)
@@ -2986,16 +3008,22 @@ object TextPipeline extends graft.Registry {
         |            THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
         |FROM r ORDER BY doc_id LIMIT 200""".stripMargin,
     "td03_lang_id" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, lang,
-        |         unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
+      // token keys hash to the shared 63-bit two-md5-word construction
+      // AFTER the per-doc DISTINCT (mirroring the Spark side exactly:
+      // one row per distinct TOKEN, so a colliding token pair keeps
+      // two equal-g rows and merges the same way on both engines)
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         ${h32Sql("tok")} * 2147483648 + ${h32bSql("tok")} // 2 AS g
+        |  FROM (SELECT DISTINCT doc_id, lang,
+        |               unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
         |df AS (
-        |  SELECT tok, lang AS df_lang, COUNT(*) AS df
-        |  FROM toks GROUP BY tok, lang),
+        |  SELECT g, lang AS df_lang, COUNT(*) AS df
+        |  FROM toks GROUP BY g, lang),
         |scored AS (
         |  SELECT t.doc_id, t.lang, d.df_lang, SUM(d.df) AS score
-        |  FROM toks t JOIN df d ON t.tok = d.tok
+        |  FROM toks t JOIN df d ON t.g = d.g
         |  GROUP BY t.doc_id, t.lang, d.df_lang),
         |best AS (
         |  SELECT doc_id, lang, df_lang,

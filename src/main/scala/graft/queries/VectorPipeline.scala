@@ -235,10 +235,18 @@ object VectorPipeline extends graft.Registry {
     // The probe side below keeps the row/window form: it is filtered
     // to the bounded query set before the window, so only ≤ queries×k
     // rows ever reach it.
+    // Empty quantizer (no surviving seeds) is guarded on the 1-ROW
+    // side: size(cents) > 0 empties the broadcast relation so the
+    // crossJoin emits zero rows — the pre-r19 crossJoin(seeds)
+    // behavior. (A row-side `dc IS NOT NULL` filter instead gets
+    // pushed into the BNLJ as a join condition, which re-evaluates
+    // the whole argmin per row AND knocks the join out of whole-stage
+    // codegen — measured +35% on v07 at sf10.)
     val cents1 = seeds
       .where(col("sn") > 0d)
       .select(struct(col("se"), col("sn"), col("seed_id")).as("c"))
       .agg(collect_list("c").as("cents"))
+      .where(size(col("cents")) > 0)
     val assigned = e.crossJoin(broadcast(cents1))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         expr("array_min(transform(cents, c -> named_struct(" +
@@ -246,10 +254,6 @@ object VectorPipeline extends graft.Registry {
           s"-(${dotSql("embedding", "c.se")} / (nrm * c.sn)) " +
           "ELSE 0D END, " +
           "'seed_id', c.seed_id)))").as("dc"))
-      // empty quantizer (no surviving seeds) → dc is null (array_min
-      // over the empty collect_list row): drop those rows, matching
-      // the zero-output behavior of the pre-r19 crossJoin(seeds) form
-      .where(col("dc").isNotNull)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("dc.seed_id").as("seed_id"))
     val wAssign = Window.partitionBy("vec_id")
@@ -637,7 +641,7 @@ object VectorPipeline extends graft.Registry {
     val e = withNorm(s, dir)
     // Row-local argmax assignment (same rewrite + equivalence argument
     // as [[annIvf]], including the zero-norm seed/corpus guards and
-    // the empty-quantizer null drop — see the comment there): one
+    // the build-side empty-quantizer guard — see the comment there): one
     // broadcast collect_list row of the k seeds, array_min over
     // (−cos, seed_id) — no N×k crossJoin expansion, no vec_id
     // exchange, no window sort on the corpus path.
@@ -645,6 +649,7 @@ object VectorPipeline extends graft.Registry {
       .select(struct(col("embedding").as("se"), col("nrm").as("sn"),
         col("vec_id").as("seed_id")).as("c"))
       .agg(collect_list("c").as("cents"))
+      .where(size(col("cents")) > 0)
     val assigned = e.crossJoin(broadcast(cents1))
       .select(col("vec_id"),
         expr("array_min(transform(cents, c -> named_struct(" +
@@ -652,7 +657,6 @@ object VectorPipeline extends graft.Registry {
           s"-(${dotSql("embedding", "c.se")} / (nrm * c.sn)) " +
           "ELSE 0D END, " +
           "'seed_id', c.seed_id)))").as("dc"))
-      .where(col("dc").isNotNull)
       .select(col("vec_id"), col("dc.seed_id").as("cluster"))
     val d = Tables.table(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))

@@ -29,11 +29,19 @@ object PlanFiles {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // SPARK_GRAFT_PLAN_EXEC=1: execute the query (collect) BEFORE
+    // dumping, so AQE queries show the runtime-FINAL plan
+    // (isFinalPlan=true) — exchange reuse, AQEShuffleRead and
+    // join-strategy changes are decided at runtime and absent from
+    // the pre-execution explain.
+    val exec = sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")
     for (name <- names.split(",").map(_.trim).filter(_.nonEmpty)) {
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))
       spark.catalog.clearCache()
-      val plan = fn(spark, sfDir).queryExecution.explainString(FormattedMode)
+      val df = fn(spark, sfDir)
+      if (exec) df.collect()
+      val plan = df.queryExecution.explainString(FormattedMode)
       Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
       println(s"[planfiles] wrote $outDir/${name}_$suffix.txt")
     }
