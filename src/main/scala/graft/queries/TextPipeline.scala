@@ -269,31 +269,47 @@ object TextPipeline extends graft.Registry {
         col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
       .select(col("doc_id"), col("lang"), hashKey63(col("tok")).as("g")))
-    val df = toks
-      .groupBy(col("g"), col("lang").as("df_lang"))
-      .agg(count(lit(1)).as("df"))
-    val scored = toks
-      .join(df, "g")
-      .groupBy("doc_id", "lang", "df_lang")
-      .agg(sum("df").as("score"))
-    // argmax(score, ties → alphabetical df_lang) as the minimum of
-    // (-score, df_lang) candidate structs: structs order
+    // r20 second pass: the label set is tiny and bounded (it is the
+    // classifier's class list), so collect it once from a pruned
+    // 1-column scan and PIVOT the df table to ONE row per token key
+    // carrying all |langs| df counts. The scoring join then emits one
+    // row per (doc, token) instead of one per (doc, token, df_lang) —
+    // the old form multiplied the join output (and the partial-agg
+    // update stream behind it) by |langs| — and the per-doc scores
+    // become |langs| plain codegen'd SUM columns in a single hash
+    // aggregate keyed (doc_id, lang), replacing BOTH old aggregates
+    // (the ×langs sum AND the ObjectHashAggregate collect_list).
+    // sum(coalesce(df_L, 0)) makes a lang sharing no token with the
+    // doc score 0 — it previously had no candidate row at all; a
+    // 0-score candidate can never win the argmax because the doc's
+    // own lang always scores ≥ its distinct-token count ≥ 1.
+    val langs = docs(s, dir).select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    // positional rename: a pathological label value equal to one of
+    // the join columns (doc_id/lang/g) must not collide
+    val dfVec = toks
+      .groupBy(col("g"))
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .toDF("g" +: langs.indices.map(i => s"__df_$i"): _*)
+    // argmax(score, ties → alphabetical lang) as the minimum of
+    // (-score, lang) candidate structs: structs order
     // lexicographically, so the min IS the argmax with the right
-    // tiebreak. r20: the min is array_min over a collect_list of the
-    // ≤|langs| candidates per (doc, lang) group — min(struct) is not
-    // hash-aggregable and planned as SortAggregate (partial sort →
-    // exchange → final sort over the whole scored relation), while
-    // collect_list is an ObjectHashAggregate with map-side partials
-    // (the v09/v19 row-local-argmin layout; guide §2.4). Bounded per
-    // group: a document contributes at most one candidate per
-    // distinct label in the corpus. array_min uses the same struct
-    // ordering as min(), and collect_list's nondeterministic order
-    // cannot matter under a minimum — bit-identical result.
-    scored
+    // tiebreak — evaluated row-locally over the |langs| sum columns
+    // (the v09/v19 row-local-argmin layout; guide §2.4). The df
+    // table joins WITHOUT a broadcast hint, exactly as before.
+    toks
+      .join(dfVec, "g")
       .groupBy("doc_id", "lang")
-      .agg(array_min(collect_list(
-        struct((-col("score")).as("ns"), col("df_lang")))).as("best"))
-      .groupBy(col("lang"), col("best.df_lang").as("predicted_lang"))
+      .agg(
+        sum(coalesce(col("__df_0"), lit(0L))).as("s_0"),
+        langs.indices.tail.map(i =>
+          sum(coalesce(col(s"__df_$i"), lit(0L))).as(s"s_$i")): _*)
+      .select(col("lang"),
+        array_min(array(langs.zipWithIndex.map { case (l, i) =>
+          struct((-col(s"s_$i")).as("ns"), lit(l).as("df_lang"))
+        }: _*)).getField("df_lang").as("predicted_lang"))
+      .groupBy("lang", "predicted_lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted_lang")
   }
@@ -2002,14 +2018,18 @@ object TextPipeline extends graft.Registry {
     * decade with near-equal counts — a deliberately sketch-
     * adversarial shape), where exactness needs capacity ≥
     * distinct-token count. On those the first failure buys one cheap
-    * HLL distinct estimate so the NEXT attempt jumps straight to a
-    * certifying capacity, and (r20) the sketch-only failure bound
+    * HLL distinct estimate, and (r20) the sketch-only failure bound
     * (k-th stored count + MG undercount bound cannot clear the miss
-    * bound) skips the guaranteed-futile exact-recount pass entirely,
-    * so an escalating ladder costs sketch + HLL + sketch instead of
-    * sketch + recount + HLL + sketch — one fewer full corpus explode
-    * per failed rung. Past `maxCapacity` the operator still refuses
-    * loudly rather than approximate.
+    * bound) skips the guaranteed-futile exact-recount pass entirely;
+    * when the informed jump then lands inside `maxCapacity` — i.e.
+    * the re-sketch it would size is lossless by construction — the
+    * ladder computes the exact top-k directly as one codegen'd hash
+    * aggregate over the same ≤capacity-bounded vocabulary instead of
+    * paying a second typed-aggregate sketch pass, so an escalating
+    * ladder costs sketch + HLL + exact-groupBy instead of sketch +
+    * recount + HLL + sketch. Only a vocabulary estimated PAST
+    * `maxCapacity` takes a ceiling-capacity sketch rung, after which
+    * the operator still refuses loudly rather than approximate.
     *
     * `exactDirect` is the measured-input regime switch (td08/td09
     * pattern, keyed off [[graft.InputTuning.smallInput]] by the
@@ -2095,9 +2115,30 @@ object TextPipeline extends graft.Registry {
               approxDistinct = toks
                 .agg(approx_count_distinct(col("token"), 0.02))
                 .head().getLong(0)
-            val certain = math.min(maxCapacity.toLong,
-              (approxDistinct * 11L) / 10L + 1L).toInt
-            cap = math.min(math.max(cap * 8, certain), maxCapacity)
+            val wanted = (approxDistinct * 11L) / 10L + 1L
+            // r20: when the informed jump lands INSIDE the ceiling,
+            // the re-sketch it sizes is lossless by construction
+            // (capacity ≥ distinct ⇒ no counter ever evicts ⇒ the
+            // sketch IS the exact per-token count map, merged on the
+            // driver). An exact groupBy top-k over the same ≤wanted-
+            // key vocabulary is the identical result — computed as
+            // one codegen'd hash aggregate with map-side partials
+            // plus a TakeOrdered of k rows, instead of a second full
+            // typed-aggregate pass (per-row Scala map updates) whose
+            // vocabulary-sized merged map lands on the driver. The
+            // shuffle stays bounded by the SAME capacity the ladder
+            // already accepted for its driver-side map, so the
+            // web-scale refusal contract is untouched: a vocabulary
+            // past maxCapacity still takes the ceiling rung below and
+            // refuses loudly when uncertifiable. Exactness no longer
+            // rests on the HLL estimate at all (an underestimate cost
+            // the old ladder one more rung; here it cannot matter).
+            if (wanted <= maxCapacity)
+              return toks.groupBy("token")
+                .agg(count(lit(1)).as("cnt"))
+                .orderBy(desc("cnt"), asc("token"))
+                .limit(k)
+            cap = math.min(math.max(cap * 8L, wanted), maxCapacity.toLong).toInt
           }
         }
       }

@@ -344,12 +344,18 @@ object DocStreams {
           } else {
             val st0 = state.getOption
               .getOrElse(TrendState(Map.empty, 0L, 0L))
-            var s = graft.functions.MgSummary(st0.counts, st0.total)
+            // thaw the checkpointed immutable state into the r20
+            // mutable sketch buffer once per micro-batch group, fold
+            // the arrivals in place, freeze back for the state store
+            val buf = mg.zero
+            st0.counts.foreach { case (t, c) => buf.counts.put(t, c) }
+            buf.total = st0.total
             var wEnd = st0.windowEndMs
             it.foreach { r =>
-              s = mg.reduce(s, r._3)
+              mg.reduce(buf, r._3)
               wEnd = math.max(wEnd, r._2.getTime)
             }
+            val s = mg.finish(buf)
             state.update(TrendState(s.counts, s.total, wEnd))
             state.setTimeoutTimestamp(
               math.max(wEnd, state.getCurrentWatermarkMs() + 1))

@@ -30,7 +30,7 @@ object MisraGriesProperties extends Properties("MisraGries") {
       val mg = new MisraGries(cap)
       val parts = s.grouped(chunk).toList
         .map(c => c.foldLeft(mg.zero)(mg.reduce))
-      val merged = parts.foldLeft(mg.zero)(mg.merge)
+      val merged = mg.finish(parts.foldLeft(mg.zero)(mg.merge))
       val truth = s.groupBy(identity).view.mapValues(_.size.toLong).toMap
       val n = s.size.toLong
       Prop.all(

@@ -1182,6 +1182,26 @@ class PipelineSpec extends SparkSpec {
     assert(got === (1 to 5).map(t => (f"u$t%03d", 1L)))
   }
 
+  test("td19 escalation terminal is one live exact aggregate, not a second sketch") {
+    import spark.implicits._
+    // r20: once the HLL-informed jump lands inside the ceiling, the
+    // ladder returns the exact groupBy top-k directly. Structural pin:
+    // the returned frame is a LIVE aggregate plan over the token frame
+    // (codegen hash aggregate), not a driver-materialized
+    // LocalRelation from a lossless re-sketch — so no second
+    // typed-aggregate corpus pass ever runs on the escalation path.
+    val df = (1 to 300).map(t => f"u$t%03d").toDF("text")
+    val got = TextPipeline.heavyHittersOf(spark, df, k = 5, capacity = 16)
+    // the pre-r20 ladder returned a driver-materialized LocalRelation
+    // (no aggregate anywhere in the plan); the live exact form keeps
+    // the groupBy visible
+    assert(got.queryExecution.optimizedPlan.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      s"expected a live exact aggregate, got:\n${got.queryExecution.optimizedPlan}")
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === (1 to 5).map(t => (f"u$t%03d", 1L)))
+  }
+
   test("mg recount-futility bound fires on uniform profiles, never on separable heads") {
     // r20: the escalation ladder skips the exact recount pass when the
     // sketch alone proves certification must fail. The bound must be
