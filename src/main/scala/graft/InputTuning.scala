@@ -146,6 +146,29 @@ object InputTuning {
       "spark.locality.wait" -> "0")
     else Seq(
       "spark.sql.adaptive.enabled" -> "true",
+      // Runtime Bloom-filter join pruning (guide §3.2): drop
+      // definitely-non-matching rows from a join's big side BEFORE
+      // its exchange, using a bloom built over the other side's
+      // selectively-filtered keys. Spark's machinery is size-gated
+      // and on by default, but its default gates are tuned for
+      // multi-TB-per-node clusters: the creation side must estimate
+      // under 10 MB and the application-side scan over 10 GB, so it
+      // never fires between those — measured at sf10, q05 shuffles
+      // all 60 M lineitem rows (1.37 GiB) into a sort-merge join
+      // whose date-filtered orders side keeps ~15%. Widening the
+      // gates to 256 MB each keeps every safety the machinery
+      // already has (maxNumItems caps the filter: creation sides
+      // past 4 M distinct keys are skipped automatically, so a
+      // 100 TB corpus can never be asked to build a gigabyte bloom)
+      // while letting mid-size creation sides prune big scans.
+      // numBits sized for maxNumItems (8 bits/key ≈ 3% fpp — false
+      // positives only cost shuffle bytes, never correctness).
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        (256L << 20).toString,
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        (256L << 20).toString,
+      "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems" -> "4000000",
+      "spark.sql.optimizer.runtime.bloomFilter.numBits" -> "33554432",
       // Size shuffle partitions by bytes, not the parallelism floor:
       // healthy partitions at scale instead of `cpus` fixed-count
       // ones — but never a coarser target than keeps every core busy

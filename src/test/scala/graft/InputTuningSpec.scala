@@ -51,6 +51,22 @@ class InputTuningSpec extends AnyFunSuite {
     assert(InputTuning.advisoryPartitionBytes(1L << 30, 1024) === (1L << 20))
     // and it must NOT carry any of the small-regime degradations
     assert(!l.contains("spark.shuffle.compress"))
+    // runtime bloom-filter join pruning: gates widened to 256 MB both
+    // sides (Spark's defaults — 10 MB creation / 10 GB application —
+    // never fire between single-node toys and multi-TB clusters);
+    // filter sizing stays capped by maxNumItems, so no input scale
+    // can be asked to build an unbounded bloom
+    assert(l("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      === (256L << 20).toString)
+    assert(l(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      === (256L << 20).toString)
+    assert(l("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems")
+      === "4000000")
+    // the small regime must not pay bloom planning on kilobyte joins
+    val s = InputTuning.settings(small = true, cpus = 32).toMap
+    assert(!s.contains(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"))
   }
 
   test("large regime: shuffles START at inputBytes/64MB, not the core count") {

@@ -48,6 +48,7 @@ object ComponentsProperties extends Properties("connectedComponents") {
     * equivalence the size-based regime choice depends on. */
   property("labels equal a union-find oracle on random graphs") =
     forAll(edges) { es =>
+      if (sys.env.contains("CC_DEBUG")) println(s"[ccprop] es=$es")
       val spark = graft.SparkSpec.session
       import spark.implicits._
       val (labels, rounds) =
